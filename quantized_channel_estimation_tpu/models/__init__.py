@@ -1,0 +1,1 @@
+from quantized_channel_estimation_tpu.models import gmm, gmm_estimator, kmeans

@@ -1,0 +1,399 @@
+"""Complex Gaussian mixture model fitted by EM, with structured covariances.
+
+Covariance types (reference `modules/gmm_cplx_bussgang.py:96-163`):
+  - 'full':            plain complex EM
+  - 'circulant':       diagonal-covariance EM on unitary-DFT-domain data,
+                       covariances back-transformed F^H diag(c) F
+  - 'block-circulant': same with a 2-D (kron) DFT, `blocks=(n1, n2)`
+  - 'toeplitz':        full EM whose M-step projects onto Toeplitz via the
+                       Barton-Fuhrmann "inverse EM" nonneg-spectrum fixed point
+                       on an oversampled DFT (`gmm_cplx_bussgang.py:792-826`)
+  - 'block-toeplitz':  kron of two oversampled DFTs
+  - 'diag':            diagonal covariances in the data domain
+
+TPU-first design:
+  - E+M are fused into one `lax.scan` over data chunks that accumulates the
+    EM sufficient statistics (Nk, sum r.x, sum r.xx^H); responsibilities are
+    never materialized for the full dataset. The same statistics are what a
+    multi-host data-parallel EM psums (see `parallel.mesh`).
+  - All per-component linear algebra (Cholesky, precision factors) is batched
+    over the component axis instead of Python loops.
+  - The EM loop is a `lax.while_loop` on (params, lower_bound) with sklearn's
+    stopping rule: |change of mean log-likelihood| < tol (the reference wraps
+    sklearn's bookkeeping, `gmm_cplx_bussgang.py:500-546`).
+  - Parameters are pure pytrees; nothing is mutated (the reference's
+    `_prepare_for_prediction` destructively overwrites its model,
+    `gmm_cplx_bussgang.py:309-313` — see `gmm_estimator.prepare_bank` for the
+    pure replacement).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quantized_channel_estimation_tpu.models.kmeans import kmeans
+from quantized_channel_estimation_tpu.ops import linalg
+from quantized_channel_estimation_tpu.ops.cplx import cplx2real
+
+
+class GmmConfig(NamedTuple):
+    n_components: int
+    cov_type: str = "full"
+    blocks: Optional[Tuple[int, int]] = None
+    zero_mean: bool = True
+    max_iter: int = 100     # sklearn GaussianMixture defaults
+    tol: float = 1e-3
+    reg_covar: float = 1e-6
+    chunk_size: int = 4096  # E/M scan chunk (memory knob, no math effect)
+    kmeans_iter: int = 50
+
+
+class GmmParams(NamedTuple):
+    """Full-covariance complex GMM parameters (the universal post-fit form)."""
+    weights: jax.Array       # (K,) real
+    means: jax.Array         # (K, D) complex
+    covariances: jax.Array   # (K, D, D) complex
+    prec_chol: jax.Array     # (K, D, D) complex upper; C^{-1} = P P^H
+
+    @property
+    def n_components(self) -> int:
+        return self.weights.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.means.shape[-1]
+
+
+class GmmFitResult(NamedTuple):
+    params: GmmParams
+    lower_bound: jax.Array   # mean per-sample log-likelihood at convergence
+    n_iter: jax.Array
+    converged: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# log-probabilities
+# ---------------------------------------------------------------------------
+
+def log_prob_full(x: jax.Array, means: jax.Array, prec_chol: jax.Array) -> jax.Array:
+    """log CN(x; mu_k, C_k) for x (N, D) -> (N, K).
+
+    Density log = -(D log pi + |(x - mu)^H P|^2) + 2 sum log diag(P)
+    (`gmm_cplx_bussgang.py:388-435`). The quadratic form is one K-batched GEMM.
+    """
+    d = x.shape[-1]
+    xp = jnp.einsum("nd,kde->kne", x, jnp.conj(prec_chol))
+    mp = jnp.einsum("kd,kde->ke", means, jnp.conj(prec_chol))
+    quad = jnp.sum(jnp.abs(xp - mp[:, None, :]) ** 2, axis=-1)  # (K, N)
+    logdet = linalg.logdet_from_prec_chol(prec_chol)  # (K,)
+    return (-(d * jnp.log(jnp.pi) + quad) + 2.0 * logdet[:, None]).T
+
+
+def log_prob_diag(x: jax.Array, means: jax.Array, variances: jax.Array) -> jax.Array:
+    """Diagonal-covariance complex log-density, x (N, D) -> (N, K).
+
+    variances: (K, D) real. Expanded quadratic (no (N,K,D) intermediate):
+    sum_d |x_d - mu_d|^2 / c_d  =  sum |mu|^2 p - 2 Re(x . (mu* p)) + |x|^2 . p
+    (`gmm_cplx_bussgang.py:419-425`).
+    """
+    d = x.shape[-1]
+    prec = 1.0 / variances  # (K, D)
+    mu2 = jnp.sum(jnp.abs(means) ** 2 * prec, axis=-1)  # (K,)
+    cross = jnp.real(x @ (jnp.conj(means) * prec).T)  # (N, K)
+    x2 = (jnp.abs(x) ** 2) @ prec.T  # (N, K)
+    quad = mu2[None, :] - 2.0 * cross + x2
+    logdet = -jnp.sum(jnp.log(variances), axis=-1)  # log det C^{-1}
+    return -(d * jnp.log(jnp.pi) + quad) + logdet[None, :]
+
+
+# ---------------------------------------------------------------------------
+# sufficient statistics (fused E+M data pass)
+# ---------------------------------------------------------------------------
+
+class _Stats(NamedTuple):
+    nk: jax.Array        # (K,)
+    sx: jax.Array        # (K, D) complex: sum_n r_nk x_n
+    sxx: jax.Array       # (K, D, D) complex or (K, D) real for diag
+    log_norm: jax.Array  # scalar: sum_n log p(x_n)
+
+
+def _chunk(x: jax.Array, chunk: int):
+    """Pad to a multiple of `chunk` and reshape to (n_chunks, chunk, D) plus a
+    validity mask."""
+    n = x.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    mask = jnp.pad(jnp.ones((n,), jnp.float32), (0, pad))
+    return xp.reshape(n_chunks, chunk, -1), mask.reshape(n_chunks, chunk)
+
+
+def _resp_chunk(xc, mc, log_weights, log_prob_fn):
+    lp = log_prob_fn(xc) + log_weights[None, :]  # (nc, K)
+    log_norm = jax.scipy.special.logsumexp(lp, axis=-1)
+    resp = jnp.exp(lp - log_norm[:, None]) * mc[:, None]
+    return resp, jnp.sum(log_norm * mc)
+
+
+def accumulate_stats(x: jax.Array, mask_x, log_weights: jax.Array,
+                     log_prob_fn, diag: bool, chunk: int) -> _Stats:
+    """One scan over the data computing responsibilities chunk-by-chunk and
+    accumulating (Nk, sum r.x, sum r.xx^H, sum log-norm)."""
+    xs, mask = mask_x if mask_x is not None else _chunk(x, chunk)
+    k = log_weights.shape[0]
+    d = xs.shape[-1]
+    sxx0 = (jnp.zeros((k, d), jnp.float32) if diag
+            else jnp.zeros((k, d, d), xs.dtype))
+    init = _Stats(jnp.zeros((k,), jnp.float32), jnp.zeros((k, d), xs.dtype),
+                  sxx0, jnp.zeros((), jnp.float32))
+
+    def body(stats, inputs):
+        xc, mc = inputs
+        resp, ln = _resp_chunk(xc, mc, log_weights, log_prob_fn)
+        nk = stats.nk + jnp.sum(resp, axis=0)
+        sx = stats.sx + jnp.einsum("nk,nd->kd", resp.astype(xc.real.dtype), xc)
+        if diag:
+            sxx = stats.sxx + jnp.einsum("nk,nd->kd", resp, jnp.abs(xc) ** 2)
+        else:
+            rx = resp.astype(xc.real.dtype).T[..., None] * xc[None, :, :]  # (K, nc, D)
+            sxx = stats.sxx + jnp.einsum("knd,ne->kde", rx, jnp.conj(xc))
+        return _Stats(nk, sx, sxx, stats.log_norm + ln), None
+
+    stats, _ = jax.lax.scan(body, init, (xs, mask))
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# M-step parameter updates
+# ---------------------------------------------------------------------------
+
+def _means_from_stats(stats: _Stats, zero_mean: bool):
+    nk = stats.nk + 10.0 * jnp.finfo(jnp.float32).eps
+    means = stats.sx / nk[:, None].astype(stats.sx.dtype)
+    if zero_mean:
+        means = jnp.zeros_like(means)
+    return nk, means
+
+
+def _m_step_full(stats: _Stats, cfg: GmmConfig):
+    nk, means = _means_from_stats(stats, cfg.zero_mean)
+    # sum r (x-mu)(x-mu)^H = sxx - nk mu mu^H when mu is the weighted mean
+    # (exactly, also when mu is forced to zero).
+    covs = stats.sxx / nk[:, None, None].astype(stats.sxx.dtype)
+    if not cfg.zero_mean:
+        covs = covs - means[:, :, None] * jnp.conj(means[:, None, :])
+    covs = linalg.add_jitter(covs, cfg.reg_covar)
+    return nk, means, covs
+
+
+def _m_step_diag(stats: _Stats, cfg: GmmConfig):
+    nk, means = _means_from_stats(stats, cfg.zero_mean)
+    var = stats.sxx / nk[:, None]
+    if not cfg.zero_mean:
+        var = var - jnp.abs(means) ** 2
+    return nk, means, var + cfg.reg_covar
+
+
+def _m_step_toeplitz(stats: _Stats, cfg: GmmConfig, prev_covs: jax.Array,
+                     sigma_spec: jax.Array, f2: jax.Array):
+    """Barton-Fuhrmann inverse-EM spectrum update (`gmm_cplx_bussgang.py:792-826`).
+
+    sigma_spec: (K, 2D) nonnegative spectra; C_k = F2^H diag(sigma_k) F2.
+    Fixed point: sigma_i += sigma_i^2 * Re(f_i^H (C^{-1} S C^{-1} - C^{-1}) f_i).
+    """
+    nk, means = _means_from_stats(stats, cfg.zero_mean)
+    s = stats.sxx / nk[:, None, None].astype(stats.sxx.dtype)
+    if not cfg.zero_mean:
+        s = s - means[:, :, None] * jnp.conj(means[:, None, :])
+    cinv = linalg.hermitian_inv(prev_covs, jitter=cfg.reg_covar)
+    m = cinv @ s @ cinv - cinv  # (K, D, D)
+    theta = jnp.real(jnp.einsum("fd,kde,fe->kf", f2, m, jnp.conj(f2)))
+    sigma_spec = sigma_spec + sigma_spec ** 2 * theta
+    sigma_spec = jnp.maximum(sigma_spec, cfg.reg_covar)
+    covs = jnp.einsum("fd,kf,fe->kde", jnp.conj(f2), sigma_spec.astype(stats.sxx.dtype), f2)
+    covs = linalg.add_jitter(covs, cfg.reg_covar)
+    return nk, means, covs, sigma_spec
+
+
+# ---------------------------------------------------------------------------
+# initialization
+# ---------------------------------------------------------------------------
+
+def _init_resp_stats(key, x, cfg: GmmConfig, diag: bool, chunk: int) -> _Stats:
+    """Hard-assignment responsibilities from k-means on [Re; Im]-stacked data
+    (`gmm_cplx_bussgang.py:549-574`), folded straight into sufficient stats."""
+    labels = kmeans(key, cplx2real(x, axis=-1).astype(jnp.float32),
+                    cfg.n_components, max_iter=cfg.kmeans_iter).labels
+    k = cfg.n_components
+    d = x.shape[-1]
+    xs, mask = _chunk(x, chunk)
+    ls = jnp.pad(labels, (0, xs.shape[0] * xs.shape[1] - labels.shape[0])
+                 ).reshape(xs.shape[0], xs.shape[1])
+    sxx0 = (jnp.zeros((k, d), jnp.float32) if diag
+            else jnp.zeros((k, d, d), x.dtype))
+    init = _Stats(jnp.zeros((k,), jnp.float32), jnp.zeros((k, d), x.dtype),
+                  sxx0, jnp.zeros((), jnp.float32))
+
+    def body(stats, inputs):
+        xc, mc, lc = inputs
+        onehot = jax.nn.one_hot(lc, k, dtype=jnp.float32) * mc[:, None]
+        nk = stats.nk + jnp.sum(onehot, axis=0)
+        sx = stats.sx + jnp.einsum("nk,nd->kd", onehot.astype(xc.real.dtype), xc)
+        if diag:
+            sxx = stats.sxx + jnp.einsum("nk,nd->kd", onehot, jnp.abs(xc) ** 2)
+        else:
+            rx = onehot.astype(xc.real.dtype).T[..., None] * xc[None, :, :]
+            sxx = stats.sxx + jnp.einsum("knd,ne->kde", rx, jnp.conj(xc))
+        return _Stats(nk, sx, sxx, stats.log_norm), None
+
+    stats, _ = jax.lax.scan(body, init, (xs, mask, ls))
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# EM drivers
+# ---------------------------------------------------------------------------
+
+class _FullState(NamedTuple):
+    weights: jax.Array
+    means: jax.Array
+    covs: jax.Array          # (K,D,D) complex for full / (K,D) real for diag
+    sigma_spec: jax.Array    # (K, F) inv-em spectrum (zeros if unused)
+    lower_bound: jax.Array
+    prev_lb: jax.Array
+    n_iter: jax.Array
+
+
+def _em_loop(x, init_stats: _Stats, cfg: GmmConfig, mode: str,
+             f2: Optional[jax.Array]):
+    """Shared EM driver. mode in {'full', 'diag', 'inv-em'}."""
+    n = x.shape[0]
+    diag = mode == "diag"
+    xs_mask = _chunk(x, min(cfg.chunk_size, x.shape[0]))
+
+    def params_from_stats(stats, state: Optional[_FullState]):
+        if mode == "full":
+            nk, means, covs = _m_step_full(stats, cfg)
+            sigma = state.sigma_spec if state is not None else jnp.zeros((cfg.n_components, 1), jnp.float32)
+        elif mode == "diag":
+            nk, means, covs = _m_step_diag(stats, cfg)
+            sigma = state.sigma_spec if state is not None else jnp.zeros((cfg.n_components, 1), jnp.float32)
+        else:  # inv-em
+            if state is None:
+                # initialize: full covariance from stats, spectrum from its
+                # oversampled-DFT diagonal (`gmm_cplx_bussgang.py:599-603`)
+                nk, means, covs = _m_step_full(stats, cfg)
+                sigma = jnp.real(jnp.einsum("fd,kde,fe->kf", f2, covs, jnp.conj(f2)))
+                sigma = jnp.maximum(sigma, cfg.reg_covar)
+            else:
+                nk, means, covs, sigma = _m_step_toeplitz(
+                    stats, cfg, state.covs, state.sigma_spec, f2)
+        weights = nk / jnp.sum(nk)
+        return _FullState(weights, means, covs, sigma,
+                          jnp.asarray(-jnp.inf, jnp.float32),
+                          jnp.asarray(-jnp.inf, jnp.float32),
+                          jnp.zeros((), jnp.int32))
+
+    def log_prob_fn(state):
+        if diag:
+            return lambda xc: log_prob_diag(xc, state.means, state.covs)
+        prec = linalg.precision_cholesky(state.covs)
+        return lambda xc: log_prob_full(xc, state.means, prec)
+
+    def em_iter(state: _FullState) -> _FullState:
+        stats = accumulate_stats(x, xs_mask, jnp.log(state.weights),
+                                 log_prob_fn(state), diag,
+                                 cfg.chunk_size)
+        new = params_from_stats(stats, state)
+        lb = stats.log_norm / n
+        return new._replace(lower_bound=lb, prev_lb=state.lower_bound,
+                            n_iter=state.n_iter + 1)
+
+    def cond(state: _FullState):
+        not_converged = jnp.abs(state.lower_bound - state.prev_lb) >= cfg.tol
+        return jnp.logical_and(state.n_iter < cfg.max_iter, not_converged)
+
+    # prev_lb = +inf so the first convergence check sees an infinite (not NaN)
+    # change and the loop always runs at least one EM iteration.
+    state0 = params_from_stats(init_stats, None)._replace(
+        prev_lb=jnp.asarray(jnp.inf, jnp.float32))
+    state = jax.lax.while_loop(cond, em_iter, state0)
+    converged = jnp.abs(state.lower_bound - state.prev_lb) < cfg.tol
+    return state, converged
+
+
+# ---------------------------------------------------------------------------
+# fit: covariance-type dispatch
+# ---------------------------------------------------------------------------
+
+def _dft_for(cfg: GmmConfig, d: int, dtype) -> jax.Array:
+    if cfg.cov_type == "circulant":
+        return linalg.unitary_dft(d, dtype)
+    n1, n2 = cfg.blocks
+    assert n1 * n2 == d, f"blocks {cfg.blocks} incompatible with dim {d}"
+    return jnp.kron(linalg.unitary_dft(n1, dtype), linalg.unitary_dft(n2, dtype))
+
+
+def _oversampled_dft_for(cfg: GmmConfig, d: int, dtype) -> jax.Array:
+    if cfg.cov_type == "toeplitz":
+        return linalg.oversampled_dft(d, dtype)
+    n1, n2 = cfg.blocks
+    assert n1 * n2 == d, f"blocks {cfg.blocks} incompatible with dim {d}"
+    return jnp.kron(linalg.oversampled_dft(n1, dtype),
+                    linalg.oversampled_dft(n2, dtype))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def fit(key: jax.Array, h: jax.Array, cfg: GmmConfig) -> GmmFitResult:
+    """Fit the complex GMM with EM; always returns full-covariance complex
+    parameters on the original data domain (the reference converts its
+    structured fits to 'full' for estimation, `gmm_cplx_bussgang.py:104-161`).
+    """
+    d = h.shape[-1]
+    dtype = h.dtype
+
+    if cfg.cov_type in ("circulant", "block-circulant"):
+        f = _dft_for(cfg, d, dtype)
+        x = h @ f.T  # unitary-DFT-domain data
+        init_stats = _init_resp_stats(key, x, cfg, diag=True,
+                                      chunk=cfg.chunk_size)
+        state, converged = _em_loop(x, init_stats, cfg, "diag", None)
+        means = state.means @ jnp.conj(f)  # back-transform row vectors
+        covs = jnp.einsum("fd,kf,fe->kde", jnp.conj(f),
+                          state.covs.astype(dtype), f)
+        covs = linalg.hermitize(covs)
+    elif cfg.cov_type in ("toeplitz", "block-toeplitz"):
+        f2 = _oversampled_dft_for(cfg, d, dtype)
+        init_stats = _init_resp_stats(key, h, cfg, diag=False,
+                                      chunk=cfg.chunk_size)
+        state, converged = _em_loop(h, init_stats, cfg, "inv-em", f2)
+        means, covs = state.means, linalg.hermitize(state.covs)
+    elif cfg.cov_type == "full":
+        init_stats = _init_resp_stats(key, h, cfg, diag=False,
+                                      chunk=cfg.chunk_size)
+        state, converged = _em_loop(h, init_stats, cfg, "full", None)
+        means, covs = state.means, linalg.hermitize(state.covs)
+    elif cfg.cov_type == "diag":
+        init_stats = _init_resp_stats(key, h, cfg, diag=True,
+                                      chunk=cfg.chunk_size)
+        state, converged = _em_loop(h, init_stats, cfg, "diag", None)
+        means = state.means
+        covs = state.covs[:, :, None].astype(dtype) * jnp.eye(d, dtype=dtype)
+    else:
+        raise NotImplementedError(
+            f"covariance_type={cfg.cov_type!r} is not implemented")
+
+    covs = linalg.add_jitter(covs, cfg.reg_covar)
+    prec = linalg.precision_cholesky(covs)
+    params = GmmParams(state.weights, means, covs, prec)
+    return GmmFitResult(params, state.lower_bound, state.n_iter, converged)
+
+
+def predict_proba(params: GmmParams, x: jax.Array) -> jax.Array:
+    """Posterior component probabilities (N, K) (`gmm_cplx_bussgang.py:351-367`)."""
+    lp = log_prob_full(x, params.means, params.prec_chol) + jnp.log(params.weights)[None, :]
+    return jax.nn.softmax(lp, axis=-1)

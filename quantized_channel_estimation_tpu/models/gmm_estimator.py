@@ -1,0 +1,172 @@
+"""GMM-Bussgang channel estimation: per-component LMMSE with responsibility
+weighting (reference `gmm_cplx_bussgang.py:166-332`).
+
+Pure-functional redesign of the reference's stateful `_prepare_for_prediction`
+(which destructively overwrites its model and forces deepcopy at call sites,
+`gmm_cplx_bussgang.py:309-313`): here `prepare_bank(params, snr, ...)` returns
+an immutable `PreparedBank` that can be cached per SNR and reused.
+
+Speed-of-light choices vs the reference:
+  - the LMMSE filters W_k = C_k A_eff_k^H Cr_k^{-1} are precomputed once per
+    (component, SNR) — the reference recomputes C_k A_eff^H per *sample*
+    (`gmm_cplx_bussgang.py:226-228`)
+  - Cholesky solves instead of per-component SVD pinv
+  - the combine step is one stacked GEMM (r @ [W_1; ...; W_K]^H) plus a
+    responsibility-weighted reduction — MXU-shaped, chunked over samples
+  - top-k / cumulative-probability component selection is a dense masked
+    weighted sum (no data-dependent control flow under jit)
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from quantized_channel_estimation_tpu.models.gmm import GmmParams, log_prob_full
+from quantized_channel_estimation_tpu.ops import linalg
+from quantized_channel_estimation_tpu.ops.bussgang import (
+    arcsine_cov, bussgang_gain_diag)
+from quantized_channel_estimation_tpu.ops.quantizer import (
+    ScalarQuantizer, is_inf_bits)
+
+
+class PreparedBank(NamedTuple):
+    """Per-SNR prepared component bank for quantized-observation estimation.
+
+    All arrays are component-batched: K components, M = observation dim
+    (n_pilots * N), D = channel dim (N antennas).
+    """
+    log_weights: jax.Array    # (K,)
+    means_r: jax.Array        # (K, M)   Bussgang-domain observation means
+    prec_chol_r: jax.Array    # (K, M, M) precision cholesky of Cr (responsibilities)
+    filters: jax.Array        # (K, D, M) W_k = C_k A_eff_k^H Cr_k^{-1}
+    bias: jax.Array           # (K, D)   mu_h,k - W_k means_r,k
+    chol_cr: jax.Array        # (K, M, M) lower Cholesky of Cr (for reuse)
+
+
+def prepare_bank(params: GmmParams, snr_db, a: jax.Array, n_bits,
+                 q: Optional[ScalarQuantizer] = None,
+                 jitter: float = 1e-6) -> PreparedBank:
+    """Build the Bussgang-linearized observation-domain bank
+    (`gmm_cplx_bussgang.py:246-328`):
+
+      Cy_k  = A C_k A^H + sigma^2 I
+      B_k   = diagonal Bussgang gain of Cy_k
+      mu_r  = B_k A mu_k
+      Cr_k  = arcsine(Cy_k)            [1 bit]
+              Cy_k                     [inf bits]
+              beta^2 Cy + (1-beta^2) diag(Cy),  beta = clip(mean(B_k), 0, 1)
+      W_k   = C_k (B_k A)^H Cr_k^{-1}
+    """
+    sigma2 = 10.0 ** (-snr_db / 10.0)
+    m = a.shape[0]
+    dtype = params.covariances.dtype
+    eye = jnp.eye(m, dtype=dtype)
+
+    cy = jnp.einsum("mn,knp,qp->kmq", a, params.covariances, jnp.conj(a))
+    cy = cy + jnp.asarray(sigma2, jnp.float32) * eye
+
+    a_mu = jnp.einsum("mn,kn->km", a, params.means)
+    diag_cy = jnp.real(jnp.diagonal(cy, axis1=-2, axis2=-1))
+
+    if is_inf_bits(n_bits):
+        gains = jnp.ones_like(diag_cy)
+        cr = cy
+    elif n_bits == 1:
+        gains = bussgang_gain_diag(diag_cy, 1)
+        cr = arcsine_cov(cy)
+    else:
+        gains = bussgang_gain_diag(diag_cy, n_bits, q)
+        beta = jnp.clip(jnp.mean(gains, axis=-1), 0.0, 1.0)
+        b2 = (beta ** 2)[:, None, None].astype(dtype)
+        diag_mat = jnp.diagonal(cy, axis1=-2, axis2=-1)[..., None] * eye
+        cr = b2 * cy + (1 - b2) * diag_mat
+
+    means_r = gains.astype(dtype) * a_mu
+    a_eff = gains[..., :, None].astype(dtype) * a  # (K, M, N)
+
+    cr_j = linalg.add_jitter(cr, jitter)
+    chol = jnp.linalg.cholesky(cr_j)
+    eye_b = jnp.broadcast_to(eye, cr_j.shape)
+    linv = jax.scipy.linalg.solve_triangular(chol, eye_b, lower=True)
+    prec_chol = jnp.conj(jnp.swapaxes(linv, -1, -2))
+
+    # W_k = C_k A_eff^H Cr^{-1}: solve Cr X = A_eff C_k^H, W = X^H
+    cah = jnp.einsum("knd,kmd->knm", params.covariances, jnp.conj(a_eff))  # C A_eff^H
+    y = jax.scipy.linalg.solve_triangular(chol, jnp.conj(jnp.swapaxes(cah, -1, -2)), lower=True)
+    x = jax.scipy.linalg.solve_triangular(
+        jnp.conj(jnp.swapaxes(chol, -1, -2)), y, lower=False)
+    filters = jnp.conj(jnp.swapaxes(x, -1, -2))  # (K, D, M)
+
+    bias = params.means - jnp.einsum("kdm,km->kd", filters, means_r)
+    return PreparedBank(jnp.log(params.weights), means_r, prec_chol, filters,
+                        bias, chol)
+
+
+def responsibilities(bank: PreparedBank, r: jax.Array) -> jax.Array:
+    """Posterior component probabilities of quantized observations (N, K)."""
+    lp = log_prob_full(r, bank.means_r, bank.prec_chol_r) + bank.log_weights[None, :]
+    return jax.nn.softmax(lp, axis=-1)
+
+
+def _selection_weights(proba: jax.Array, mode) -> jax.Array:
+    """Dense selection weights implementing the reference's
+    `n_summands_or_proba` modes (`gmm_cplx_bussgang.py:197-242`):
+      'all'    -> full posterior weighting
+      int 1    -> argmax component (one-hot)
+      int k>1  -> top-k by responsibility, renormalized
+      float p  -> smallest prefix of sorted responsibilities with cumulative
+                  probability >= p, renormalized
+    """
+    k = proba.shape[-1]
+    if mode == "all":
+        return proba
+    if isinstance(mode, int):
+        if mode == 1:
+            return jax.nn.one_hot(jnp.argmax(proba, axis=-1), k, dtype=proba.dtype)
+        kth = jax.lax.top_k(proba, mode)[0][..., -1:]
+        mask = proba >= kth
+        sel = proba * mask
+        return sel / jnp.sum(sel, axis=-1, keepdims=True)
+    # float cumulative-probability mode
+    order = jnp.argsort(-proba, axis=-1)
+    sorted_p = jnp.take_along_axis(proba, order, axis=-1)
+    csum = jnp.cumsum(sorted_p, axis=-1)
+    # include indices up to (and incl.) the first where csum >= mode
+    include_sorted = jnp.concatenate(
+        [jnp.ones_like(csum[..., :1], bool), csum[..., :-1] < mode], axis=-1)
+    mask = jnp.zeros_like(proba, bool)
+    mask = jnp.take_along_axis(
+        include_sorted, jnp.argsort(order, axis=-1), axis=-1)
+    sel = proba * mask
+    return sel / jnp.sum(sel, axis=-1, keepdims=True)
+
+
+def _estimate_chunk(bank: PreparedBank, r: jax.Array, mode) -> jax.Array:
+    proba = responsibilities(bank, r)
+    w = _selection_weights(proba, mode).astype(r.dtype)
+    k, d, m = bank.filters.shape
+    # one stacked GEMM: (n, M) @ (M, K*D) -> per-component estimates (n, K, D)
+    z = (r @ bank.filters.reshape(k * d, m).T).reshape(r.shape[0], k, d)
+    z = z + bank.bias[None, :, :]
+    return jnp.einsum("nk,nkd->nd", w, z)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def estimate(bank: PreparedBank, r: jax.Array,
+             mode: Union[str, int, float] = "all",
+             chunk_size: int = 2048) -> jax.Array:
+    """Estimate channels from quantized observations r (N, M) -> (N, D).
+
+    h_n = sum_k w_k(r_n) (mu_k + W_k (r_n - mu_r,k)), chunked over samples to
+    bound the (chunk, K, D) intermediate.
+    """
+    n = r.shape[0]
+    n_chunks = -(-n // chunk_size)
+    pad = n_chunks * chunk_size - n
+    rp = jnp.pad(r, ((0, pad), (0, 0))).reshape(n_chunks, chunk_size, -1)
+    out = jax.lax.map(lambda rc: _estimate_chunk(bank, rc, mode), rp)
+    return out.reshape(n_chunks * chunk_size, -1)[:n]

@@ -1,0 +1,146 @@
+"""Batched Hermitian linear algebra and structured-covariance transforms.
+
+All functions are jittable, vmappable, and dtype-polymorphic. Batched forms
+map onto XLA's batched Cholesky / triangular-solve / eigh lowerings, which on
+TPU run in parallel across the batch (the reference loops in Python over
+components/samples: e.g. `modules/utils.py:387-434`,
+`estimators/blmmse.py:26-60`).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Toeplitz / circulant structure
+# ---------------------------------------------------------------------------
+
+def toeplitz_from_first_row(t: jax.Array) -> jax.Array:
+    """Hermitian Toeplitz matrix whose *first row* is ``t``.
+
+    C[i, j] = t[j - i] for j >= i and conj(t[i - j]) for j < i.
+
+    This matches the reference's ``toeplitz(t).T`` convention used to build
+    genie covariances from the SCM first-row vector
+    (`estimators/blmmse.py:28`, with `modules/utils.py:115-175`). Works on
+    batched inputs (..., D) -> (..., D, D).
+    """
+    d = t.shape[-1]
+    i = jnp.arange(d)[:, None]
+    j = jnp.arange(d)[None, :]
+    idx = jnp.abs(j - i)
+    gathered = t[..., idx]  # (..., D, D) with entry t[|i-j|]
+    return jnp.where(j >= i, gathered, jnp.conj(gathered))
+
+
+def unitary_dft(n: int, dtype=jnp.complex64) -> jax.Array:
+    """Unitary DFT matrix F with F F^H = I (fft(I)/sqrt(n))."""
+    k = jnp.arange(n)
+    w = jnp.exp(jnp.asarray(-2j * jnp.pi / n, dtype) * jnp.outer(k, k).astype(dtype))
+    return w / math.sqrt(n)
+
+
+def oversampled_dft(n: int, dtype=jnp.complex64) -> jax.Array:
+    """F2 = fft(I_{2n})[:, :n] / sqrt(2n): the (2n, n) oversampled DFT used by
+    the Barton-Fuhrmann Toeplitz EM projection (`gmm_cplx_bussgang.py:146`).
+
+    F2^H diag(s) F2 is a Toeplitz-structured PSD matrix for s >= 0.
+    """
+    k2 = jnp.arange(2 * n)
+    kn = jnp.arange(n)
+    w = jnp.exp(jnp.asarray(-1j * jnp.pi / n, dtype) * jnp.outer(k2, kn).astype(dtype))
+    return w / math.sqrt(2 * n)
+
+
+# ---------------------------------------------------------------------------
+# Batched Hermitian solves
+# ---------------------------------------------------------------------------
+
+def add_jitter(c: jax.Array, eps: float) -> jax.Array:
+    """Add eps to the diagonal of (..., D, D) matrices."""
+    d = c.shape[-1]
+    return c + eps * jnp.eye(d, dtype=c.dtype)
+
+
+def chol_lower(c: jax.Array) -> jax.Array:
+    """Lower Cholesky factor of Hermitian PSD (..., D, D)."""
+    return jnp.linalg.cholesky(c)
+
+
+def precision_cholesky(c: jax.Array) -> jax.Array:
+    """Upper-triangular P with C^{-1} = P P^H, computed as inv(L)^H.
+
+    Returned dense so the E-step is a plain GEMM: for L = chol(C),
+    P = (L^{-1})^H and |x^H P|^2 = x^H C^{-1} x. Mirrors sklearn's
+    precisions_cholesky_ convention used by the reference
+    (`gmm_cplx_bussgang.py:15-52`) but batched instead of per-component loops.
+    """
+    l = jnp.linalg.cholesky(c)
+    d = c.shape[-1]
+    eye = jnp.eye(d, dtype=c.dtype)
+    linv = jax.scipy.linalg.solve_triangular(l, jnp.broadcast_to(eye, c.shape), lower=True)
+    return jnp.conj(jnp.swapaxes(linv, -1, -2))
+
+
+def logdet_from_prec_chol(p: jax.Array) -> jax.Array:
+    """sum(log diag(P)) for upper-triangular precision-cholesky P (real part).
+
+    Equals -1/2 log det(C).
+    """
+    diag = jnp.real(jnp.diagonal(p, axis1=-2, axis2=-1))
+    return jnp.sum(jnp.log(diag), axis=-1)
+
+
+def cho_solve_hermitian(c: jax.Array, b: jax.Array, jitter: float = 0.0) -> jax.Array:
+    """Solve C x = b for Hermitian PSD C (..., D, D), b (..., D) or (..., D, M).
+
+    Cholesky-based: the speed-of-light choice on TPU vs the reference's
+    SVD-based `np.linalg.pinv` (`gmm_cplx_bussgang.py:321-323`).
+    """
+    if jitter:
+        c = add_jitter(c, jitter)
+    l = jnp.linalg.cholesky(c)
+    vec = b.ndim == c.ndim - 1
+    if vec:
+        b = b[..., None]
+    y = jax.scipy.linalg.solve_triangular(l, b, lower=True)
+    x = jax.scipy.linalg.solve_triangular(jnp.conj(jnp.swapaxes(l, -1, -2)), y, lower=False)
+    return x[..., 0] if vec else x
+
+
+def hermitian_inv(c: jax.Array, jitter: float = 0.0) -> jax.Array:
+    """Dense inverse of Hermitian PSD matrices via Cholesky."""
+    d = c.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=c.dtype), c.shape)
+    return cho_solve_hermitian(c, eye, jitter=jitter)
+
+
+def psd_pinv(c: jax.Array, rcond: float = 1e-10) -> jax.Array:
+    """Eigh-based pseudo-inverse for Hermitian matrices.
+
+    Fallback for near-singular quantized covariances (the 1-bit arcsine Cr has
+    unit diagonal and off-diagonals -> 1 at high SNR); matches the numerical
+    role of `np.linalg.pinv` in the reference without a full SVD.
+    """
+    w, v = jnp.linalg.eigh(c)
+    tol = rcond * jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+    w_inv = jnp.where(w > tol, 1.0 / w, 0.0).astype(c.dtype)
+    return jnp.einsum("...ij,...j,...kj->...ik", v, w_inv, jnp.conj(v))
+
+
+def psd_project(c: jax.Array, floor: float = 0.0) -> jax.Array:
+    """Project Hermitian matrices onto the PSD cone by eigenvalue clipping.
+
+    Used by quantized-EM covariance recovery (`gmm_cplx_quant.py:798-824`).
+    """
+    w, v = jnp.linalg.eigh(c)
+    w = jnp.maximum(w, floor).astype(c.dtype)
+    return jnp.einsum("...ij,...j,...kj->...ik", v, w, jnp.conj(v))
+
+
+def hermitize(c: jax.Array) -> jax.Array:
+    """(C + C^H)/2."""
+    return 0.5 * (c + jnp.conj(jnp.swapaxes(c, -1, -2)))

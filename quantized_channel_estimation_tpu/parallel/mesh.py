@@ -1,0 +1,82 @@
+"""Multi-chip sharding over a (data, component) mesh.
+
+The reference's only parallelism is a per-machine multiprocessing.Pool over
+SNR points (`Bussgang_GMM.py:29-32`); there is no distributed runtime at all
+(SURVEY §2.4). The TPU-native replacements here:
+
+  - EM training is data-parallel: channel samples are sharded over the 'data'
+    mesh axis; the fused E+M scan produces per-shard sufficient statistics
+    (Nk, sum r.x, sum r.xx^H) which XLA all-reduces when the (replicated)
+    M-step consumes them — the EM analog of gradient all-reduce.
+  - The GMM component bank (K axis) is sharded over the 'component' axis for
+    bank preparation and estimation: each device prepares/applies its own
+    components' LMMSE filters; the responsibility-weighted combine psums the
+    partial estimates over 'component' (tensor-parallel analog).
+
+Collectives ride ICI via jax.sharding + jit; nothing here issues explicit
+NCCL/MPI-style calls.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from quantized_channel_estimation_tpu.models import gmm, gmm_estimator
+from quantized_channel_estimation_tpu.models.gmm import GmmConfig, GmmParams
+from quantized_channel_estimation_tpu.models.gmm_estimator import PreparedBank
+
+DATA_AXIS = "data"
+COMPONENT_AXIS = "component"
+
+
+def make_mesh(n_data: Optional[int] = None, n_component: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, component) mesh from the available devices."""
+    devices = jax.devices() if devices is None else devices
+    if n_data is None:
+        n_data = len(devices) // n_component
+    import numpy as np
+    dev_array = np.asarray(devices[: n_data * n_component]).reshape(
+        n_data, n_component)
+    return Mesh(dev_array, (DATA_AXIS, COMPONENT_AXIS))
+
+
+def shard_data(mesh: Mesh, x: jax.Array) -> jax.Array:
+    """Shard a sample-batched array over the 'data' axis."""
+    return jax.device_put(
+        x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1)))))
+
+
+def shard_bank(mesh: Mesh, bank: PreparedBank) -> PreparedBank:
+    """Shard every component-batched array of a PreparedBank over 'component'."""
+    spec = lambda ndim: NamedSharding(mesh, P(COMPONENT_AXIS, *([None] * (ndim - 1))))
+    return PreparedBank(*[jax.device_put(a, spec(a.ndim)) for a in bank])
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def fit_gmm_sharded(mesh: Mesh, key: jax.Array, h: jax.Array,
+                    cfg: GmmConfig) -> gmm.GmmFitResult:
+    """Data-parallel GMM EM: samples sharded over 'data', parameters
+    replicated. XLA turns the sufficient-statistic contractions of the fused
+    E+M scan into psums over the data axis."""
+    h = shard_data(mesh, h)
+    with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+        return gmm.fit(key, h, cfg)
+
+
+def estimate_sharded(mesh: Mesh, bank: PreparedBank, r: jax.Array,
+                     mode: Union[str, int, float] = "all",
+                     chunk_size: int = 2048) -> jax.Array:
+    """Estimation with samples sharded over 'data' and the component bank
+    sharded over 'component'. The weighted combine contracts over K, which
+    XLA lowers to a psum over the component axis."""
+    r = shard_data(mesh, r)
+    bank = shard_bank(mesh, bank)
+    return gmm_estimator.estimate(bank, r, mode, chunk_size)

@@ -1,0 +1,163 @@
+"""GMM EM + estimation tests: parameter recovery on synthetic mixtures,
+lower-bound monotonicity, estimator ordering, structured covariances."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantized_channel_estimation_tpu.models import gmm, gmm_estimator
+from quantized_channel_estimation_tpu.ops import linalg as L
+from quantized_channel_estimation_tpu.ops import observation, pilots, scm
+from quantized_channel_estimation_tpu.ops import quantizer as Q
+from quantized_channel_estimation_tpu.estimators import blmmse
+from quantized_channel_estimation_tpu.utils.metrics import nmse
+
+
+def _synthetic_mixture(rng, n, d=6, k=2, scale_sep=6.0):
+    """Zero-mean complex Gaussians with known, strongly separated covariances
+    (scale ratio `scale_sep` between consecutive components so EM can identify
+    them without mean separation)."""
+    covs = []
+    for i in range(k):
+        a = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+        c = a @ a.conj().T / d + scale_sep ** i * np.eye(d)
+        covs.append(c)
+    covs = np.stack(covs)
+    labels = rng.integers(0, k, n)
+    x = np.empty((n, d), np.complex64)
+    for i in range(k):
+        idx = labels == i
+        l = np.linalg.cholesky(covs[i])
+        w = np.sqrt(0.5) * (rng.standard_normal((idx.sum(), d))
+                            + 1j * rng.standard_normal((idx.sum(), d)))
+        x[idx] = (w @ l.T).astype(np.complex64)
+    return x, covs
+
+
+def test_em_recovers_mixture(rng, key):
+    x, covs_true = _synthetic_mixture(rng, 8000)
+    cfg = gmm.GmmConfig(n_components=2, cov_type="full", zero_mean=True,
+                        chunk_size=2048)
+    res = gmm.fit(key, jnp.asarray(x), cfg)
+    assert bool(res.converged)
+    w = np.sort(np.asarray(res.params.weights))
+    np.testing.assert_allclose(w, [0.5, 0.5], atol=0.05)
+    # match components by trace and compare covariances
+    got = np.asarray(res.params.covariances)
+    order = np.argsort([np.trace(c).real for c in got])
+    order_true = np.argsort([np.trace(c).real for c in covs_true])
+    for g, t in zip(order, order_true):
+        rel = np.linalg.norm(got[g] - covs_true[t]) / np.linalg.norm(covs_true[t])
+        assert rel < 0.15, rel
+
+
+def test_em_lower_bound_improves(rng, key):
+    """More EM iterations cannot degrade the lower bound (monotonicity)."""
+    x, _ = _synthetic_mixture(rng, 3000)
+    lbs = []
+    for max_iter in [1, 3, 10]:
+        cfg = gmm.GmmConfig(n_components=2, max_iter=max_iter, tol=0.0,
+                            chunk_size=1024)
+        res = gmm.fit(key, jnp.asarray(x), cfg)
+        lbs.append(float(res.lower_bound))
+    assert lbs[0] <= lbs[1] + 1e-4 and lbs[1] <= lbs[2] + 1e-4, lbs
+
+
+@pytest.mark.parametrize("cov_type,blocks", [
+    ("circulant", None),
+    ("block-circulant", (2, 3)),
+    ("toeplitz", None),
+    ("block-toeplitz", (2, 3)),
+    ("diag", None),
+])
+def test_structured_fit_shapes_and_psd(rng, key, cov_type, blocks):
+    x, _ = _synthetic_mixture(rng, 2000)
+    cfg = gmm.GmmConfig(n_components=2, cov_type=cov_type, blocks=blocks,
+                        max_iter=5, chunk_size=1024)
+    res = gmm.fit(key, jnp.asarray(x), cfg)
+    covs = np.asarray(res.params.covariances)
+    assert covs.shape == (2, 6, 6)
+    for c in covs:
+        np.testing.assert_allclose(c, c.conj().T, atol=1e-4)
+        assert np.linalg.eigvalsh(c).min() > 0
+    np.testing.assert_allclose(np.asarray(res.params.weights).sum(), 1.0,
+                               rtol=1e-5)
+
+
+def test_toeplitz_fit_is_toeplitz(rng, key):
+    """The inv-em covariance update must produce (near-)Toeplitz matrices."""
+    x, _ = _synthetic_mixture(rng, 2000)
+    cfg = gmm.GmmConfig(n_components=1, cov_type="toeplitz", max_iter=8,
+                        chunk_size=1024)
+    res = gmm.fit(key, jnp.asarray(x), cfg)
+    c = np.asarray(res.params.covariances)[0]
+    for off in range(1, 5):
+        diag = np.diagonal(c, offset=off)
+        spread = np.abs(diag - diag.mean()).max()
+        assert spread < 5e-2 * np.abs(np.diagonal(c)).mean(), (off, spread)
+
+
+def test_circulant_fit_is_circulant(rng, key):
+    x, _ = _synthetic_mixture(rng, 2000)
+    cfg = gmm.GmmConfig(n_components=1, cov_type="circulant", max_iter=5,
+                        chunk_size=1024)
+    res = gmm.fit(key, jnp.asarray(x), cfg)
+    c = np.asarray(res.params.covariances)[0]
+    d = c.shape[0]
+    f = np.fft.fft(np.eye(d)) / np.sqrt(d)
+    spec = f @ c @ f.conj().T
+    off = spec - np.diag(np.diag(spec))
+    assert np.abs(off).max() < 1e-3 * np.abs(np.diag(spec)).max()
+
+
+class TestGmmEstimation:
+    N_ANT = 16
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        key = jax.random.PRNGKey(7)
+        cfg = scm.ScmConfig(n_antennas=self.N_ANT, n_path=1)
+        h, t = scm.generate_channels(key, 22000, cfg)
+        h_train, h_val, t_val = h[:20000], h[20000:], t[20000:]
+        gcfg = gmm.GmmConfig(n_components=8, zero_mean=True, max_iter=30,
+                             chunk_size=4096)
+        fit = gmm.fit(jax.random.PRNGKey(8), h_train, gcfg)
+        cov = jnp.einsum("nd,ne->de", h_train, jnp.conj(h_train)) / h_train.shape[0]
+        return h_train, h_val, t_val, fit.params, cov
+
+    @pytest.mark.parametrize("n_bits", [1, 2, Q.INF_BITS])
+    def test_gmm_between_genie_and_global(self, setup, n_bits):
+        """The ordering anchor: genie <= GMM <= global MSE (within tolerance)
+        — the reference's core scientific validation (SURVEY §4)."""
+        _, h_val, t_val, params, cov = setup
+        snr = 10.0
+        a = pilots.pilot_matrix(self.N_ANT, 1, n_bits)
+        q = Q.design_quantizer(snr, n_bits)
+        r = observation.observe(jax.random.PRNGKey(9), h_val, snr, a, n_bits, q)
+        bank = gmm_estimator.prepare_bank(params, snr, a, n_bits, q)
+        h_gmm = gmm_estimator.estimate(bank, r, "all")
+        h_genie = blmmse.estimate_genie(r, t_val, snr, a, n_bits, q)
+        h_glob = blmmse.estimate_global(r, cov, snr, a, n_bits, q)
+        m_gmm = float(nmse(h_gmm, h_val))
+        m_genie = float(nmse(h_genie, h_val))
+        m_glob = float(nmse(h_glob, h_val))
+        assert m_genie <= m_gmm * 1.05, (m_genie, m_gmm)
+        assert m_gmm <= m_glob * 1.02, (m_gmm, m_glob)
+
+    @pytest.mark.parametrize("mode", ["all", 1, 2, 0.9])
+    def test_selection_modes(self, setup, mode):
+        _, h_val, _, params, _ = setup
+        snr, n_bits = 5.0, 2
+        a = pilots.pilot_matrix(self.N_ANT, 1, n_bits)
+        q = Q.design_quantizer(snr, n_bits)
+        r = observation.observe(jax.random.PRNGKey(10), h_val, snr, a, n_bits, q)
+        bank = gmm_estimator.prepare_bank(params, snr, a, n_bits, q)
+        h_est = gmm_estimator.estimate(bank, r, mode)
+        m = float(nmse(h_est, h_val))
+        assert np.isfinite(m) and m < 1.0, (mode, m)
+
+    def test_selection_weights_sum_to_one(self, setup, rng):
+        proba = jnp.asarray(rng.dirichlet(np.ones(8), size=32), jnp.float32)
+        for mode in ["all", 1, 3, 0.7]:
+            w = gmm_estimator._selection_weights(proba, mode)
+            np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, rtol=1e-5)

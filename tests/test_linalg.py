@@ -1,0 +1,77 @@
+"""Numerical-utility tests: Toeplitz builder, FFT identities, batched solves."""
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from quantized_channel_estimation_tpu.ops import linalg as L
+
+
+def test_toeplitz_matches_scipy(rng):
+    t = (rng.standard_normal(6) + 1j * rng.standard_normal(6)).astype(np.complex64)
+    t[0] = abs(t[0])
+    got = np.asarray(L.toeplitz_from_first_row(jnp.asarray(t)))
+    want = scipy.linalg.toeplitz(t.conj(), t)  # first row t, Hermitian
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_toeplitz_batched(rng):
+    t = (rng.standard_normal((3, 5)) + 1j * rng.standard_normal((3, 5))).astype(np.complex64)
+    got = np.asarray(L.toeplitz_from_first_row(jnp.asarray(t)))
+    for b in range(3):
+        want = np.asarray(L.toeplitz_from_first_row(jnp.asarray(t[b])))
+        np.testing.assert_allclose(got[b], want)
+
+
+def test_unitary_dft():
+    f = np.asarray(L.unitary_dft(8))
+    np.testing.assert_allclose(f @ f.conj().T, np.eye(8), atol=1e-6)
+
+
+def test_oversampled_dft_toeplitz_identity(rng):
+    """F2^H diag(s) F2 must be Toeplitz for any nonneg spectrum s
+    (the Barton-Fuhrmann parameterization)."""
+    n = 6
+    f2 = np.asarray(L.oversampled_dft(n, jnp.complex128))
+    s = rng.random(2 * n)
+    c = f2.conj().T @ np.diag(s) @ f2
+    for k in range(1, n):
+        diag = np.diagonal(c, offset=k)
+        np.testing.assert_allclose(diag, diag[0], atol=1e-12)
+    # Hermitian PSD
+    np.testing.assert_allclose(c, c.conj().T, atol=1e-12)
+    assert np.linalg.eigvalsh(c).min() > -1e-12
+
+
+def test_cho_solve_and_inv(rng):
+    d = 5
+    a = rng.standard_normal((4, d, d)) + 1j * rng.standard_normal((4, d, d))
+    c = a @ np.conj(np.swapaxes(a, -1, -2)) + d * np.eye(d)
+    b = rng.standard_normal((4, d)) + 1j * rng.standard_normal((4, d))
+    x = np.asarray(L.cho_solve_hermitian(jnp.asarray(c, jnp.complex128),
+                                         jnp.asarray(b, jnp.complex128)))
+    np.testing.assert_allclose(np.einsum("bij,bj->bi", c, x), b, rtol=1e-8)
+    cinv = np.asarray(L.hermitian_inv(jnp.asarray(c, jnp.complex128)))
+    np.testing.assert_allclose(np.einsum("bij,bjk->bik", c, cinv),
+                               np.broadcast_to(np.eye(d), (4, d, d)), atol=1e-8)
+
+
+def test_precision_cholesky_quadratic_form(rng):
+    d = 4
+    a = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+    c = a @ a.conj().T + d * np.eye(d)
+    p = np.asarray(L.precision_cholesky(jnp.asarray(c[None], jnp.complex128)))[0]
+    x = rng.standard_normal(d) + 1j * rng.standard_normal(d)
+    quad = np.sum(np.abs(x @ p.conj()) ** 2)
+    want = np.real(x.conj() @ np.linalg.inv(c) @ x)
+    np.testing.assert_allclose(quad, want, rtol=1e-8)
+    # log-det identity: 2 sum log diag(P) = -log det C
+    ld = 2 * float(L.logdet_from_prec_chol(jnp.asarray(p[None]))[0])
+    np.testing.assert_allclose(ld, -np.linalg.slogdet(c)[1], rtol=1e-6)
+
+
+def test_psd_project(rng):
+    a = rng.standard_normal((4, 4))
+    sym = (a + a.T) / 2
+    proj = np.asarray(L.psd_project(jnp.asarray(sym, jnp.complex128)))
+    w = np.linalg.eigvalsh(proj)
+    assert w.min() >= -1e-10
