@@ -1,0 +1,124 @@
+"""Quantized-training GMM benchmark (reference `Bussgang_GMM_quant.py`):
+GMM fitted by EM directly on quantized pilots at snr_train, evaluated at the
+configured SNRs; MSE + rate lower bound to CSV.
+
+Note: the reference crashes at CSV-save time on a never-set 'genie_gmm' key
+(`Bussgang_GMM_quant.py:163`, documented in SURVEY §2.1); this harness writes
+the same columns without that field.
+"""
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import os
+import time
+from typing import Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from quantized_channel_estimation_tpu.harness.run_gmm import (
+    GmmBenchConfig, _get_data)
+from quantized_channel_estimation_tpu.models import gmm, gmm_estimator, gmm_quant
+from quantized_channel_estimation_tpu.ops import observation, pilots
+from quantized_channel_estimation_tpu.ops import quantizer as Q
+from quantized_channel_estimation_tpu.utils import io as qio
+from quantized_channel_estimation_tpu.utils.metrics import (
+    global_bussgang_stats, nmse, rate_lower_bound)
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantGmmBenchConfig:
+    n_antennas: int = 64
+    n_components: int = 64
+    n_summands_or_proba: Union[str, int, float] = "all"
+    n_path: int = 1
+    n_pilots: int = 1
+    n_bits: int = 2
+    cov_type: str = "full"
+    pilot_type: str = "angle_amp"
+    quantizer_type: str = "uniform"
+    snrs: Sequence[float] = (5,)
+    snr_train: float = 5.0
+    max_iter: int = 100
+    n_train: int = 100_000
+    n_val: int = 10_000
+    zero_mean_gmm: bool = True
+    path_sigma: float = 2.0
+    seed: int = 0
+    eval_rate: bool = True
+    results_dir: str = "results"
+    cache_dir: str = "results/saves"
+    use_cache: bool = True
+
+
+def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
+    t_start = time.time()
+    key = jax.random.PRNGKey(cfg.seed)
+    k_data, k_fit, k_obs = jax.random.split(key, 3)
+
+    base_cfg = GmmBenchConfig(
+        n_antennas=cfg.n_antennas, n_path=cfg.n_path, n_train=cfg.n_train,
+        n_val=cfg.n_val, path_sigma=cfg.path_sigma, cache_dir=cfg.cache_dir,
+        use_cache=cfg.use_cache)
+    channels, _ = _get_data(base_cfg, k_data)
+    h_train = channels[:cfg.n_train]
+    h_val = channels[cfg.n_train:cfg.n_train + cfg.n_val]
+
+    a = pilots.pilot_matrix(cfg.n_antennas, cfg.n_pilots, cfg.n_bits,
+                            cfg.pilot_type)
+    all_snrs = sorted(set(list(cfg.snrs) + [cfg.snr_train]))
+    quantizers = {snr: Q.design_quantizer(snr, cfg.n_bits, cfg.quantizer_type)
+                  for snr in all_snrs}
+    cov = jnp.einsum("nd,ne->de", h_train, jnp.conj(h_train)) / cfg.n_train
+
+    sigma2_train = 10.0 ** (-cfg.snr_train / 10.0)
+    r_train = observation.observe(jax.random.fold_in(k_obs, 999), h_train,
+                                  cfg.snr_train, a, cfg.n_bits,
+                                  quantizers[cfg.snr_train])
+    gcfg = gmm.GmmConfig(n_components=cfg.n_components, cov_type=cfg.cov_type,
+                         zero_mean=cfg.zero_mean_gmm, max_iter=cfg.max_iter)
+    t0 = time.time()
+    fit = gmm_quant.fit(k_fit, r_train, gcfg, cfg.n_bits, sigma2_train,
+                        quantizers[cfg.snr_train])
+    fit_time = time.time() - t0
+    if verbose:
+        print(f"quant-GMM fit: {int(fit.n_iter)} iters "
+              f"lb={float(fit.lower_bound):.4f} ({fit_time:.1f}s)")
+
+    mse_cols = {"blmmse_gmm_quant": []}
+    rate_cols = {"blmmse_gmm_quant_rstat": []}
+    for i, snr in enumerate(cfg.snrs):
+        r_val = observation.observe(jax.random.fold_in(k_obs, i), h_val, snr,
+                                    a, cfg.n_bits, quantizers[snr])
+        bank = gmm_estimator.prepare_bank(fit.params, snr, a, cfg.n_bits,
+                                          quantizers[snr])
+        res = gmm_estimator.estimate(bank, r_val, cfg.n_summands_or_proba)
+        mse_cols["blmmse_gmm_quant"].append(float(nmse(res, h_val)))
+        if cfg.eval_rate:
+            b_glob, cq_glob = global_bussgang_stats(cov, snr, cfg.n_bits,
+                                                    quantizers[snr])
+            rate_cols["blmmse_gmm_quant_rstat"].append(
+                float(rate_lower_bound(res, h_val, b_glob, cq_glob,
+                                       norm_clip=0.1)))
+    if verbose:
+        print(f"mse={mse_cols['blmmse_gmm_quant']}")
+
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    out_dir = os.path.join(cfg.results_dir, "3gpp")
+    base = (f"{stamp}_ant={cfg.n_antennas}_path={cfg.n_path}"
+            f"_ntr={cfg.n_train // 1000}k_comp={cfg.n_components}"
+            f"_pilots={cfg.n_pilots}_bits={cfg.n_bits}"
+            f"_0mean={cfg.zero_mean_gmm}_sums={cfg.n_summands_or_proba}"
+            f"_ptype={cfg.pilot_type}_qtype={cfg.quantizer_type}"
+            f"_{cfg.cov_type}_snrtr={cfg.snr_train}")
+    cols = dict(mse_cols)
+    if cfg.eval_rate:
+        cols.update(rate_cols)
+    qio.write_result_csv(os.path.join(out_dir, base + ".csv"),
+                         cfg.snrs, cols)
+    return mse_cols, rate_cols, {"fit": fit_time, "total": time.time() - t_start}
+
+
+if __name__ == "__main__":
+    run(QuantGmmBenchConfig())

@@ -1,0 +1,119 @@
+"""MFA-Bussgang benchmark (reference `Bussgang_MFA.py`): fit a complex
+mixture of factor analyzers on clean channels (n_path=3, latent=N/4, PPCA),
+evaluate Bussgang-LMMSE estimation over the SNR sweep, MSE + rate to CSV.
+"""
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import os
+import time
+from typing import Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from quantized_channel_estimation_tpu.harness.run_gmm import (
+    GmmBenchConfig, _get_data)
+from quantized_channel_estimation_tpu.models import gmm_estimator, mfa
+from quantized_channel_estimation_tpu.ops import observation, pilots
+from quantized_channel_estimation_tpu.ops import quantizer as Q
+from quantized_channel_estimation_tpu.utils import io as qio
+from quantized_channel_estimation_tpu.utils.metrics import (
+    global_bussgang_stats, nmse, rate_lower_bound)
+
+
+@dataclasses.dataclass(frozen=True)
+class MfaBenchConfig:
+    """Mirrors `Bussgang_MFA.py:27-42`."""
+    n_antennas: int = 64
+    n_components: int = 64
+    n_summands_or_proba: Union[str, int, float] = "all"
+    n_path: int = 3
+    n_pilots: int = 1
+    n_bits: int = 2
+    pilot_type: str = "angle_amp"
+    quantizer_type: str = "uniform"
+    snrs: Sequence[float] = (-10, -5, 0, 5, 10, 15, 20)
+    latent_dim: int = 16  # n_antennas // 4
+    ppca: bool = True
+    lock_psis: bool = False
+    zero_mean: bool = True
+    max_iter: int = 100
+    n_train: int = 100_000
+    n_val: int = 10_000
+    path_sigma: float = 2.0
+    seed: int = 0
+    eval_rate: bool = True
+    results_dir: str = "results"
+    cache_dir: str = "results/saves"
+    use_cache: bool = True
+
+
+def run(cfg: MfaBenchConfig, verbose: bool = True):
+    t_start = time.time()
+    key = jax.random.PRNGKey(cfg.seed)
+    k_data, k_fit, k_obs = jax.random.split(key, 3)
+
+    base = GmmBenchConfig(n_antennas=cfg.n_antennas, n_path=cfg.n_path,
+                          n_train=cfg.n_train, n_val=cfg.n_val,
+                          path_sigma=cfg.path_sigma, cache_dir=cfg.cache_dir,
+                          use_cache=cfg.use_cache)
+    channels, _ = _get_data(base, k_data)
+    h_train = channels[:cfg.n_train]
+    h_val = channels[cfg.n_train:cfg.n_train + cfg.n_val]
+
+    a = pilots.pilot_matrix(cfg.n_antennas, cfg.n_pilots, cfg.n_bits,
+                            cfg.pilot_type)
+    quantizers = {snr: Q.design_quantizer(snr, cfg.n_bits, cfg.quantizer_type)
+                  for snr in cfg.snrs}
+    cov = jnp.einsum("nd,ne->de", h_train, jnp.conj(h_train)) / cfg.n_train
+
+    mcfg = mfa.MfaConfig(
+        n_components=cfg.n_components, latent_dim=cfg.latent_dim,
+        ppca=cfg.ppca, lock_psis=cfg.lock_psis, zero_mean=cfg.zero_mean,
+        max_iter=cfg.max_iter)
+    t0 = time.time()
+    res_fit = mfa.fit(k_fit, h_train, mcfg)
+    params = mfa.to_gmm_params(res_fit.params, reg=1e-6)
+    fit_time = time.time() - t0
+    if verbose:
+        print(f"MFA fit: {int(res_fit.n_iter)} iters "
+              f"ll={float(res_fit.log_likelihood):.1f} ({fit_time:.1f}s)")
+
+    mse_cols = {"blmmse_mfa": []}
+    rate_cols = {"mfa_rstat": []}
+    for i, snr in enumerate(cfg.snrs):
+        r_val = observation.observe(jax.random.fold_in(k_obs, i), h_val, snr,
+                                    a, cfg.n_bits, quantizers[snr])
+        bank = gmm_estimator.prepare_bank(params, snr, a, cfg.n_bits,
+                                          quantizers[snr])
+        res = gmm_estimator.estimate(bank, r_val, cfg.n_summands_or_proba)
+        mse_cols["blmmse_mfa"].append(float(nmse(res, h_val)))
+        if cfg.eval_rate:
+            b_glob, cq_glob = global_bussgang_stats(cov, snr, cfg.n_bits,
+                                                    quantizers[snr])
+            rate_cols["mfa_rstat"].append(
+                float(rate_lower_bound(res, h_val, b_glob, cq_glob)))
+    if verbose:
+        print(f"blmmse_mfa: mse={mse_cols['blmmse_mfa']}")
+
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    out_dir = os.path.join(cfg.results_dir, "3gpp")
+    name = (f"{stamp}_ant={cfg.n_antennas}_path={cfg.n_path}"
+            f"_train={cfg.n_train}_comp={cfg.n_components}"
+            f"_pil={cfg.n_pilots}_bits={cfg.n_bits}"
+            f"_sums={cfg.n_summands_or_proba}_L={cfg.latent_dim}"
+            f"_PPCA={cfg.ppca}_lockpsi={cfg.lock_psis}"
+            f"_ptype={cfg.pilot_type}_qtype={cfg.quantizer_type}"
+            f"_0mean={cfg.zero_mean}")
+    cols = dict(mse_cols)
+    if cfg.eval_rate:
+        cols.update(rate_cols)
+    qio.write_result_csv(os.path.join(out_dir, name + ".csv"), cfg.snrs, cols)
+    return mse_cols, rate_cols, {"fit": fit_time,
+                                 "total": time.time() - t_start}
+
+
+if __name__ == "__main__":
+    run(MfaBenchConfig())

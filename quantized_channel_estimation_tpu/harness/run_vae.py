@@ -1,0 +1,130 @@
+"""VAE benchmark (reference `Bussgang_VAE.py`): train the selected VAE mode
+(genie / noisy / real), evaluate Bussgang-LMMSE estimation over the SNR
+sweep, write MSE + rate CSV and the params CSV.
+"""
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import os
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quantized_channel_estimation_tpu.harness.run_gmm import (
+    GmmBenchConfig, _get_data)
+from quantized_channel_estimation_tpu.models import vae
+from quantized_channel_estimation_tpu.ops import observation, pilots
+from quantized_channel_estimation_tpu.ops import quantizer as Q
+from quantized_channel_estimation_tpu.utils import io as qio
+from quantized_channel_estimation_tpu.utils.metrics import (
+    global_bussgang_stats, nmse, rate_lower_bound)
+
+
+@dataclasses.dataclass(frozen=True)
+class VaeBenchConfig:
+    """Mirrors `Bussgang_VAE.py:35-82` (fixed defaults; the reference draws
+    lr/batch_size randomly for hyperparameter search)."""
+    vae_mode: str = "noisy"
+    n_antennas: int = 64
+    n_path: int = 3
+    n_pilots: int = 1
+    n_bits: int = 2
+    pilot_type: str = "angle_amp"
+    quantizer_type: str = "uniform"
+    snrs: Sequence[float] = (-10, -5, 0, 5, 10, 15, 20)
+    epochs: int = 500
+    n_layers: int = 4
+    latent_dim: int = 16
+    zeromean: bool = True
+    fft_pre: bool = True
+    lr: float = 5e-4
+    batch_size: int = 200
+    n_train: int = 100_000
+    n_val: int = 10_000
+    path_sigma: float = 2.0
+    seed: int = 0
+    eval_rate: bool = True
+    results_dir: str = "results"
+    cache_dir: str = "results/saves"
+    use_cache: bool = True
+
+
+def run(cfg: VaeBenchConfig, verbose: bool = True):
+    t_start = time.time()
+    key = jax.random.PRNGKey(cfg.seed)
+    k_data, k_fit, k_obs = jax.random.split(key, 3)
+
+    base = GmmBenchConfig(n_antennas=cfg.n_antennas, n_path=cfg.n_path,
+                          n_train=cfg.n_train, n_val=cfg.n_val,
+                          path_sigma=cfg.path_sigma, cache_dir=cfg.cache_dir,
+                          use_cache=cfg.use_cache)
+    channels, _ = _get_data(base, k_data)
+    h_train = channels[:cfg.n_train]
+    h_val = channels[cfg.n_train:cfg.n_train + cfg.n_val]
+
+    a = pilots.pilot_matrix(cfg.n_antennas, cfg.n_pilots, cfg.n_bits,
+                            cfg.pilot_type)
+    quantizers = [Q.design_quantizer(s, cfg.n_bits, cfg.quantizer_type)
+                  for s in cfg.snrs]
+    quantizer_by_snr = dict(zip(cfg.snrs, quantizers))
+    cov = jnp.einsum("nd,ne->de", h_train, jnp.conj(h_train)) / cfg.n_train
+
+    vcfg = vae.VaeConfig(
+        n_antennas=cfg.n_antennas, n_pilots=cfg.n_pilots,
+        latent_dim=cfg.latent_dim, n_layers=cfg.n_layers,
+        vae_mode=cfg.vae_mode, zeromean=cfg.zeromean, fft_pre=cfg.fft_pre,
+        n_pilot_convs=max(0, cfg.n_pilots // 2), n_bits=cfg.n_bits,
+        quantizer_type=cfg.quantizer_type, lr=cfg.lr,
+        batch_size=cfg.batch_size, epochs=cfg.epochs)
+    t0 = time.time()
+    model, state, losses = vae.train(k_fit, vcfg, h_train, a, cfg.snrs,
+                                     quantizers, verbose=verbose)
+    train_time = time.time() - t0
+    if verbose:
+        print(f"VAE[{cfg.vae_mode}] trained {cfg.epochs} epochs "
+              f"({train_time:.0f}s), final loss {losses[-1]:.2f}")
+
+    mse_cols = {f"vae_{cfg.vae_mode}": []}
+    rate_cols = {f"vae_{cfg.vae_mode}_rstat": []}
+    for i, snr in enumerate(cfg.snrs):
+        q = quantizer_by_snr[snr]
+        r = observation.observe(jax.random.fold_in(k_obs, i), h_val, snr, a,
+                                cfg.n_bits, q)
+        h_est = vae.estimate(model, state.params, vcfg, r, snr, a, q)
+        mse_cols[f"vae_{cfg.vae_mode}"].append(float(nmse(h_est, h_val)))
+        if cfg.eval_rate:
+            b_glob, cq_glob = global_bussgang_stats(cov, snr, cfg.n_bits, q)
+            rate_cols[f"vae_{cfg.vae_mode}_rstat"].append(
+                float(rate_lower_bound(h_est, h_val, b_glob, cq_glob)))
+    if verbose:
+        print(f"vae_{cfg.vae_mode}: mse={mse_cols[f'vae_{cfg.vae_mode}']}")
+
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    out_dir = os.path.join(cfg.results_dir, "vae")
+    name = (f"{stamp}_vae{cfg.vae_mode}_3gpp_path={cfg.n_path}"
+            f"_ant={cfg.n_antennas}_bits={cfg.n_bits}_train={cfg.n_train}"
+            f"_pilot={cfg.n_pilots}_qtype={cfg.quantizer_type}")
+    cols = dict(mse_cols)
+    if cfg.eval_rate:
+        cols.update(rate_cols)
+    qio.write_result_csv(os.path.join(out_dir, name + ".csv"), cfg.snrs, cols)
+    # params CSV (reference `Bussgang_VAE.py:174-182`)
+    qio.write_result_csv(os.path.join(out_dir, name + "_loss.csv"),
+                         list(range(1, len(losses) + 1)), {"loss": losses})
+    return mse_cols, rate_cols, {"train": train_time,
+                                 "total": time.time() - t_start}
+
+
+if __name__ == "__main__":
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--vae", "-v", type=int, default=0,
+                   help="0=genie 1=noisy 2=real (`Bussgang_VAE.py:21-28`)")
+    p.add_argument("--epochs", type=int, default=500)
+    args = p.parse_args()
+    mode = ["genie", "noisy", "real"][args.vae]
+    run(VaeBenchConfig(vae_mode=mode, epochs=args.epochs))

@@ -1,1 +1,2 @@
-from quantized_channel_estimation_tpu.models import gmm, gmm_estimator, kmeans
+from quantized_channel_estimation_tpu.models import (
+    gmm, gmm_estimator, gmm_quant, kmeans, mfa, vae)

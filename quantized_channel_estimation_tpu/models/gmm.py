@@ -301,7 +301,7 @@ def _em_loop(x, init_stats: _Stats, cfg: GmmConfig, mode: str,
     def log_prob_fn(state):
         if diag:
             return lambda xc: log_prob_diag(xc, state.means, state.covs)
-        prec = linalg.precision_cholesky(state.covs)
+        prec = linalg.robust_precision_cholesky(state.covs)
         return lambda xc: log_prob_full(xc, state.means, prec)
 
     def em_iter(state: _FullState) -> _FullState:
@@ -388,7 +388,7 @@ def fit(key: jax.Array, h: jax.Array, cfg: GmmConfig) -> GmmFitResult:
             f"covariance_type={cfg.cov_type!r} is not implemented")
 
     covs = linalg.add_jitter(covs, cfg.reg_covar)
-    prec = linalg.precision_cholesky(covs)
+    prec = linalg.robust_precision_cholesky(covs)
     params = GmmParams(state.weights, means, covs, prec)
     return GmmFitResult(params, state.lower_bound, state.n_iter, converged)
 

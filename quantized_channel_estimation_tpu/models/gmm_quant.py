@@ -1,0 +1,245 @@
+"""Complex GMM fitted by EM *directly on quantized observations*, recovering
+the underlying channel covariances each M-step (reference
+`modules/gmm_cplx_quant.py` — training without ground-truth CSI).
+
+Model state per component k:
+  - channel covariance C_k (recovered, the quantity of interest)
+  - quantized-observation covariance Cq_k (drives the E-step
+    responsibilities of the quantized data r)
+
+M-step covariance recovery by bit-width (`gmm_cplx_quant.py:773-853`):
+  1 bit:  Cq = weighted sample cov of r; C = entrywise arcsine inversion
+          sin(pi/2 Re) + j sin(pi/2 Im), PSD-clipped
+  n bit:  C = arcsine-correlation x per-dim Gauss-Newton scale recovery
+          (ops.cov_recovery), minus sigma^2 I, PSD-clipped; Cq re-synthesized
+          as B Cy B^H with the exact quantized variance on the diagonal
+  inf:    C = sample cov - sigma^2 I, PSD-clipped; Cq = C + sigma^2 I
+
+Supported covariance types: 'full' and 'toeplitz'/'block-toeplitz' (recovery
++ Barton-Fuhrmann spectrum projection). The reference's 'diag'/'circulant'
+paths are broken upstream (their covariance updater returns one array where
+the caller unpacks two, `gmm_cplx_quant.py:763-767`) and are not reproduced.
+
+Estimation from quantized pilots reuses `gmm_estimator.prepare_bank` — the
+prepared-bank math is identical to the clean-trained GMM
+(`gmm_cplx_quant.py:271-352`).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from quantized_channel_estimation_tpu.models import gmm as gmm_mod
+from quantized_channel_estimation_tpu.models.gmm import (
+    GmmConfig, GmmParams, log_prob_full, _chunk, _init_resp_stats, _resp_chunk)
+from quantized_channel_estimation_tpu.ops import cov_recovery, linalg
+from quantized_channel_estimation_tpu.ops.bussgang import (
+    bussgang_gain_diag, quantized_variance)
+from quantized_channel_estimation_tpu.ops.quantizer import (
+    ScalarQuantizer, is_inf_bits)
+
+
+class QuantGmmFitResult(NamedTuple):
+    params: GmmParams          # recovered channel-domain parameters
+    cov_quant: jax.Array       # (K, M, M) quantized-observation covariances
+    lower_bound: jax.Array
+    n_iter: jax.Array
+    converged: jax.Array
+
+
+class _QState(NamedTuple):
+    weights: jax.Array
+    means: jax.Array       # (K, M) quantized-domain means (0 when zero_mean)
+    covs: jax.Array        # (K, M, M) recovered channel covariances
+    covs_quant: jax.Array  # (K, M, M)
+    sigma_spec: jax.Array  # (K, F) inv-em spectrum (zeros when unused)
+    lower_bound: jax.Array
+    prev_lb: jax.Array
+    n_iter: jax.Array
+
+
+class _QStats(NamedTuple):
+    nk: jax.Array
+    sx: jax.Array
+    sxx: jax.Array           # quantized-domain second moment
+    corr_1bit: jax.Array     # 1-bit requantized correlation stat
+    below: jax.Array         # threshold bin-occupancy stats (K, M, B, 2)
+    log_norm: jax.Array
+
+
+def _accumulate(r_chunks, mask, log_weights, means, prec_chol_q, pos_tau,
+                n_bits):
+    """Fused E-step + sufficient-statistics pass over chunked quantized data."""
+    k = log_weights.shape[0]
+    d = r_chunks.shape[-1]
+    n_tau = pos_tau.shape[0] if pos_tau is not None else 0
+    init = _QStats(
+        jnp.zeros((k,), jnp.float32),
+        jnp.zeros((k, d), r_chunks.dtype),
+        jnp.zeros((k, d, d), r_chunks.dtype),
+        jnp.zeros((k, d, d), r_chunks.dtype),
+        jnp.zeros((k, d, n_tau, 2), jnp.float32),
+        jnp.zeros((), jnp.float32),
+    )
+
+    def body(stats, inputs):
+        xc, mc = inputs
+        lp_fn = lambda x: log_prob_full(x, means, prec_chol_q)
+        resp, ln = _resp_chunk(xc, mc, log_weights, lp_fn)
+        respd = resp.astype(xc.real.dtype)
+        nk = stats.nk + jnp.sum(resp, axis=0)
+        sx = stats.sx + jnp.einsum("nk,nd->kd", respd, xc)
+        rx = respd.T[..., None] * xc[None, :, :]
+        sxx = stats.sxx + jnp.einsum("knd,ne->kde", rx, jnp.conj(xc))
+        if n_bits == 1 or is_inf_bits(n_bits):
+            corr = stats.corr_1bit
+            below = stats.below
+        else:
+            qs = cov_recovery.accumulate_quant_stats(xc, resp, pos_tau)
+            corr = stats.corr_1bit + qs.corr_1bit
+            below = stats.below + qs.below
+        return _QStats(nk, sx, sxx, corr, below,
+                       stats.log_norm + ln), None
+
+    stats, _ = jax.lax.scan(body, init, (r_chunks, mask))
+    return stats
+
+
+def _recover_covs(stats: _QStats, cfg: GmmConfig, n_bits, sigma2,
+                  q: Optional[ScalarQuantizer], pos_tau, prev_covs_quant,
+                  key, eye):
+    """Channel-covariance recovery + quantized-covariance resynthesis."""
+    nk_c = stats.nk[:, None, None].astype(stats.sxx.dtype)
+    samp = stats.sxx / nk_c  # weighted sample cov of quantized data
+    d = samp.shape[-1]
+
+    if n_bits == 1:
+        covs_quant = samp + cfg.reg_covar * eye
+        covs = cov_recovery.arcsine_correlation(samp) + cfg.reg_covar * eye
+        covs = linalg.psd_project(linalg.hermitize(covs), cfg.reg_covar)
+        covs = covs + cfg.reg_covar * eye
+    elif is_inf_bits(n_bits):
+        covs = samp + cfg.reg_covar * eye - sigma2 * eye + cfg.reg_covar * eye
+        covs = linalg.psd_project(linalg.hermitize(covs), cfg.reg_covar)
+        covs = covs + cfg.reg_covar * eye
+        covs_quant = covs + sigma2 * eye
+    else:
+        x0 = jnp.real(jnp.diagonal(prev_covs_quant, axis1=-2, axis2=-1))
+        qstats = cov_recovery.QuantStats(stats.nk, stats.corr_1bit, stats.below)
+        covs = cov_recovery.recover_covariance(qstats, pos_tau, x0, key)
+        covs = covs - sigma2 * eye + cfg.reg_covar * eye
+        covs = linalg.psd_project(linalg.hermitize(covs), cfg.reg_covar)
+        covs = covs + cfg.reg_covar * eye
+        # resynthesize the implied quantized covariance from the recovered one
+        cy = covs + sigma2 * eye
+        diag_cy = jnp.real(jnp.diagonal(cy, axis1=-2, axis2=-1))
+        gains = bussgang_gain_diag(diag_cy, n_bits, q).astype(cy.dtype)
+        bq = gains[..., :, None] * cy * jnp.conj(gains)[..., None, :]
+        diag_cr = quantized_variance(diag_cy, q).astype(cy.dtype)
+        covs_quant = bq * (1 - eye) + diag_cr[..., None] * eye
+    return covs, covs_quant
+
+
+@partial(jax.jit, static_argnums=(2, 3, 6))
+def fit(key: jax.Array, r: jax.Array, cfg: GmmConfig, n_bits, sigma2,
+        q: Optional[ScalarQuantizer] = None,
+        quantizer_type: str = "uniform") -> QuantGmmFitResult:
+    """Fit on quantized observations r (N, M); sigma2 is the training-SNR
+    noise variance (`Bussgang_GMM_quant.py:117-122`)."""
+    del quantizer_type  # the quantizer object already encodes the design
+    d = r.shape[-1]
+    dtype = r.dtype
+    eye = jnp.eye(d, dtype=dtype)
+    pos_tau = (cov_recovery.positive_thresholds(q)
+               if (q is not None and not is_inf_bits(n_bits) and n_bits != 1)
+               else None)
+    inv_em = cfg.cov_type in ("toeplitz", "block-toeplitz")
+    if inv_em:
+        f2 = gmm_mod._oversampled_dft_for(cfg, d, dtype)
+    elif cfg.cov_type != "full":
+        raise NotImplementedError(
+            f"Gmm_quant covariance_type={cfg.cov_type!r}: only 'full', "
+            "'toeplitz', 'block-toeplitz' are supported (the reference's "
+            "diag/circulant paths are broken upstream)")
+
+    chunks, mask = _chunk(r, min(cfg.chunk_size, r.shape[0]))
+    n = r.shape[0]
+    k_init, k_gn = jax.random.split(key)
+
+    # ----- initialization: kmeans hard assignment, plain sample covs as the
+    # initial quantized covs; channel covs start from the same recovery -----
+    init_stats0 = _init_resp_stats(k_init, r, cfg, diag=False,
+                                   chunk=cfg.chunk_size)
+    nk0 = init_stats0.nk + 10.0 * jnp.finfo(jnp.float32).eps
+    means0 = jnp.zeros((cfg.n_components, d), dtype) if cfg.zero_mean else (
+        init_stats0.sx / nk0[:, None].astype(dtype))
+    covs_quant0 = init_stats0.sxx / nk0[:, None, None].astype(dtype) \
+        + cfg.reg_covar * eye
+    weights0 = nk0 / jnp.sum(nk0)
+    sigma_spec0 = (jnp.zeros((cfg.n_components, 2 * d), jnp.float32) if inv_em
+                   else jnp.zeros((cfg.n_components, 1), jnp.float32))
+    state0 = _QState(weights0, means0, covs_quant0, covs_quant0, sigma_spec0,
+                     jnp.asarray(-jnp.inf, jnp.float32),
+                     jnp.asarray(jnp.inf, jnp.float32),
+                     jnp.zeros((), jnp.int32))
+
+    def em_iter(state: _QState) -> _QState:
+        prec_q = linalg.robust_precision_cholesky(state.covs_quant)
+        stats = _accumulate(chunks, mask, jnp.log(state.weights), state.means,
+                            prec_q, pos_tau, n_bits)
+        nk = stats.nk + 10.0 * jnp.finfo(jnp.float32).eps
+        means = (jnp.zeros_like(state.means) if cfg.zero_mean
+                 else stats.sx / nk[:, None].astype(dtype))
+        gn_key = jax.random.fold_in(k_gn, state.n_iter)
+        covs, covs_quant = _recover_covs(stats, cfg, n_bits, sigma2, q,
+                                         pos_tau, state.covs_quant, gn_key, eye)
+        if inv_em:
+            # Barton-Fuhrmann projection applied to the *recovered* covariance
+            # (`gmm_cplx_quant.py:880-945`)
+            cinv = linalg.hermitian_inv(state.covs, jitter=cfg.reg_covar)
+            m = cinv @ covs @ cinv - cinv
+            theta = jnp.real(jnp.einsum("fd,kde,fe->kf", f2, m, jnp.conj(f2)))
+            sigma_spec = jnp.maximum(
+                state.sigma_spec + state.sigma_spec ** 2 * theta,
+                cfg.reg_covar)
+            covs = jnp.einsum("fd,kf,fe->kde", jnp.conj(f2),
+                              sigma_spec.astype(dtype), f2) + cfg.reg_covar * eye
+            if not is_inf_bits(n_bits) and n_bits != 1:
+                cy = covs + sigma2 * eye
+                diag_cy = jnp.real(jnp.diagonal(cy, axis1=-2, axis2=-1))
+                gains = bussgang_gain_diag(diag_cy, n_bits, q)
+                beta = jnp.clip(jnp.mean(gains, axis=-1), 0.0, 1.0)
+                diag_cr = quantized_variance(diag_cy, q).astype(dtype)
+                covs_quant = ((beta ** 2)[:, None, None].astype(dtype) * cy
+                              * (1 - eye) + diag_cr[..., None] * eye)
+        else:
+            sigma_spec = state.sigma_spec
+        weights = nk / jnp.sum(nk)
+        return _QState(weights, means, covs, covs_quant, sigma_spec,
+                       stats.log_norm / n, state.lower_bound,
+                       state.n_iter + 1)
+
+    def cond(state: _QState):
+        return jnp.logical_and(
+            state.n_iter < cfg.max_iter,
+            jnp.abs(state.lower_bound - state.prev_lb) >= cfg.tol)
+
+    # initialize sigma_spec for inv-em from the initial covariance spectrum
+    if inv_em:
+        sig0 = jnp.maximum(jnp.real(jnp.einsum(
+            "fd,kde,fe->kf", f2, covs_quant0, jnp.conj(f2))), cfg.reg_covar)
+        state0 = state0._replace(sigma_spec=sig0)
+
+    state = jax.lax.while_loop(cond, em_iter, state0)
+    converged = jnp.abs(state.lower_bound - state.prev_lb) < cfg.tol
+
+    covs = linalg.hermitize(state.covs) + cfg.reg_covar * eye
+    prec = linalg.robust_precision_cholesky(covs)
+    # channel-domain means: the reference keeps the quantized-domain means as
+    # means_cplx (zero in the standard zero-mean config)
+    params = GmmParams(state.weights, state.means, covs, prec)
+    return QuantGmmFitResult(params, state.covs_quant, state.lower_bound,
+                             state.n_iter, converged)

@@ -1,0 +1,343 @@
+"""VAE-based channel estimator (reference `estimators/vae.py`, flax/optax).
+
+Three training modes (`Bussgang_VAE.py:30-33`):
+  genie: encoder input is the FFT-domain true channel (stacked real)
+  noisy: encoder input is a quantized pilot observation (regenerated each
+         epoch with per-sample random SNR); target is the true channel
+  real:  encoder input is a quantized pilot observation + its SNR; no CSI —
+         the quantization-aware conditionally-Gaussian ELBO supervises
+
+Decoder parameterizes a conditionally-Gaussian channel prior in the FFT
+domain: per-dim log-precisions (and means unless zeromean). Estimation
+converts decoder outputs to Bussgang-LMMSE quantities: Ch = F^H diag(var) F,
+Cy = A Ch A^H + s2 I, then the 1-bit arcsine / n-bit Bussgang Cr machinery
+(`vae.py:376-431`), all batched.
+
+TPU-first: observation regeneration runs on-device inside the jitted train
+step (the reference's torch path round-trips GPU->CPU for np.digitize every
+epoch, `utils.py:206-221` — SURVEY flags it as the known hot spot). Batches
+are drawn with replacement exactly like the reference's
+`next(iter(dataloader))` pattern (`vae.py:110-117`, intentional per SURVEY).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from quantized_channel_estimation_tpu.ops import linalg, observation
+from quantized_channel_estimation_tpu.ops.bussgang import bussgang_gain_diag
+from quantized_channel_estimation_tpu.ops.cplx import cplx2real, real2cplx
+from quantized_channel_estimation_tpu.ops.quantizer import (
+    ScalarQuantizer, is_inf_bits)
+
+
+class VaeConfig(NamedTuple):
+    n_antennas: int
+    n_pilots: int = 1
+    latent_dim: int = 16           # n_antennas // 4 (`Bussgang_VAE.py:73`)
+    n_layers: int = 4
+    vae_mode: str = "noisy"        # 'genie' | 'noisy' | 'real'
+    zeromean: bool = True
+    fft_pre: bool = True
+    n_pilot_convs: int = 0         # max(0, n_pilots // 2) (`Bussgang_VAE.py:78`)
+    n_bits: float = 2
+    quantizer_type: str = "uniform"
+    lr: float = 5e-4
+    batch_size: int = 200
+    epochs: int = 500
+    steps_per_epoch: Optional[int] = None  # default: n_train // batch_size
+
+
+def _linspace_dims(a: int, b: int, n: int) -> Sequence[int]:
+    return tuple(int(v) for v in np.linspace(a, b, n))
+
+
+class DnnVae(nn.Module):
+    """Encoder/decoder MLPs with linearly interpolated widths
+    (`vae.py:232-309`). Latent mean/log-std are the two halves of the last
+    encoder layer; reparameterization uses exp(log-std) directly as the
+    reference does (`vae.py:280-281`)."""
+    cfg: VaeConfig
+
+    def setup(self):
+        c = self.cfg
+        enc_dims = _linspace_dims(2 * c.n_antennas, 2 * c.latent_dim,
+                                  c.n_layers + 1)
+        self.enc_layers = [nn.Dense(d) for d in enc_dims[1:]]
+        out_dim = c.n_antennas if c.zeromean else 3 * c.n_antennas
+        dec_dims = _linspace_dims(c.latent_dim, out_dim, c.n_layers + 1)
+        self.dec_layers = [nn.Dense(d) for d in dec_dims[1:]]
+        pilot_dims = _linspace_dims(c.n_pilots, 1, c.n_pilot_convs + 1)
+        self.pilot_layers = [nn.Dense(d) for d in pilot_dims[1:]]
+
+    def _pre_pilot(self, x):
+        """1x1 conv stack collapsing the pilot axis (`vae.py:242-245`):
+        x (B, P, 2N) -> (B, 2N). Empty for n_pilot_convs=0 (the reference's
+        default with one pilot)."""
+        if self.cfg.vae_mode == "genie" or x.ndim == 2:
+            return x
+        x = jnp.swapaxes(x, -1, -2)  # (B, 2N, P): mix over pilots per feature
+        for layer in self.pilot_layers:
+            x = nn.relu(layer(x))
+        return x[..., 0] if x.shape[-1] == 1 else jnp.squeeze(
+            jnp.swapaxes(x, -1, -2))
+
+    def encode(self, x):
+        x = self._pre_pilot(x)
+        for i, layer in enumerate(self.enc_layers):
+            x = layer(x)
+            if i < len(self.enc_layers) - 1:
+                x = nn.relu(x)
+        half = x.shape[-1] // 2
+        return x[..., :half], x[..., half:]  # (mu, log-std)
+
+    def decode(self, z):
+        x = z
+        for i, layer in enumerate(self.dec_layers):
+            x = layer(x)
+            if i < len(self.dec_layers) - 1:
+                x = nn.relu(x)
+        if self.cfg.zeromean:
+            return None, x  # log-precisions only
+        n = self.cfg.n_antennas
+        return x[..., :2 * n], x[..., 2 * n:]
+
+    def __call__(self, x, key):
+        mu_enc, log_std_enc = self.encode(x)
+        eps = jax.random.normal(key, mu_enc.shape)
+        z = mu_enc + jnp.exp(log_std_enc) * eps
+        mu_dec, log_prec_dec = self.decode(z)
+        return mu_enc, log_std_enc, mu_dec, log_prec_dec
+
+    def forward_nosamp(self, x):
+        """Deterministic forward (latent mean, no sampling) for estimation
+        (`vae.py:294-309`)."""
+        mu_enc, _ = self.encode(x)
+        return self.decode(mu_enc)
+
+
+def elbo_loss(cfg: VaeConfig, outputs, data_h, data_y, snr_list=None,
+              q: Optional[ScalarQuantizer] = None):
+    """Conditionally-Gaussian ELBO (`vae.py:312-365`); returns the negative
+    mean ELBO (to minimize)."""
+    mu_enc, log_std_enc, mu_dec, log_prec_dec = outputs
+    if cfg.vae_mode == "real":
+        sigma2 = 10.0 ** (-snr_list / 10.0)
+        cy = jnp.exp(-log_prec_dec) + sigma2[:, None]
+        if not is_inf_bits(cfg.n_bits):
+            cy_diag = jnp.mean(cy, axis=1, keepdims=True)
+            if cfg.n_bits == 1:
+                gains = bussgang_gain_diag(cy_diag[:, 0], 1)
+            else:
+                # per-sample uniform-step closed form, delta from each
+                # sample's own SNR (`uniform_quantizer.py:101-111`)
+                from quantized_channel_estimation_tpu.ops.quantizer import (
+                    uniform_step)
+                delta = uniform_step(snr_list, int(cfg.n_bits))  # (B,)
+                c = cy_diag[:, 0]
+                idx = jnp.arange(1, 2 ** int(cfg.n_bits), dtype=jnp.float32)
+                half = 2.0 ** int(cfg.n_bits) / 2.0
+                expo = jnp.exp(-(delta ** 2)[:, None] * (idx - half) ** 2
+                               / c[:, None])
+                gains = (delta / jnp.sqrt(jnp.pi) / jnp.sqrt(c)
+                         * jnp.sum(expo, axis=-1))
+            b2 = jnp.clip(gains ** 2, 0.0, 1.0)[:, None]  # (B, 1)
+            cy = b2 * cy + (1.0 - b2) * cy_diag
+        loss = jnp.sum(-jnp.log(cy), axis=1)
+        w = data_y if cfg.zeromean else data_y - mu_dec
+        inv = jnp.concatenate([1.0 / cy, 1.0 / cy], axis=1)
+        loss = loss - jnp.sum(w * inv * w, axis=1)
+    else:
+        loss = jnp.sum(log_prec_dec, axis=1)
+        w = data_h if cfg.zeromean else data_h - mu_dec
+        lam = jnp.exp(jnp.concatenate([log_prec_dec, log_prec_dec], axis=1))
+        loss = loss - jnp.sum(w * lam * w, axis=1)
+    loss = loss + jnp.sum(log_std_enc, axis=1)
+    loss = loss - 0.5 * jnp.sum(mu_enc ** 2, axis=1)
+    loss = loss - 0.5 * jnp.sum(jnp.exp(2.0 * log_std_enc), axis=1)
+    return -jnp.mean(loss)
+
+
+# ---------------------------------------------------------------------------
+# data preparation
+# ---------------------------------------------------------------------------
+
+def fft_stack(h: jax.Array) -> jax.Array:
+    """FFT-domain stacked-real channels: [Re; Im](fft(h)/sqrt(N)) (B, 2N)."""
+    n = h.shape[-1]
+    return cplx2real(jnp.fft.fft(h, axis=-1) / math.sqrt(n), axis=-1).astype(
+        jnp.float32)
+
+
+def obs_to_input(cfg: VaeConfig, r: jax.Array) -> jax.Array:
+    """Quantized observation (B, P*N) -> encoder input.
+
+    noisy: Fortran-reshape to (B, N, P), transpose to (B, P, N), per-pilot FFT
+    if fft_pre, stack reals -> (B, P, 2N) (`vae.py:48-52, 90-94`).
+    real: FFT over the full observation vector, stack reals (`vae.py:100-101`).
+    """
+    n, p = cfg.n_antennas, cfg.n_pilots
+    if cfg.vae_mode == "real":
+        m = r.shape[-1]
+        x = jnp.fft.fft(r, axis=-1) / math.sqrt(m) if cfg.fft_pre else r
+        return cplx2real(x, axis=-1).astype(jnp.float32)
+    x = r.reshape(-1, p, n)  # Fortran (B, N, P) then transpose == (B, P, N)
+    if cfg.fft_pre:
+        x = jnp.fft.fft(x, axis=-1) / math.sqrt(n)
+    x = cplx2real(x, axis=-1).astype(jnp.float32)
+    return x[:, 0, :] if p == 1 else x
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+class VaeTrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def init_vae(key, cfg: VaeConfig):
+    model = DnnVae(cfg)
+    if cfg.vae_mode == "genie":
+        dummy = jnp.zeros((2, 2 * cfg.n_antennas), jnp.float32)
+    elif cfg.vae_mode == "real":
+        dummy = jnp.zeros((2, 2 * cfg.n_pilots * cfg.n_antennas), jnp.float32)
+    else:
+        dummy = (jnp.zeros((2, cfg.n_pilots, 2 * cfg.n_antennas), jnp.float32)
+                 if cfg.n_pilots > 1
+                 else jnp.zeros((2, 2 * cfg.n_antennas), jnp.float32))
+    params = model.init(key, dummy, jax.random.PRNGKey(0))
+    tx = optax.adam(cfg.lr)
+    return model, VaeTrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model: DnnVae, cfg: VaeConfig, a: Optional[jax.Array],
+                    snrs: jax.Array, quantizers):
+    """One SGD step on a freshly drawn batch: sample channels from the train
+    set with replacement, generate the quantized observation on-device with a
+    per-sample random SNR, compute the ELBO, update. Fully jitted."""
+    tx = optax.adam(cfg.lr)
+
+    def loss_fn(params, h_batch, key):
+        kobs, ksamp = jax.random.split(key)
+        h_fft = fft_stack(h_batch)
+        if cfg.vae_mode == "genie":
+            out = model.apply(params, h_fft, ksamp)
+            return elbo_loss(cfg, out, h_fft, None)
+        r, snr = observation.observe_random_snr(
+            kobs, h_batch, snrs, a, cfg.n_bits, quantizers)
+        x = obs_to_input(cfg, r)
+        out = model.apply(params, x, ksamp)
+        if cfg.vae_mode == "noisy":
+            return elbo_loss(cfg, out, h_fft, None)
+        q0 = quantizers[0] if quantizers else None
+        return elbo_loss(cfg, out, None, x, snr_list=snr, q=q0)
+
+    @jax.jit
+    def step(state: VaeTrainState, h_train, key):
+        kidx, kloss = jax.random.split(key)
+        idx = jax.random.randint(kidx, (cfg.batch_size,), 0, h_train.shape[0])
+        h_batch = h_train[idx]
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, h_batch, kloss)
+        # NaN/explosion guard: skip the update for bad batches (`vae.py:120-128`)
+        ok = jnp.isfinite(loss) & (loss < 1000.0)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_params, state.params)
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), opt_state, state.opt_state)
+        return VaeTrainState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def train(key, cfg: VaeConfig, h_train: jax.Array,
+          a: Optional[jax.Array], snrs, quantizers,
+          h_val: Optional[jax.Array] = None, verbose: bool = True):
+    """Full training loop; returns (model, state, losses)."""
+    k_init, k_train = jax.random.split(key)
+    model, state = init_vae(k_init, cfg)
+    step = make_train_step(model, cfg, a, jnp.asarray(snrs, jnp.float32),
+                           quantizers)
+    steps = cfg.steps_per_epoch or max(1, h_train.shape[0] // cfg.batch_size)
+    losses = []
+    for epoch in range(cfg.epochs):
+        epoch_losses = []
+        for i in range(steps):
+            state, loss = step(state, h_train,
+                               jax.random.fold_in(k_train, epoch * steps + i))
+            epoch_losses.append(float(loss))
+        mean_loss = float(np.clip(np.nanmean(epoch_losses), -np.inf, 1000.0))
+        losses.append(mean_loss)
+        if verbose and (epoch + 1) % max(1, cfg.epochs // 10) == 0:
+            print(f"epoch {epoch + 1}/{cfg.epochs} loss={mean_loss:.2f}")
+    return model, state, losses
+
+
+# ---------------------------------------------------------------------------
+# estimation
+# ---------------------------------------------------------------------------
+
+def estimate(model: DnnVae, params, cfg: VaeConfig, r: jax.Array,
+             snr_db: float, a: jax.Array,
+             q: Optional[ScalarQuantizer] = None,
+             chunk_size: int = 512, jitter: float = 1e-6) -> jax.Array:
+    """Bussgang-LMMSE estimation from decoder outputs (`vae.py:157-228,
+    376-431`): per-sample conditional covariance Ch = F^H diag(var) F, then
+    the standard per-bit Cr machinery and one batched solve."""
+    n = cfg.n_antennas
+    sigma2 = 10.0 ** (-snr_db / 10.0)
+    f = linalg.unitary_dft(n, r.dtype)
+
+    def chunk_fn(rc):
+        x = obs_to_input(cfg, rc)
+        mu_dec, log_prec = model.apply(params, x,
+                                       method=DnnVae.forward_nosamp)
+        var = jnp.clip(jnp.exp(-log_prec), 1e-12, None)  # (B, N) FFT-domain
+        if cfg.zeromean or mu_dec is None:
+            mu_h = jnp.zeros((rc.shape[0], n), rc.dtype)
+        else:
+            mu_h = real2cplx(mu_dec.astype(jnp.float32), axis=-1).astype(
+                rc.dtype) @ jnp.conj(f)
+        ch = jnp.einsum("fd,bf,fe->bde", jnp.conj(f), var.astype(rc.dtype), f)
+        cy = jnp.einsum("md,bde,pe->bmp", a, ch, jnp.conj(a))
+        m = a.shape[0]
+        cy = cy + sigma2 * jnp.eye(m, dtype=rc.dtype)
+        diag_cy = jnp.real(jnp.diagonal(cy, axis1=-2, axis2=-1))
+        if is_inf_bits(cfg.n_bits):
+            a_eff = jnp.broadcast_to(a, cy.shape[:-2] + a.shape)
+            cr = cy
+        elif cfg.n_bits == 1:
+            from quantized_channel_estimation_tpu.ops.bussgang import arcsine_cov
+            gains = bussgang_gain_diag(diag_cy, 1)
+            a_eff = gains[..., :, None].astype(rc.dtype) * a
+            cr = arcsine_cov(cy)
+        else:
+            gains = bussgang_gain_diag(diag_cy, cfg.n_bits, q)
+            a_eff = gains[..., :, None].astype(rc.dtype) * a
+            beta = jnp.clip(jnp.mean(gains, axis=-1), 0.0, 1.0)
+            b2 = (beta ** 2)[:, None, None].astype(rc.dtype)
+            eye = jnp.eye(m, dtype=rc.dtype)
+            diag_mat = jnp.diagonal(cy, axis1=-2, axis2=-1)[..., None] * eye
+            cr = b2 * cy + (1 - b2) * diag_mat
+        mu_y = jnp.einsum("bmd,bd->bm", a_eff, mu_h)
+        ch_aeff = jnp.einsum("bde,bme->bdm", ch, jnp.conj(a_eff))
+        x_sol = linalg.cho_solve_hermitian(cr, rc - mu_y, jitter=jitter)
+        return mu_h + jnp.einsum("bdm,bm->bd", ch_aeff, x_sol)
+
+    n_samples = r.shape[0]
+    n_chunks = -(-n_samples // chunk_size)
+    pad = n_chunks * chunk_size - n_samples
+    rp = jnp.pad(r, ((0, pad), (0, 0))).reshape(n_chunks, chunk_size, -1)
+    out = jax.lax.map(chunk_fn, rp)
+    return out.reshape(n_chunks * chunk_size, -1)[:n_samples]

@@ -1,2 +1,3 @@
 from quantized_channel_estimation_tpu.ops import (
-    bussgang, cplx, linalg, observation, pilots, quantizer, scm)
+    boundary, bussgang, cov_recovery, cplx, gauss_newton, linalg,
+    observation, pilots, quantizer, scm)

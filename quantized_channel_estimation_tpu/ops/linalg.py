@@ -85,6 +85,32 @@ def precision_cholesky(c: jax.Array) -> jax.Array:
     return jnp.conj(jnp.swapaxes(linv, -1, -2))
 
 
+def robust_precision_cholesky(c: jax.Array, base_jitter: float = 0.0) -> jax.Array:
+    """`precision_cholesky` with escalating relative jitter.
+
+    The reference runs float64 where an absolute reg_covar=1e-6 keeps every
+    empirical covariance factorizable; in float32 a rank-deficient component
+    (e.g. a tiny k-means cluster in D=64) NaNs. Retry each matrix with jitter
+    scaled to its mean diagonal: +0, +1e-4 d, +1e-2 d. All three factorizations
+    are computed batched; the first finite one is selected per matrix.
+    """
+    d = c.shape[-1]
+    eye = jnp.eye(d, dtype=c.dtype)
+    diag_mean = jnp.mean(jnp.real(jnp.diagonal(c, axis1=-2, axis2=-1)),
+                         axis=-1)[..., None, None]
+    ls = []
+    for scale in (0.0, 1e-4, 1e-2):
+        jit_mat = (base_jitter + scale * diag_mean) * eye
+        ls.append(jnp.linalg.cholesky(c + jit_mat))
+    l = ls[-1]
+    for cand in reversed(ls[:-1]):
+        bad = jnp.any(jnp.isnan(cand), axis=(-2, -1), keepdims=True)
+        l = jnp.where(bad, l, cand)
+    eye_b = jnp.broadcast_to(eye, c.shape)
+    linv = jax.scipy.linalg.solve_triangular(l, eye_b, lower=True)
+    return jnp.conj(jnp.swapaxes(linv, -1, -2))
+
+
 def logdet_from_prec_chol(p: jax.Array) -> jax.Array:
     """sum(log diag(P)) for upper-triangular precision-cholesky P (real part).
 

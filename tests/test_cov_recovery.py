@@ -1,0 +1,120 @@
+"""Covariance recovery (arcsine + erf-scale Gauss-Newton) and quantized EM."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantized_channel_estimation_tpu.models import gmm, gmm_quant, gmm_estimator
+from quantized_channel_estimation_tpu.ops import cov_recovery, gauss_newton
+from quantized_channel_estimation_tpu.ops import linalg as L
+from quantized_channel_estimation_tpu.ops import observation, pilots, scm
+from quantized_channel_estimation_tpu.ops import quantizer as Q
+from quantized_channel_estimation_tpu.estimators import blmmse
+from quantized_channel_estimation_tpu.utils.metrics import nmse
+
+
+def test_gauss_newton_recovers_scale(key):
+    """Exact probabilities -> recovered scale equals the true scale."""
+    tau = jnp.asarray([0.4, 0.8, 1.3])
+    for s_true in [0.5, 1.0, 2.0]:
+        probs = jax.scipy.special.erf(tau / (math.sqrt(2) * s_true))
+        tau2 = jnp.concatenate([tau, tau])
+        probs2 = jnp.concatenate([probs, probs])
+        s = gauss_newton.solve_erf_scale(tau2, probs2[None],
+                                         jnp.asarray([1.0]), key)
+        assert abs(float(s[0]) - s_true) < 1e-4, (s_true, float(s[0]))
+
+
+def test_gauss_newton_batched(key, rng):
+    s_true = jnp.asarray(rng.uniform(0.5, 2.0, size=(8, 16)), jnp.float32)
+    tau = jnp.asarray([0.3, 0.9])
+    probs = jax.scipy.special.erf(tau / (math.sqrt(2) * s_true[..., None]))
+    s = gauss_newton.solve_erf_scale(tau, probs, jnp.ones_like(s_true), key)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_true), atol=1e-3)
+
+
+def test_recover_covariance_from_samples(key, rng):
+    """End-to-end recovery of a known covariance from 3-bit quantized samples
+    (the Fig.-2 scheme). NMSE must beat the naive quantized sample covariance."""
+    d = 16
+    a = rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d))
+    cov = a @ a.conj().T / d + 1.5 * np.eye(d)
+    scale = np.real(np.trace(cov)) / d
+    snr_eq = 10 * np.log10(1 / (scale - 1)) if scale > 1 else 10.0
+    l = np.linalg.cholesky(cov)
+    n = 100_000
+    w = math.sqrt(0.5) * (rng.standard_normal((n, d)) + 1j * rng.standard_normal((n, d)))
+    x = (w @ l.T).astype(np.complex64)
+
+    q = Q.design_uniform(snr_eq, 3)
+    r = Q.quantize(jnp.asarray(x), 3, q)
+    c_rec = np.asarray(cov_recovery.recover_covariance_from_samples(r, q, key))
+
+    nmse_rec = np.sum(np.abs(c_rec - cov) ** 2) / np.sum(np.abs(cov) ** 2)
+    r_np = np.asarray(r)
+    c_naive = r_np.T @ r_np.conj() / n
+    nmse_naive = np.sum(np.abs(c_naive - cov) ** 2) / np.sum(np.abs(cov) ** 2)
+    assert nmse_rec < nmse_naive, (nmse_rec, nmse_naive)
+    assert nmse_rec < 0.05, nmse_rec
+
+
+class TestQuantGmm:
+    N_ANT = 16
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        key = jax.random.PRNGKey(3)
+        cfg = scm.ScmConfig(n_antennas=self.N_ANT, n_path=1)
+        h, t = scm.generate_channels(key, 24000, cfg)
+        return h[:20000], h[20000:], t[20000:]
+
+    @pytest.mark.parametrize("n_bits", [1, 2, Q.INF_BITS])
+    def test_quant_em_estimates_sanely(self, setup, n_bits):
+        """GMM trained on quantized pilots (no CSI) must still beat the
+        trivial estimator and be in the global-BLMMSE ballpark."""
+        h_train, h_val, t_val = setup
+        snr = 5.0
+        a = pilots.pilot_matrix(self.N_ANT, 1, n_bits)
+        q = Q.design_quantizer(snr, n_bits)
+        sigma2 = 10 ** (-snr / 10)
+        r_train = observation.observe(jax.random.PRNGKey(4), h_train, snr, a,
+                                      n_bits, q)
+        cfg = gmm.GmmConfig(n_components=8, zero_mean=True, max_iter=20,
+                            chunk_size=4096)
+        fit = gmm_quant.fit(jax.random.PRNGKey(5), r_train, cfg, n_bits,
+                            sigma2, q)
+        assert np.isfinite(float(fit.lower_bound))
+        covs = np.asarray(fit.params.covariances)
+        for c in covs:
+            assert np.linalg.eigvalsh(c).min() > 0
+
+        r_val = observation.observe(jax.random.PRNGKey(6), h_val, snr, a,
+                                    n_bits, q)
+        bank = gmm_estimator.prepare_bank(fit.params, snr, a, n_bits, q)
+        h_est = gmm_estimator.estimate(bank, r_val, "all")
+        m = float(nmse(h_est, h_val))
+
+        cov_sample = jnp.einsum("nd,ne->de", h_train, jnp.conj(h_train)) / h_train.shape[0]
+        h_glob = blmmse.estimate_global(r_val, cov_sample, snr, a, n_bits, q)
+        m_glob = float(nmse(h_glob, h_val))
+        assert m < 1.0
+        # trained WITHOUT CSI: allow some slack vs the CSI-trained global filter
+        assert m < 2.0 * m_glob + 0.05, (m, m_glob)
+
+    def test_quant_em_toeplitz(self, setup):
+        h_train, h_val, _ = setup
+        snr, n_bits = 5.0, 2
+        a = pilots.pilot_matrix(self.N_ANT, 1, n_bits)
+        q = Q.design_quantizer(snr, n_bits)
+        r_train = observation.observe(jax.random.PRNGKey(7), h_train[:8000],
+                                      snr, a, n_bits, q)
+        cfg = gmm.GmmConfig(n_components=4, cov_type="toeplitz",
+                            zero_mean=True, max_iter=8, chunk_size=4096)
+        fit = gmm_quant.fit(jax.random.PRNGKey(8), r_train, cfg, n_bits,
+                            10 ** (-snr / 10), q)
+        c = np.asarray(fit.params.covariances)[0]
+        for off in range(1, 4):
+            diag = np.diagonal(c, offset=off)
+            assert np.abs(diag - diag.mean()).max() < 0.1 * np.abs(np.diagonal(c)).mean()

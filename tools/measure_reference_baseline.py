@@ -13,8 +13,25 @@ sys.path.insert(0, "/root/reference")
 
 import numpy as np  # noqa: E402
 
+# the reference targets numpy 1.21; restore the alias numpy 2 removed
+if not hasattr(np, "infty"):
+    np.infty = np.inf
+
+
+def _shim_sklearn():
+    """The reference targets sklearn 1.0.x; newer sklearn removed the private
+    hooks it calls. Provide no-op shims so the math paths run unmodified."""
+    from sklearn.mixture import GaussianMixture
+    if not hasattr(GaussianMixture, "_check_n_features"):
+        GaussianMixture._check_n_features = lambda self, X, reset=True: None
+    # sklearn >=1.4 changed the private verbose-print signatures
+    GaussianMixture._print_verbose_msg_init_end = lambda self, *a, **k: None
+    GaussianMixture._print_verbose_msg_init_beg = lambda self, *a, **k: None
+    GaussianMixture._print_verbose_msg_iter_end = lambda self, *a, **k: None
+
 
 def main():
+    _shim_sklearn()
     from modules.SCM3GPP.SCMMulti import SCMMulti
     from modules.gmm_cplx_bussgang import Gmm_nbit
     import modules.utils as ut
