@@ -40,53 +40,64 @@ class CovRecoveryConfig:
     results_dir: str = "results/cov_est_quant"
 
 
-def _one_run(key, cov, n_data, n_bits, n_dim):
-    """One Monte-Carlo run: sample, quantize, and compute the three NMSEs.
-
-    The per-run covariance is toeplitz(t) + |g| I (`Covariance_recovery.py:90-91`)
-    so the equivalent SNR 10 log10(1/(avg_diag - 1)) is positive and the
-    quantizer design has a meaningful operating point.
-    """
-    kx, kq = jax.random.split(key)
-    l = jnp.linalg.cholesky(cov)
-    w = crandn(kx, (n_data, n_dim), dtype=cov.dtype)
-    x = w @ l.T  # E[x x^H] = cov
-
-    sigma2_avg = jnp.real(jnp.trace(cov)) / n_dim
-    snr_eq = 10.0 * jnp.log10(1.0 / (sigma2_avg - 1.0))
-    # quantizer design needs a concrete SNR: computed outside jit per run
-    return x, snr_eq, kq
+def stages_tree_index(tree, i: int):
+    """Index row i of every leaf of a (possibly Packed) pytree."""
+    import jax as _jax
+    return _jax.tree_util.tree_map(lambda x: x[i], tree)
 
 
 def run(cfg: CovRecoveryConfig, verbose: bool = True):
+    from quantized_channel_estimation_tpu.ops.boundary import cjit
     key = jax.random.PRNGKey(cfg.seed)
     scm_cfg = scm.ScmConfig(cfg.n_dim, cfg.n_path, cfg.path_sigma)
 
-    results = {"sampcov_quant": [], "sampcov_unquant": [], "Cov_est": []}
-    for n_data in cfg.n_data_list:
-        key, k_t, k_g = jax.random.split(key, 3)
+    # per-MC-run covariance draw + its equivalent SNR (needed on the host to
+    # design the quantizer) — one cjit, real outputs only
+    def draw_covs(k_t, k_g):
         _, toep = scm.generate_channels(k_t, cfg.mc_runs, scm_cfg,
                                         dtype=jnp.complex64)
         covs = linalg.toeplitz_from_first_row(toep)
         loads = jnp.abs(jax.random.normal(k_g, (cfg.mc_runs,)))
         eye = jnp.eye(cfg.n_dim, dtype=covs.dtype)
         covs = covs + loads[:, None, None].astype(covs.dtype) * eye
+        sigma2_avg = jnp.real(jnp.trace(covs, axis1=-2, axis2=-1)) / cfg.n_dim
+        snr_eq = 10.0 * jnp.log10(1.0 / (sigma2_avg - 1.0))
+        norm = jnp.mean(jnp.sum(jnp.abs(covs) ** 2, axis=(-2, -1)))
+        return covs, snr_eq, norm
 
-        norm = float(jnp.mean(jnp.sum(jnp.abs(covs) ** 2, axis=(-2, -1))))
+    draw_covs_j = cjit(draw_covs)
+
+    def one_run(kr, kq, cov, q, n_data):
+        """Sample n_data draws from cov, quantize, compute the three SSEs."""
+        l = jnp.linalg.cholesky(cov)
+        w = crandn(kr, (n_data, cfg.n_dim), dtype=cov.dtype)
+        x = w @ l.T
+        r = Q.quantize(x, cfg.n_bits, q)
+        c_rec = cov_recovery.recover_covariance_from_samples(r, q, kq)
+        c_unq = x.T @ jnp.conj(x) / n_data
+        c_q = r.T @ jnp.conj(r) / n_data
+        sse = lambda c: jnp.sum(jnp.abs(cov - c) ** 2)
+        return sse(c_rec), sse(c_unq), sse(c_q)
+
+    one_run_j = cjit(one_run, static_argnums=(4,))
+
+    results = {"sampcov_quant": [], "sampcov_unquant": [], "Cov_est": []}
+    for n_data in cfg.n_data_list:
+        key, k_t, k_g = jax.random.split(key, 3)
+        covs, snr_eq, norm = draw_covs_j(k_t, k_g)
+        snr_eq = np.asarray(snr_eq)
+        norm = float(norm)
+
         mse_rec = mse_unq = mse_q = 0.0
         for i in range(cfg.mc_runs):
-            key, kr = jax.random.split(key)
-            cov = covs[i]
-            x, snr_eq, kq = _one_run(kr, cov, n_data, cfg.n_bits, cfg.n_dim)
-            q = Q.design_quantizer(float(snr_eq), cfg.n_bits,
+            key, kr, kq = jax.random.split(key, 3)
+            cov_i = stages_tree_index(covs, i)
+            q = Q.design_quantizer(float(snr_eq[i]), cfg.n_bits,
                                    cfg.quantizer_type)
-            r = Q.quantize(x, cfg.n_bits, q)
-            c_rec = cov_recovery.recover_covariance_from_samples(r, q, kq)
-            c_unq = x.T @ jnp.conj(x) / n_data
-            c_q = r.T @ jnp.conj(r) / n_data
-            mse_rec += float(jnp.sum(jnp.abs(cov - c_rec) ** 2)) / cfg.mc_runs
-            mse_unq += float(jnp.sum(jnp.abs(cov - c_unq) ** 2)) / cfg.mc_runs
-            mse_q += float(jnp.sum(jnp.abs(cov - c_q) ** 2)) / cfg.mc_runs
+            s_rec, s_unq, s_q = one_run_j(kr, kq, cov_i, q, n_data)
+            mse_rec += float(s_rec) / cfg.mc_runs
+            mse_unq += float(s_unq) / cfg.mc_runs
+            mse_q += float(s_q) / cfg.mc_runs
         results["Cov_est"].append(mse_rec / norm)
         results["sampcov_unquant"].append(mse_unq / norm)
         results["sampcov_quant"].append(mse_q / norm)

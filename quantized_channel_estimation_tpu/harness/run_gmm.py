@@ -5,8 +5,9 @@ perfect-CSI rate anchor, and GMM-Bussgang over an SNR sweep; writes the same
 transposed MSE/rate CSV tables as the reference (`Bussgang_GMM.py:312-332`).
 
 The reference parallelizes over SNR points with a multiprocessing pool; here
-every estimator is one jitted batched computation per SNR and the whole sweep
-runs on one chip (or a mesh — see `parallel.mesh`).
+every estimator is one jitted batched computation per SNR. All stages go
+through `harness.stages` (packed-real boundaries), so the same code runs on
+the real TPU chip and on CPU.
 """
 from __future__ import annotations
 
@@ -17,16 +18,13 @@ import time
 from typing import Optional, Sequence, Union
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from quantized_channel_estimation_tpu.estimators import blmmse, ls
-from quantized_channel_estimation_tpu.models import gmm, gmm_estimator
-from quantized_channel_estimation_tpu.ops import observation, pilots, scm
+from quantized_channel_estimation_tpu.harness import stages
+from quantized_channel_estimation_tpu.models import gmm
+from quantized_channel_estimation_tpu.ops import scm
 from quantized_channel_estimation_tpu.ops import quantizer as Q
 from quantized_channel_estimation_tpu.utils import io as qio
-from quantized_channel_estimation_tpu.utils.metrics import (
-    global_bussgang_stats, nmse, rate_lower_bound)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,16 +58,17 @@ class GmmBenchConfig:
 
 
 def _get_data(cfg: GmmBenchConfig, key):
+    """Load or generate the channel dataset; returns packed (h, t)."""
     n_channels = cfg.n_train + cfg.n_val
     path = qio.dataset_cache_path(cfg.cache_dir, cfg.n_antennas, "3gpp",
                                   cfg.n_path, cfg.n_train, n_channels)
     if cfg.use_cache and os.path.exists(path):
         channels, toep = qio.load_channels(path)
-        return jnp.asarray(channels), jnp.asarray(toep)
+        return stages.from_numpy(channels), stages.from_numpy(toep)
     scm_cfg = scm.ScmConfig(cfg.n_antennas, cfg.n_path, cfg.path_sigma)
-    h, t = scm.generate_channels_chunked(key, n_channels, scm_cfg)
+    h, t = stages.generate_channels(key, n_channels, scm_cfg)
     if cfg.use_cache:
-        qio.save_channels(path, np.asarray(h), np.asarray(t))
+        qio.save_channels(path, stages.to_numpy(h), stages.to_numpy(t))
     return h, t
 
 
@@ -80,88 +79,65 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
     k_data, k_gmm, k_obs = jax.random.split(key, 3)
 
     channels, toep = _get_data(cfg, k_data)
-    h_train = channels[:cfg.n_train]
-    h_val = channels[cfg.n_train:cfg.n_train + cfg.n_val]
-    toep_val = toep[cfg.n_train:cfg.n_train + cfg.n_val]
+    h_train = stages.tree_slice(channels, 0, cfg.n_train)
+    h_val = stages.tree_slice(channels, cfg.n_train, cfg.n_train + cfg.n_val)
+    toep_val = stages.tree_slice(toep, cfg.n_train, cfg.n_train + cfg.n_val)
 
-    a = pilots.pilot_matrix(cfg.n_antennas, cfg.n_pilots, cfg.n_bits,
+    a = stages.pilot_matrix(cfg.n_antennas, cfg.n_pilots, cfg.n_bits,
                             cfg.pilot_type)
     quantizers = {snr: Q.design_quantizer(snr, cfg.n_bits, cfg.quantizer_type)
                   for snr in cfg.snrs}
 
     # training sample covariance (`Bussgang_GMM.py:121-124`), one einsum
-    cov = jnp.einsum("nd,ne->de", h_train, jnp.conj(h_train)) / cfg.n_train
+    cov = stages.sample_cov(h_train)
 
     mse_cols: dict = {}
     rate_cols: dict = {}
     timings: dict = {}
 
-    def observe(snr, kk):
-        return observation.observe(kk, h_val, snr, a, cfg.n_bits,
-                                   quantizers[snr])
-
-    def rate_of(res, snr, norm_clip=None):
-        b_glob, cq_glob = global_bussgang_stats(cov, snr, cfg.n_bits,
-                                                quantizers[snr])
-        return float(rate_lower_bound(res, h_val, b_glob, cq_glob, norm_clip))
-
     obs_keys = {snr: jax.random.fold_in(k_obs, i)
                 for i, snr in enumerate(cfg.snrs)}
+    r_by_snr = {snr: stages.observe(obs_keys[snr], h_val, snr, a, cfg.n_bits,
+                                    quantizers[snr])
+                for snr in cfg.snrs}
+
+    def eval_algo(name, rate_name, est_fn, norm_clip=None):
+        t0 = time.time()
+        mses, rates = [], []
+        for snr in cfg.snrs:
+            res = est_fn(snr, r_by_snr[snr])
+            mses.append(stages.nmse(res, h_val))
+            if cfg.eval_rate:
+                rates.append(stages.rate(res, h_val, cov, snr, cfg.n_bits,
+                                         quantizers[snr], norm_clip))
+        mse_cols[name] = mses
+        if cfg.eval_rate:
+            rate_cols[rate_name] = rates
+        timings[name] = time.time() - t0
+        if verbose:
+            print(f"{name}: mse={[round(m, 5) for m in mses]} "
+                  f"({timings[name]:.1f}s)")
 
     if cfg.eval_blmmse_glob:
-        t0 = time.time()
-        mses, rates = [], []
-        for snr in cfg.snrs:
-            r = observe(snr, obs_keys[snr])
-            res = blmmse.estimate_global(r, cov, snr, a, cfg.n_bits,
-                                         quantizers[snr])
-            mses.append(float(nmse(res, h_val)))
-            if cfg.eval_rate:
-                rates.append(rate_of(res, snr))
-        mse_cols["blmmse_glob"] = mses
-        if cfg.eval_rate:
-            rate_cols["blmmse_glob_rstat"] = rates
-        timings["blmmse_glob"] = time.time() - t0
-        if verbose:
-            print(f"blmmse_glob: mse={mses} ({timings['blmmse_glob']:.1f}s)")
+        eval_algo("blmmse_glob", "blmmse_glob_rstat",
+                  lambda snr, r: stages.blmmse_global(
+                      r, cov, snr, a, cfg.n_bits, quantizers[snr]))
 
     if cfg.eval_ls_glob:
-        t0 = time.time()
-        mses, rates = [], []
-        for snr in cfg.snrs:
-            r = observe(snr, obs_keys[snr])
-            res = ls.estimate_global(r, cov, snr, a, cfg.n_bits,
-                                     quantizers[snr])
-            mses.append(float(nmse(res, h_val)))
-            if cfg.eval_rate:
-                rates.append(rate_of(res, snr))
-        mse_cols["LS_glob"] = mses
-        if cfg.eval_rate:
-            rate_cols["LS_glob_stat"] = rates
-        timings["LS_glob"] = time.time() - t0
-        if verbose:
-            print(f"LS_glob: mse={mses} ({timings['LS_glob']:.1f}s)")
+        eval_algo("LS_glob", "LS_glob_stat",
+                  lambda snr, r: stages.ls_global(
+                      r, cov, snr, a, cfg.n_bits, quantizers[snr]))
 
     if cfg.eval_blmmse_genie:
-        t0 = time.time()
-        mses, rates = [], []
-        for snr in cfg.snrs:
-            r = observe(snr, obs_keys[snr])
-            res = blmmse.estimate_genie(r, toep_val, snr, a, cfg.n_bits,
-                                        quantizers[snr])
-            mses.append(float(nmse(res, h_val)))
-            if cfg.eval_rate:
-                rates.append(rate_of(res, snr))
-        mse_cols["blmmse_genie"] = mses
-        if cfg.eval_rate:
-            rate_cols["blmmse_genie_rstat"] = rates
-        timings["blmmse_genie"] = time.time() - t0
-        if verbose:
-            print(f"blmmse_genie: mse={mses} ({timings['blmmse_genie']:.1f}s)")
+        eval_algo("blmmse_genie", "blmmse_genie_rstat",
+                  lambda snr, r: stages.blmmse_genie(
+                      r, toep_val, snr, a, cfg.n_bits, quantizers[snr]))
 
     if cfg.eval_rate:
         # perfect-CSI anchor (`Bussgang_GMM.py:244-262`)
-        rate_cols["perfect_rstat"] = [rate_of(h_val, snr) for snr in cfg.snrs]
+        rate_cols["perfect_rstat"] = [
+            stages.rate(h_val, h_val, cov, snr, cfg.n_bits, quantizers[snr])
+            for snr in cfg.snrs]
 
     if cfg.eval_blmmse_gmm:
         gmm_path = qio.gmm_cache_path(cfg.cache_dir, cfg.n_antennas,
@@ -170,39 +146,28 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
                                       cfg.zero_mean_gmm)
         t0 = time.time()
         if cfg.use_cache and os.path.exists(gmm_path):
-            params = qio.load_gmm_params(gmm_path)
-            params = jax.tree.map(jnp.asarray, params)
+            params = stages.from_numpy(qio.load_gmm_params(gmm_path))
         else:
             gcfg = gmm.GmmConfig(
                 n_components=cfg.n_components, cov_type=cfg.cov_type,
                 blocks=cfg.blocks, zero_mean=cfg.zero_mean_gmm,
                 max_iter=cfg.gmm_max_iter)
-            fit = gmm.fit(k_gmm, h_train, gcfg)
+            fit = stages.gmm_fit(k_gmm, h_train, gcfg)
             params = fit.params
             if verbose:
                 print(f"GMM fit: {int(fit.n_iter)} iters, "
                       f"lb={float(fit.lower_bound):.4f}, "
                       f"converged={bool(fit.converged)}")
             if cfg.use_cache:
-                qio.save_pytree_npz(gmm_path, params)
+                qio.save_pytree_npz(gmm_path, stages.to_numpy(params))
         timings["gmm_fit"] = time.time() - t0
 
-        t0 = time.time()
-        mses, rates = [], []
-        for snr in cfg.snrs:
-            r = observe(snr, obs_keys[snr])
-            bank = gmm_estimator.prepare_bank(params, snr, a, cfg.n_bits,
-                                              quantizers[snr])
-            res = gmm_estimator.estimate(bank, r, cfg.n_summands_or_proba)
-            mses.append(float(nmse(res, h_val)))
-            if cfg.eval_rate:
-                rates.append(rate_of(res, snr, norm_clip=0.1))
-        mse_cols["blmmse_gmm"] = mses
-        if cfg.eval_rate:
-            rate_cols["gmm_rstat"] = rates
-        timings["gmm_eval"] = time.time() - t0
-        if verbose:
-            print(f"blmmse_gmm: mse={mses} ({timings['gmm_eval']:.1f}s)")
+        def gmm_est(snr, r):
+            bank = stages.prepare_bank(params, snr, a, cfg.n_bits,
+                                       quantizers[snr])
+            return stages.estimate(bank, r, cfg.n_summands_or_proba)
+
+        eval_algo("blmmse_gmm", "gmm_rstat", gmm_est, norm_clip=0.1)
 
     timings["total"] = time.time() - t_start
 

@@ -17,14 +17,12 @@ from typing import Sequence, Union
 import jax
 import jax.numpy as jnp
 
+from quantized_channel_estimation_tpu.harness import stages
 from quantized_channel_estimation_tpu.harness.run_gmm import (
     GmmBenchConfig, _get_data)
-from quantized_channel_estimation_tpu.models import gmm, gmm_estimator, gmm_quant
-from quantized_channel_estimation_tpu.ops import observation, pilots
+from quantized_channel_estimation_tpu.models import gmm
 from quantized_channel_estimation_tpu.ops import quantizer as Q
 from quantized_channel_estimation_tpu.utils import io as qio
-from quantized_channel_estimation_tpu.utils.metrics import (
-    global_bussgang_stats, nmse, rate_lower_bound)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,25 +60,25 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
         n_val=cfg.n_val, path_sigma=cfg.path_sigma, cache_dir=cfg.cache_dir,
         use_cache=cfg.use_cache)
     channels, _ = _get_data(base_cfg, k_data)
-    h_train = channels[:cfg.n_train]
-    h_val = channels[cfg.n_train:cfg.n_train + cfg.n_val]
+    h_train = stages.tree_slice(channels, 0, cfg.n_train)
+    h_val = stages.tree_slice(channels, cfg.n_train, cfg.n_train + cfg.n_val)
 
-    a = pilots.pilot_matrix(cfg.n_antennas, cfg.n_pilots, cfg.n_bits,
+    a = stages.pilot_matrix(cfg.n_antennas, cfg.n_pilots, cfg.n_bits,
                             cfg.pilot_type)
     all_snrs = sorted(set(list(cfg.snrs) + [cfg.snr_train]))
     quantizers = {snr: Q.design_quantizer(snr, cfg.n_bits, cfg.quantizer_type)
                   for snr in all_snrs}
-    cov = jnp.einsum("nd,ne->de", h_train, jnp.conj(h_train)) / cfg.n_train
+    cov = stages.sample_cov(h_train)
 
     sigma2_train = 10.0 ** (-cfg.snr_train / 10.0)
-    r_train = observation.observe(jax.random.fold_in(k_obs, 999), h_train,
-                                  cfg.snr_train, a, cfg.n_bits,
-                                  quantizers[cfg.snr_train])
+    r_train = stages.observe(jax.random.fold_in(k_obs, 999), h_train,
+                             cfg.snr_train, a, cfg.n_bits,
+                             quantizers[cfg.snr_train])
     gcfg = gmm.GmmConfig(n_components=cfg.n_components, cov_type=cfg.cov_type,
                          zero_mean=cfg.zero_mean_gmm, max_iter=cfg.max_iter)
     t0 = time.time()
-    fit = gmm_quant.fit(k_fit, r_train, gcfg, cfg.n_bits, sigma2_train,
-                        quantizers[cfg.snr_train])
+    fit = stages.gmm_quant_fit(k_fit, r_train, gcfg, cfg.n_bits, sigma2_train,
+                               quantizers[cfg.snr_train])
     fit_time = time.time() - t0
     if verbose:
         print(f"quant-GMM fit: {int(fit.n_iter)} iters "
@@ -89,18 +87,16 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
     mse_cols = {"blmmse_gmm_quant": []}
     rate_cols = {"blmmse_gmm_quant_rstat": []}
     for i, snr in enumerate(cfg.snrs):
-        r_val = observation.observe(jax.random.fold_in(k_obs, i), h_val, snr,
-                                    a, cfg.n_bits, quantizers[snr])
-        bank = gmm_estimator.prepare_bank(fit.params, snr, a, cfg.n_bits,
-                                          quantizers[snr])
-        res = gmm_estimator.estimate(bank, r_val, cfg.n_summands_or_proba)
-        mse_cols["blmmse_gmm_quant"].append(float(nmse(res, h_val)))
+        r_val = stages.observe(jax.random.fold_in(k_obs, i), h_val, snr,
+                               a, cfg.n_bits, quantizers[snr])
+        bank = stages.prepare_bank(fit.params, snr, a, cfg.n_bits,
+                                   quantizers[snr])
+        res = stages.estimate(bank, r_val, cfg.n_summands_or_proba)
+        mse_cols["blmmse_gmm_quant"].append(stages.nmse(res, h_val))
         if cfg.eval_rate:
-            b_glob, cq_glob = global_bussgang_stats(cov, snr, cfg.n_bits,
-                                                    quantizers[snr])
             rate_cols["blmmse_gmm_quant_rstat"].append(
-                float(rate_lower_bound(res, h_val, b_glob, cq_glob,
-                                       norm_clip=0.1)))
+                stages.rate(res, h_val, cov, snr, cfg.n_bits,
+                            quantizers[snr], norm_clip=0.1))
     if verbose:
         print(f"mse={mse_cols['blmmse_gmm_quant']}")
 

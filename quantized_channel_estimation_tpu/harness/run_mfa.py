@@ -13,14 +13,12 @@ from typing import Sequence, Union
 import jax
 import jax.numpy as jnp
 
+from quantized_channel_estimation_tpu.harness import stages
 from quantized_channel_estimation_tpu.harness.run_gmm import (
     GmmBenchConfig, _get_data)
-from quantized_channel_estimation_tpu.models import gmm_estimator, mfa
-from quantized_channel_estimation_tpu.ops import observation, pilots
+from quantized_channel_estimation_tpu.models import mfa
 from quantized_channel_estimation_tpu.ops import quantizer as Q
 from quantized_channel_estimation_tpu.utils import io as qio
-from quantized_channel_estimation_tpu.utils.metrics import (
-    global_bussgang_stats, nmse, rate_lower_bound)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,22 +58,22 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
                           path_sigma=cfg.path_sigma, cache_dir=cfg.cache_dir,
                           use_cache=cfg.use_cache)
     channels, _ = _get_data(base, k_data)
-    h_train = channels[:cfg.n_train]
-    h_val = channels[cfg.n_train:cfg.n_train + cfg.n_val]
+    h_train = stages.tree_slice(channels, 0, cfg.n_train)
+    h_val = stages.tree_slice(channels, cfg.n_train, cfg.n_train + cfg.n_val)
 
-    a = pilots.pilot_matrix(cfg.n_antennas, cfg.n_pilots, cfg.n_bits,
+    a = stages.pilot_matrix(cfg.n_antennas, cfg.n_pilots, cfg.n_bits,
                             cfg.pilot_type)
     quantizers = {snr: Q.design_quantizer(snr, cfg.n_bits, cfg.quantizer_type)
                   for snr in cfg.snrs}
-    cov = jnp.einsum("nd,ne->de", h_train, jnp.conj(h_train)) / cfg.n_train
+    cov = stages.sample_cov(h_train)
 
     mcfg = mfa.MfaConfig(
         n_components=cfg.n_components, latent_dim=cfg.latent_dim,
         ppca=cfg.ppca, lock_psis=cfg.lock_psis, zero_mean=cfg.zero_mean,
         max_iter=cfg.max_iter)
     t0 = time.time()
-    res_fit = mfa.fit(k_fit, h_train, mcfg)
-    params = mfa.to_gmm_params(res_fit.params, reg=1e-6)
+    res_fit = stages.mfa_fit(k_fit, h_train, mcfg)
+    params = stages.mfa_to_gmm(res_fit.params, 1e-6)
     fit_time = time.time() - t0
     if verbose:
         print(f"MFA fit: {int(res_fit.n_iter)} iters "
@@ -84,17 +82,16 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
     mse_cols = {"blmmse_mfa": []}
     rate_cols = {"mfa_rstat": []}
     for i, snr in enumerate(cfg.snrs):
-        r_val = observation.observe(jax.random.fold_in(k_obs, i), h_val, snr,
-                                    a, cfg.n_bits, quantizers[snr])
-        bank = gmm_estimator.prepare_bank(params, snr, a, cfg.n_bits,
-                                          quantizers[snr])
-        res = gmm_estimator.estimate(bank, r_val, cfg.n_summands_or_proba)
-        mse_cols["blmmse_mfa"].append(float(nmse(res, h_val)))
+        r_val = stages.observe(jax.random.fold_in(k_obs, i), h_val, snr,
+                               a, cfg.n_bits, quantizers[snr])
+        bank = stages.prepare_bank(params, snr, a, cfg.n_bits,
+                                   quantizers[snr])
+        res = stages.estimate(bank, r_val, cfg.n_summands_or_proba)
+        mse_cols["blmmse_mfa"].append(stages.nmse(res, h_val))
         if cfg.eval_rate:
-            b_glob, cq_glob = global_bussgang_stats(cov, snr, cfg.n_bits,
-                                                    quantizers[snr])
             rate_cols["mfa_rstat"].append(
-                float(rate_lower_bound(res, h_val, b_glob, cq_glob)))
+                stages.rate(res, h_val, cov, snr, cfg.n_bits,
+                            quantizers[snr]))
     if verbose:
         print(f"blmmse_mfa: mse={mse_cols['blmmse_mfa']}")
 

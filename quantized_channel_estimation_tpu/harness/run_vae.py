@@ -14,14 +14,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from quantized_channel_estimation_tpu.harness import stages
 from quantized_channel_estimation_tpu.harness.run_gmm import (
     GmmBenchConfig, _get_data)
 from quantized_channel_estimation_tpu.models import vae
-from quantized_channel_estimation_tpu.ops import observation, pilots
 from quantized_channel_estimation_tpu.ops import quantizer as Q
+from quantized_channel_estimation_tpu.ops.boundary import cjit
 from quantized_channel_estimation_tpu.utils import io as qio
-from quantized_channel_estimation_tpu.utils.metrics import (
-    global_bussgang_stats, nmse, rate_lower_bound)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,15 +62,15 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
                           path_sigma=cfg.path_sigma, cache_dir=cfg.cache_dir,
                           use_cache=cfg.use_cache)
     channels, _ = _get_data(base, k_data)
-    h_train = channels[:cfg.n_train]
-    h_val = channels[cfg.n_train:cfg.n_train + cfg.n_val]
+    h_train = stages.tree_slice(channels, 0, cfg.n_train)
+    h_val = stages.tree_slice(channels, cfg.n_train, cfg.n_train + cfg.n_val)
 
-    a = pilots.pilot_matrix(cfg.n_antennas, cfg.n_pilots, cfg.n_bits,
+    a = stages.pilot_matrix(cfg.n_antennas, cfg.n_pilots, cfg.n_bits,
                             cfg.pilot_type)
     quantizers = [Q.design_quantizer(s, cfg.n_bits, cfg.quantizer_type)
                   for s in cfg.snrs]
     quantizer_by_snr = dict(zip(cfg.snrs, quantizers))
-    cov = jnp.einsum("nd,ne->de", h_train, jnp.conj(h_train)) / cfg.n_train
+    cov = stages.sample_cov(h_train)
 
     vcfg = vae.VaeConfig(
         n_antennas=cfg.n_antennas, n_pilots=cfg.n_pilots,
@@ -92,14 +91,15 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
     rate_cols = {f"vae_{cfg.vae_mode}_rstat": []}
     for i, snr in enumerate(cfg.snrs):
         q = quantizer_by_snr[snr]
-        r = observation.observe(jax.random.fold_in(k_obs, i), h_val, snr, a,
-                                cfg.n_bits, q)
-        h_est = vae.estimate(model, state.params, vcfg, r, snr, a, q)
-        mse_cols[f"vae_{cfg.vae_mode}"].append(float(nmse(h_est, h_val)))
+        r = stages.observe(jax.random.fold_in(k_obs, i), h_val, snr, a,
+                           cfg.n_bits, q)
+        est_fn = cjit(lambda params, rr, aa:
+                      vae.estimate(model, params, vcfg, rr, snr, aa, q))
+        h_est = est_fn(state.params, r, a)
+        mse_cols[f"vae_{cfg.vae_mode}"].append(stages.nmse(h_est, h_val))
         if cfg.eval_rate:
-            b_glob, cq_glob = global_bussgang_stats(cov, snr, cfg.n_bits, q)
             rate_cols[f"vae_{cfg.vae_mode}_rstat"].append(
-                float(rate_lower_bound(h_est, h_val, b_glob, cq_glob)))
+                stages.rate(h_est, h_val, cov, snr, cfg.n_bits, q))
     if verbose:
         print(f"vae_{cfg.vae_mode}: mse={mse_cols[f'vae_{cfg.vae_mode}']}")
 

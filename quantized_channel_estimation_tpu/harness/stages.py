@@ -1,0 +1,101 @@
+"""cjit-wrapped pipeline stages shared by all harness runners.
+
+Complex data never exists as a device buffer outside a jit trace: every stage
+takes/returns Packed (re, im) pytrees (ops.boundary). This makes the same
+harness code run on the real TPU (whose runtime has no complex buffer type)
+and on CPU. Scalars returned to Python (MSE, rate) are real and forced to
+host, which doubles as an honest completion barrier on the remote TPU
+runtime.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from quantized_channel_estimation_tpu.estimators import blmmse, ls
+from quantized_channel_estimation_tpu.models import gmm, gmm_estimator, gmm_quant, mfa
+from quantized_channel_estimation_tpu.ops import observation, pilots, scm
+from quantized_channel_estimation_tpu.ops.boundary import (
+    Packed, asnumpy, cjit, pack_tree)
+from quantized_channel_estimation_tpu.utils import metrics
+
+
+def tree_concat(trees, axis=0):
+    """Concatenate a list of identically-structured pytrees leafwise."""
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=axis), *trees)
+
+
+def tree_slice(tree, start, stop):
+    take = cjit(lambda t: jax.tree_util.tree_map(lambda x: x[start:stop], t))
+    return take(tree)
+
+
+_gen = cjit(scm.generate_channels, static_argnums=(1, 2))
+
+
+def generate_channels(key, n_batches: int, cfg: scm.ScmConfig, chunk=8192):
+    """Chunked SCM channel generation, packed outputs (h, t)."""
+    n_chunks = -(-n_batches // chunk)
+    keys = jax.random.split(key, n_chunks)
+    outs = []
+    done = 0
+    for k in keys:
+        h, t = _gen(k, min(chunk, n_batches), cfg)
+        n = min(chunk, n_batches - done)
+        if n < (h.re.shape[0] if isinstance(h, Packed) else h.shape[0]):
+            h = jax.tree_util.tree_map(lambda x: x[:n], h)
+            t = jax.tree_util.tree_map(lambda x: x[:n], t)
+        outs.append((h, t))
+        done += n
+    hs, ts = zip(*outs)
+    return tree_concat(hs), tree_concat(ts)
+
+
+pilot_matrix = cjit(pilots.pilot_matrix, static_argnums=(0, 1, 2, 3))
+
+sample_cov = cjit(lambda h: jnp.einsum("nd,ne->de", h, jnp.conj(h))
+                  / h.shape[0])
+
+observe = cjit(observation.observe, static_argnums=(4,))
+
+blmmse_global = cjit(blmmse.estimate_global, static_argnums=(4,))
+blmmse_genie = cjit(blmmse.estimate_genie, static_argnums=(4,))
+ls_global = cjit(ls.estimate_global, static_argnums=(4,))
+
+gmm_fit = cjit(gmm.fit, static_argnums=(2,))
+gmm_quant_fit = cjit(gmm_quant.fit, static_argnums=(2, 3, 6))
+mfa_fit = cjit(mfa.fit, static_argnums=(2,))
+mfa_to_gmm = cjit(mfa.to_gmm_params, static_argnums=(1,))
+
+prepare_bank = cjit(gmm_estimator.prepare_bank, static_argnums=(3,))
+estimate = cjit(gmm_estimator.estimate, static_argnums=(2, 3))
+
+_nmse = cjit(metrics.nmse)
+
+
+def nmse(h_est, h) -> float:
+    return float(_nmse(h_est, h))
+
+
+def _rate(h_est, h, cov, snr_db, n_bits, q, norm_clip):
+    b, cq = metrics.global_bussgang_stats(cov, snr_db, n_bits, q)
+    return metrics.rate_lower_bound(h_est, h, b, cq, norm_clip)
+
+
+_rate_j = cjit(_rate, static_argnums=(4, 6))
+
+
+def rate(h_est, h, cov, snr_db, n_bits, q, norm_clip=None) -> float:
+    return float(_rate_j(h_est, h, cov, snr_db, n_bits, q, norm_clip))
+
+
+def to_numpy(tree):
+    """Packed pytree -> host numpy pytree (complex leaves recombined)."""
+    return jax.tree_util.tree_map(asnumpy, tree,
+                                  is_leaf=lambda x: isinstance(x, Packed))
+
+
+def from_numpy(tree):
+    """Host numpy pytree (possibly complex) -> packed device pytree."""
+    return pack_tree(tree)

@@ -228,13 +228,15 @@ def make_train_step(model: DnnVae, cfg: VaeConfig, a: Optional[jax.Array],
     tx = optax.adam(cfg.lr)
 
     def loss_fn(params, h_batch, key):
+        from quantized_channel_estimation_tpu.ops.boundary import unpack
+        a_c = unpack(a)  # pilot matrix may be Packed (re, im) at the boundary
         kobs, ksamp = jax.random.split(key)
         h_fft = fft_stack(h_batch)
         if cfg.vae_mode == "genie":
             out = model.apply(params, h_fft, ksamp)
             return elbo_loss(cfg, out, h_fft, None)
         r, snr = observation.observe_random_snr(
-            kobs, h_batch, snrs, a, cfg.n_bits, quantizers)
+            kobs, h_batch, snrs, a_c, cfg.n_bits, quantizers)
         x = obs_to_input(cfg, r)
         out = model.apply(params, x, ksamp)
         if cfg.vae_mode == "noisy":
@@ -244,6 +246,10 @@ def make_train_step(model: DnnVae, cfg: VaeConfig, a: Optional[jax.Array],
 
     @jax.jit
     def step(state: VaeTrainState, h_train, key):
+        # h_train may arrive as a Packed (re, im) pair on backends without
+        # complex buffers; recombine inside the trace
+        from quantized_channel_estimation_tpu.ops.boundary import unpack
+        h_train = unpack(h_train)
         kidx, kloss = jax.random.split(key)
         idx = jax.random.randint(kidx, (cfg.batch_size,), 0, h_train.shape[0])
         h_batch = h_train[idx]

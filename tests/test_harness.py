@@ -1,0 +1,84 @@
+"""Harness integration tests: each benchmark runner end-to-end on small
+configs (the CSV-producing user surface), checking the reference's scientific
+invariants (estimator ordering, SNR monotonicity) rather than fixed numbers."""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from quantized_channel_estimation_tpu.harness import (
+    run_cov_recovery, run_gmm, run_gmm_quant, run_mfa, run_vae)
+
+
+@pytest.fixture()
+def tmp_results(tmp_path):
+    return str(tmp_path / "results"), str(tmp_path / "results" / "saves")
+
+
+def test_run_gmm_end_to_end(tmp_results):
+    results_dir, cache_dir = tmp_results
+    cfg = run_gmm.GmmBenchConfig(
+        n_antennas=16, n_components=8, n_train=10000, n_val=1000,
+        snrs=(-10, 0, 10), results_dir=results_dir, cache_dir=cache_dir,
+        gmm_max_iter=20)
+    mse, rate, timings = run_gmm.run(cfg, verbose=False)
+    # ordering anchors at the top SNR (`SURVEY §4`)
+    assert mse["blmmse_genie"][-1] <= mse["blmmse_gmm"][-1] * 1.1
+    assert mse["blmmse_gmm"][-1] <= mse["blmmse_glob"][-1] * 1.05
+    # MSE decreasing with SNR for every estimator
+    for name, vals in mse.items():
+        assert vals[0] > vals[-1], (name, vals)
+    # rate increasing with SNR, perfect-CSI anchor on top
+    assert rate["perfect_rstat"][-1] >= rate["gmm_rstat"][-1] - 1e-6
+    # CSVs written in the reference schema
+    csvs = glob.glob(os.path.join(results_dir, "3gpp", "*.csv"))
+    assert len(csvs) == 2
+    with open([c for c in csvs if not c.endswith("_rate.csv")][0]) as f:
+        header = f.readline().strip().split(",")
+    assert header[0] == "SNR" and "blmmse_gmm" in header
+
+
+def test_run_gmm_quant_end_to_end(tmp_results):
+    results_dir, cache_dir = tmp_results
+    cfg = run_gmm_quant.QuantGmmBenchConfig(
+        n_antennas=16, n_components=8, n_train=10000, n_val=1000,
+        max_iter=15, results_dir=results_dir, cache_dir=cache_dir)
+    mse, rate, _ = run_gmm_quant.run(cfg, verbose=False)
+    assert 0 < mse["blmmse_gmm_quant"][0] < 1.0
+    assert np.isfinite(rate["blmmse_gmm_quant_rstat"][0])
+
+
+def test_run_mfa_end_to_end(tmp_results):
+    results_dir, cache_dir = tmp_results
+    cfg = run_mfa.MfaBenchConfig(
+        n_antennas=16, n_components=8, latent_dim=4, n_train=10000,
+        n_val=1000, max_iter=20, snrs=(0, 10), results_dir=results_dir,
+        cache_dir=cache_dir)
+    mse, rate, _ = run_mfa.run(cfg, verbose=False)
+    assert mse["blmmse_mfa"][0] > mse["blmmse_mfa"][1]
+    assert mse["blmmse_mfa"][1] < 1.0
+
+
+def test_run_vae_end_to_end(tmp_results):
+    results_dir, cache_dir = tmp_results
+    cfg = run_vae.VaeBenchConfig(
+        n_antennas=16, latent_dim=4, n_layers=3, epochs=2, n_train=10000,
+        n_val=1000, snrs=(0.0, 10.0), results_dir=results_dir,
+        cache_dir=cache_dir)
+    mse, rate, _ = run_vae.run(cfg, verbose=False)
+    assert 0 < mse["vae_noisy"][1] < 1.0
+    csvs = glob.glob(os.path.join(results_dir, "vae", "*.csv"))
+    assert len(csvs) == 2  # results + loss curve
+
+
+def test_run_cov_recovery_end_to_end(tmp_results):
+    results_dir, _ = tmp_results
+    cfg = run_cov_recovery.CovRecoveryConfig(
+        n_dim=16, n_data_list=(100, 20000), mc_runs=2,
+        results_dir=results_dir)
+    res = run_cov_recovery.run(cfg, verbose=False)
+    # at large n, recovery beats the (biased) quantized sample covariance
+    assert res["Cov_est"][-1] < res["sampcov_quant"][-1]
+    # and all NMSEs improve with more data
+    assert res["Cov_est"][-1] < res["Cov_est"][0]
