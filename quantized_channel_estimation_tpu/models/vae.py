@@ -269,15 +269,38 @@ def make_train_step(model: DnnVae, cfg: VaeConfig, a: Optional[jax.Array],
 
 def train(key, cfg: VaeConfig, h_train: jax.Array,
           a: Optional[jax.Array], snrs, quantizers,
-          h_val: Optional[jax.Array] = None, verbose: bool = True):
-    """Full training loop; returns (model, state, losses)."""
+          h_val: Optional[jax.Array] = None, verbose: bool = True,
+          checkpoint_path: Optional[str] = None,
+          checkpoint_every: int = 1):
+    """Full training loop; returns (model, state, losses).
+
+    With `checkpoint_path`, model parameters are persisted every
+    `checkpoint_every` epochs (and training resumes from an existing
+    checkpoint) — the equivalent of the reference's per-epoch torch.save
+    (`vae.py:148-153`).
+    """
     k_init, k_train = jax.random.split(key)
     model, state = init_vae(k_init, cfg)
+    start_epoch = 0
+    losses: list = []
+    if checkpoint_path:
+        import os
+        from quantized_channel_estimation_tpu.utils.io import save_pytree_npz
+        if os.path.exists(checkpoint_path):
+            data = np.load(checkpoint_path, allow_pickle=True)
+            flat_params = [jnp.asarray(data[f"leaf_{i}"])
+                           for i in range(int(data["n_leaves"]))]
+            treedef = jax.tree_util.tree_structure(state.params)
+            params = jax.tree_util.tree_unflatten(treedef, flat_params)
+            state = state._replace(params=params)
+            start_epoch = int(data["epoch"]) + 1
+            losses = list(data["losses"])
+            if verbose:
+                print(f"resumed VAE checkpoint at epoch {start_epoch}")
     step = make_train_step(model, cfg, a, jnp.asarray(snrs, jnp.float32),
                            quantizers)
     steps = cfg.steps_per_epoch or max(1, h_train.shape[0] // cfg.batch_size)
-    losses = []
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         epoch_losses = []
         for i in range(steps):
             state, loss = step(state, h_train,
@@ -285,9 +308,20 @@ def train(key, cfg: VaeConfig, h_train: jax.Array,
             epoch_losses.append(float(loss))
         mean_loss = float(np.clip(np.nanmean(epoch_losses), -np.inf, 1000.0))
         losses.append(mean_loss)
+        if checkpoint_path and (epoch + 1) % checkpoint_every == 0:
+            _save_checkpoint(checkpoint_path, state.params, epoch, losses)
         if verbose and (epoch + 1) % max(1, cfg.epochs // 10) == 0:
             print(f"epoch {epoch + 1}/{cfg.epochs} loss={mean_loss:.2f}")
     return model, state, losses
+
+
+def _save_checkpoint(path: str, params, epoch: int, losses) -> None:
+    import os
+    leaves = jax.tree_util.tree_leaves(params)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, n_leaves=len(leaves), epoch=epoch,
+             losses=np.asarray(losses),
+             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
 
 
 # ---------------------------------------------------------------------------

@@ -170,3 +170,21 @@ def psd_project(c: jax.Array, floor: float = 0.0) -> jax.Array:
 def hermitize(c: jax.Array) -> jax.Array:
     """(C + C^H)/2."""
     return 0.5 * (c + jnp.conj(jnp.swapaxes(c, -1, -2)))
+
+
+def best_circulant_approximation(t: jax.Array) -> jax.Array:
+    """Eigenvalues (FFT-domain spectrum) of the best circulant approximation
+    of the Hermitian Toeplitz matrix with first row t, in the Frobenius norm:
+    c_k = sum_m w_m(t) e^{-2 pi i k m / n} with the standard triangular
+    weighting w_m = ((n-m) t_m + m conj(t_{n-m})) / n.
+
+    Spec source: the reference's dead-code `SCM3GPP/toeplitz_helpers.py:57-84`
+    (unreachable upstream; reimplemented from the math). Returns the real
+    spectrum (n,); the circulant matrix is F^H diag(spec) F.
+    """
+    n = t.shape[-1]
+    m = jnp.arange(n)
+    idx = jnp.where(m == 0, 0, n - m)
+    w = ((n - m) * t + m * jnp.conj(t[..., idx])) / n
+    # C = F^H diag(s) F (unitary F) has first row fft(s)/n -> s = n ifft(w)
+    return jnp.real(jnp.fft.ifft(w, axis=-1)) * n

@@ -34,6 +34,26 @@ def global_bussgang_stats(cov: jax.Array, snr_db, n_bits,
     return b, cq
 
 
+def rate_mf_bound(h_est: jax.Array, h: jax.Array, b_glob: jax.Array,
+                  cq_glob: jax.Array, jitter: float = 1e-9) -> jax.Array:
+    """Per-sample matched-filter achievable-rate bound, averaged
+    (`Bussgang_GMM.py:186-195`, the reference's second 'LS_glob' rate row):
+
+      g = h_est^H B^H Cq^{-1};  rate_n = log2(1 + |g B h_est|^2 /
+                                  (g Cq g^H + |g B (h - h_est)|^2))
+    """
+    from quantized_channel_estimation_tpu.ops import linalg
+    cq_inv = linalg.psd_pinv(cq_glob + jitter * jnp.eye(
+        cq_glob.shape[-1], dtype=cq_glob.dtype))
+    g = jnp.einsum("nd,ed,fe->nf", jnp.conj(h_est), jnp.conj(b_glob), cq_inv)
+    bh = jnp.einsum("de,ne->nd", b_glob, h_est)
+    berr = jnp.einsum("de,ne->nd", b_glob, h - h_est)
+    num = jnp.abs(jnp.einsum("nf,nf->n", g, bh)) ** 2
+    den1 = jnp.real(jnp.einsum("nf,fe,ne->n", g, cq_glob, jnp.conj(g)))
+    den2 = jnp.abs(jnp.einsum("nf,nf->n", g, berr)) ** 2
+    return jnp.mean(jnp.real(jnp.log2(1.0 + num / (den1 + den2))))
+
+
 def rate_lower_bound(h_est: jax.Array, h: jax.Array, b_glob: jax.Array,
                      cq_glob: jax.Array, norm_clip: Optional[float] = None) -> jax.Array:
     """Statistical achievable-rate lower bound log2(1 + num/(den1 + den2))

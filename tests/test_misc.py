@@ -1,0 +1,63 @@
+"""Misc utilities, MF rate bound, circulant approximation."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantized_channel_estimation_tpu.ops import linalg as L
+from quantized_channel_estimation_tpu.utils import misc
+from quantized_channel_estimation_tpu.utils.metrics import (
+    global_bussgang_stats, rate_lower_bound, rate_mf_bound)
+
+
+def test_rand_exp_range():
+    x = misc.rand_exp(1e-5, 1e-3, (1000,), seed=0)
+    assert np.all(x >= 1e-5) and np.all(x <= 1e-3)
+    # log-uniform: median near geometric mean
+    assert 5e-5 < np.median(x) < 2e-4
+
+
+def test_rand_geom_ints():
+    x = misc.rand_geom(10, 1000, (100,), seed=1)
+    assert x.dtype.kind == "i"
+    assert np.all(x >= 10) and np.all(x <= 1000)
+
+
+def test_sec2hours():
+    assert misc.sec2hours(3661) == "1:01:01"
+
+
+def test_rate_mf_bound_positive(rng):
+    d = 8
+    h = (rng.standard_normal((500, d)) + 1j * rng.standard_normal((500, d))
+         ).astype(np.complex64) / np.sqrt(2)
+    cov = jnp.asarray(h.T @ h.conj() / 500)
+    b, cq = global_bussgang_stats(cov, 10.0, 1)
+    # perfect estimates: MF bound must beat noisy estimates' bound
+    r_perfect = float(rate_mf_bound(jnp.asarray(h), jnp.asarray(h), b, cq))
+    noisy = h + 0.5 * (rng.standard_normal(h.shape)
+                       + 1j * rng.standard_normal(h.shape)).astype(np.complex64)
+    r_noisy = float(rate_mf_bound(jnp.asarray(noisy), jnp.asarray(h), b, cq))
+    assert r_perfect > r_noisy > 0
+
+
+def test_best_circulant_approximation(rng):
+    """The returned spectrum must define the Frobenius-optimal circulant:
+    check optimality by comparing against small perturbations."""
+    n = 8
+    t = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex128)
+    t[0] = 5.0 + abs(t[0])
+    toep = np.asarray(L.toeplitz_from_first_row(jnp.asarray(t)))
+    spec = np.asarray(L.best_circulant_approximation(jnp.asarray(t)))
+    f = np.fft.fft(np.eye(n)) / np.sqrt(n)
+    circ = f.conj().T @ np.diag(spec) @ f
+    err_opt = np.linalg.norm(toep - circ)
+    for trial in range(5):
+        pert = spec + 0.05 * rng.standard_normal(n)
+        circ_p = f.conj().T @ np.diag(pert) @ f
+        assert np.linalg.norm(toep - circ_p) >= err_opt - 1e-9
+    # circulant structure: constant wrapped diagonals
+    for off in range(1, n):
+        diag_hi = np.diagonal(circ, offset=off)
+        diag_lo = np.diagonal(circ, offset=off - n)
+        np.testing.assert_allclose(diag_hi, diag_hi[0], atol=1e-10)
+        np.testing.assert_allclose(diag_lo[0], diag_hi[0], atol=1e-10)

@@ -1,0 +1,63 @@
+"""Fused estimation kernel vs the einsum path (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantized_channel_estimation_tpu.estimators import pallas_kernels as pk
+from quantized_channel_estimation_tpu.models import gmm, gmm_estimator
+from quantized_channel_estimation_tpu.ops import observation, pilots, scm
+from quantized_channel_estimation_tpu.ops import quantizer as Q
+
+
+@pytest.fixture(scope="module")
+def bank_and_obs():
+    n_ant, n_bits, snr = 16, 2, 5.0
+    key = jax.random.PRNGKey(33)
+    h, _ = scm.generate_channels(key, 6000, scm.ScmConfig(n_ant, 1))
+    fit = gmm.fit(jax.random.PRNGKey(34), h[:5000],
+                  gmm.GmmConfig(n_components=8, max_iter=10, chunk_size=2048))
+    a = pilots.pilot_matrix(n_ant, 1, n_bits)
+    q = Q.design_quantizer(snr, n_bits)
+    r = observation.observe(jax.random.PRNGKey(35), h[5000:], snr, a,
+                            n_bits, q)
+    bank = gmm_estimator.prepare_bank(fit.params, snr, a, n_bits, q)
+    return bank, r.astype(jnp.complex64)
+
+
+def test_reference_packed_matches_einsum_path(bank_and_obs):
+    """The kernel math (logit/softmax/combine reformulation) must equal the
+    production einsum estimate."""
+    bank, r = bank_and_obs
+    kb = pk.kernel_bank(bank)
+    h_ref_re, h_ref_im = pk.reference_estimate_packed(
+        kb, jnp.real(r).astype(jnp.float32), jnp.imag(r).astype(jnp.float32))
+    h_ein = gmm_estimator.estimate(bank, r, "all")
+    np.testing.assert_allclose(np.asarray(h_ref_re), np.real(np.asarray(h_ein)),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(h_ref_im), np.imag(np.asarray(h_ein)),
+                               atol=2e-4)
+
+
+def test_kernel_matches_reference_interpret(bank_and_obs):
+    """Pallas kernel (interpret mode) vs the pure-JAX packed reference."""
+    bank, r = bank_and_obs
+    kb = pk.kernel_bank(bank)
+    n = 256
+    rr = jnp.real(r[:n]).astype(jnp.float32)
+    ri = jnp.imag(r[:n]).astype(jnp.float32)
+    got_re, got_im = pk.estimate_packed(kb, rr, ri, tile_n=128, interpret=True)
+    want_re, want_im = pk.reference_estimate_packed(kb, rr, ri)
+    np.testing.assert_allclose(np.asarray(got_re), np.asarray(want_re),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_im), np.asarray(want_im),
+                               atol=2e-4)
+
+
+def test_estimate_wrapper_pads_and_matches(bank_and_obs):
+    bank, r = bank_and_obs
+    r_odd = r[:777]  # not a tile multiple
+    h_kern = pk.estimate(bank, r_odd, tile_n=256, interpret=True)
+    h_ein = gmm_estimator.estimate(bank, r_odd, "all")
+    np.testing.assert_allclose(np.asarray(h_kern), np.asarray(h_ein),
+                               atol=3e-4)
