@@ -2,7 +2,8 @@
 
 Standard config (reference `Bussgang_GMM.py:34-52`): N=64 antennas, K=64
 components, 1 pilot, 2-bit uniform quantizer, zero-mean full-covariance bank,
-'all' component weighting.
+'all' component weighting. Compute path: the fused Pallas estimation kernel
+(estimators/pallas_kernels.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -10,16 +11,13 @@ Baseline: the reference implementation's `Gmm_nbit.estimate_from_y` measured
 on this machine's CPU (tools/measure_reference_baseline.py, 2026-08-17):
 201.05 estimates/s.
 
-Notes:
-  - The component bank is built from synthetic Hermitian-PSD covariances of
-    the exact benchmark shapes (K=64, D=64): estimation throughput is
-    independent of how the bank was trained, and this keeps the bench free of
-    EM compile time on the remote TPU runtime. EM training itself is covered
-    by the harness benchmarks and the test suite.
-  - All stages are cjit-wrapped (ops.boundary): complex data crosses stage
-    boundaries as packed (re, im) reals — the TPU runtime has no complex
-    buffer type. Completion is forced by a real-scalar readback per repeat
-    (an honest barrier over the remote-execution tunnel).
+Measurement notes:
+  - the TPU is reached through a remote-execution tunnel with ~28 ms
+    round-trip latency and no reliable async barrier, so ALL repeats run
+    inside one jitted program (lax.map over pre-rolled batches) and the
+    single real-scalar readback at the end is the completion barrier;
+  - complex data crosses jit boundaries as packed (re, im) reals
+    (ops.boundary) — the TPU runtime has no complex buffer type.
 """
 import json
 import sys
@@ -34,8 +32,8 @@ N_ANT = 64
 K_COMP = 64
 N_BITS = 2
 SNR_DB = 10.0
-BATCH = 16384
-REPEATS = 20
+BATCH = 131072
+REPEATS = 10
 
 
 def log(msg):
@@ -43,6 +41,7 @@ def log(msg):
 
 
 def main():
+    from quantized_channel_estimation_tpu.estimators import pallas_kernels as pk
     from quantized_channel_estimation_tpu.models import gmm_estimator
     from quantized_channel_estimation_tpu.models.gmm import GmmParams
     from quantized_channel_estimation_tpu.ops import linalg, observation, pilots
@@ -51,11 +50,10 @@ def main():
     from quantized_channel_estimation_tpu.ops.cplx import crandn
 
     def make_params(key):
-        ka, kw = jax.random.split(key)
+        ka, _ = jax.random.split(key)
         a = crandn(ka, (K_COMP, N_ANT, N_ANT))
         covs = a @ jnp.conj(jnp.swapaxes(a, -1, -2)) / N_ANT \
             + jnp.eye(N_ANT, dtype=a.dtype)
-        # normalize to unit average antenna power like SCM channels
         tr = jnp.real(jnp.trace(covs, axis1=-2, axis2=-1))[:, None, None]
         covs = covs * (N_ANT / tr).astype(covs.dtype)
         prec = linalg.robust_precision_cholesky(covs)
@@ -68,9 +66,8 @@ def main():
     a = cjit(pilots.pilot_matrix, static_argnums=(0, 1, 2, 3))(
         N_ANT, 1, N_BITS, "angle_amp")
     q = Q.design_quantizer(SNR_DB, N_BITS)
-    prep = cjit(gmm_estimator.prepare_bank, static_argnums=(3,))
-    bank = prep(params, SNR_DB, a, N_BITS, q)
-    log("bank prepared")
+    bank = cjit(gmm_estimator.prepare_bank, static_argnums=(3,))(
+        params, SNR_DB, a, N_BITS, q)
 
     def gen_obs(key):
         h = crandn(key, (BATCH, N_ANT))
@@ -78,24 +75,25 @@ def main():
                                    None, N_BITS, q)
 
     r = cjit(gen_obs)(jax.random.PRNGKey(1))
-    log("observations generated")
+    log("bank + observations ready")
 
-    est_sum = cjit(lambda b, x: jnp.sum(jnp.abs(
-        gmm_estimator.estimate(b, x, "all", 4096))))
-    roll = cjit(lambda x, i: jax.tree_util.tree_map(
-        lambda v: jnp.roll(v, i, axis=0), x))
+    def run_all(b, x):
+        # REPEATS distinct batches (rolled views), all inside one program;
+        # the scalar sum forces every repeat's completion at one readback
+        def one(i):
+            xr = jax.tree_util.tree_map(lambda v: jnp.roll(v, i, axis=0), x)
+            return jnp.sum(jnp.abs(pk.estimate(b, xr, tile_n=1024)))
+        return jnp.sum(jax.lax.map(one, jnp.arange(REPEATS)))
 
-    rolls = [roll(r, i) for i in range(REPEATS)]
-    warm = float(est_sum(bank, rolls[0]))  # compile + honest execution
+    run_j = cjit(run_all)
+    warm = float(run_j(bank, r))
     assert warm > 0 and jnp.isfinite(warm), warm
     log(f"warmup done (sum={warm:.3e})")
 
     t0 = time.perf_counter()
-    acc = 0.0
-    for rr in rolls:
-        acc += float(est_sum(bank, rr))  # scalar readback forces completion
+    total = float(run_j(bank, r))
     dt = time.perf_counter() - t0
-    assert acc > 0
+    assert total > 0
 
     rate = BATCH * REPEATS / dt
     vs = rate / REFERENCE_ESTIMATES_PER_SEC

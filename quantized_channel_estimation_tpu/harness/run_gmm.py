@@ -124,9 +124,20 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
                       r, cov, snr, a, cfg.n_bits, quantizers[snr]))
 
     if cfg.eval_ls_glob:
-        eval_algo("LS_glob", "LS_glob_stat",
-                  lambda snr, r: stages.ls_global(
-                      r, cov, snr, a, cfg.n_bits, quantizers[snr]))
+        # the reference writes two rate rows for LS: the per-sample matched-
+        # filter bound and the statistical bound (`Bussgang_GMM.py:180-208`)
+        ls_results = {}
+
+        def ls_est(snr, r):
+            ls_results[snr] = stages.ls_global(r, cov, snr, a, cfg.n_bits,
+                                               quantizers[snr])
+            return ls_results[snr]
+
+        eval_algo("LS_glob", "LS_glob_stat", ls_est)
+        if cfg.eval_rate:
+            rate_cols["LS_glob_rstat_mf"] = [
+                stages.rate_mf(ls_results[snr], h_val, cov, snr, cfg.n_bits,
+                               quantizers[snr]) for snr in cfg.snrs]
 
     if cfg.eval_blmmse_genie:
         eval_algo("blmmse_genie", "blmmse_genie_rstat",

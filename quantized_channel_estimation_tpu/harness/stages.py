@@ -90,6 +90,19 @@ def rate(h_est, h, cov, snr_db, n_bits, q, norm_clip=None) -> float:
     return float(_rate_j(h_est, h, cov, snr_db, n_bits, q, norm_clip))
 
 
+def _rate_mf(h_est, h, cov, snr_db, n_bits, q):
+    b, cq = metrics.global_bussgang_stats(cov, snr_db, n_bits, q)
+    return metrics.rate_mf_bound(h_est, h, b, cq)
+
+
+_rate_mf_j = cjit(_rate_mf, static_argnums=(4,))
+
+
+def rate_mf(h_est, h, cov, snr_db, n_bits, q) -> float:
+    """Matched-filter rate bound (`Bussgang_GMM.py:186-195`)."""
+    return float(_rate_mf_j(h_est, h, cov, snr_db, n_bits, q))
+
+
 def to_numpy(tree):
     """Packed pytree -> host numpy pytree (complex leaves recombined)."""
     return jax.tree_util.tree_map(asnumpy, tree,

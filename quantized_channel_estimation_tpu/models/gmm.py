@@ -50,6 +50,10 @@ class GmmConfig(NamedTuple):
     reg_covar: float = 1e-6
     chunk_size: int = 4096  # E/M scan chunk (memory knob, no math effect)
     kmeans_iter: int = 50
+    init: str = "kmeans"    # 'kmeans' | 'random' (sklearn's init_params)
+    axis_name: Optional[str] = None  # data-parallel axis under shard_map:
+    # sufficient statistics are psum'd over it (EM's gradient-all-reduce
+    # analog); requires init='random' for a globally consistent start
 
 
 class GmmParams(NamedTuple):
@@ -140,9 +144,14 @@ def _resp_chunk(xc, mc, log_weights, log_prob_fn):
 
 
 def accumulate_stats(x: jax.Array, mask_x, log_weights: jax.Array,
-                     log_prob_fn, diag: bool, chunk: int) -> _Stats:
+                     log_prob_fn, diag: bool, chunk: int,
+                     axis_name=None) -> _Stats:
     """One scan over the data computing responsibilities chunk-by-chunk and
-    accumulating (Nk, sum r.x, sum r.xx^H, sum log-norm)."""
+    accumulating (Nk, sum r.x, sum r.xx^H, sum log-norm).
+
+    Under shard_map with `axis_name`, the statistics are psum'd over the data
+    axis — one all-reduce of O(K D^2) per EM iteration, the EM analog of
+    gradient all-reduce."""
     xs, mask = mask_x if mask_x is not None else _chunk(x, chunk)
     k = log_weights.shape[0]
     d = xs.shape[-1]
@@ -164,6 +173,8 @@ def accumulate_stats(x: jax.Array, mask_x, log_weights: jax.Array,
         return _Stats(nk, sx, sxx, stats.log_norm + ln), None
 
     stats, _ = jax.lax.scan(body, init, (xs, mask))
+    if axis_name is not None:
+        stats = jax.lax.psum(stats, axis_name)
     return stats
 
 
@@ -224,8 +235,15 @@ def _m_step_toeplitz(stats: _Stats, cfg: GmmConfig, prev_covs: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _init_resp_stats(key, x, cfg: GmmConfig, diag: bool, chunk: int) -> _Stats:
-    """Hard-assignment responsibilities from k-means on [Re; Im]-stacked data
-    (`gmm_cplx_bussgang.py:549-574`), folded straight into sufficient stats."""
+    """Initial responsibilities folded straight into sufficient stats.
+
+    init='kmeans': hard assignment from k-means on [Re; Im]-stacked data
+    (`gmm_cplx_bussgang.py:549-574`). init='random': uniform random
+    responsibilities (sklearn init_params='random',
+    `gmm_cplx_bussgang.py:568-570`) — the choice for shard_map data-parallel
+    fits, where per-shard k-means would give inconsistent centers."""
+    if cfg.init == "random":
+        return _init_random_stats(key, x, cfg, diag, chunk)
     labels = kmeans(key, cplx2real(x, axis=-1).astype(jnp.float32),
                     cfg.n_components, max_iter=cfg.kmeans_iter).labels
     k = cfg.n_components
@@ -254,6 +272,42 @@ def _init_resp_stats(key, x, cfg: GmmConfig, diag: bool, chunk: int) -> _Stats:
     return stats
 
 
+def _init_random_stats(key, x, cfg: GmmConfig, diag: bool, chunk: int) -> _Stats:
+    """Random-responsibility init (rows of U(0,1) normalized to sum 1).
+
+    The PRNG folds in the GLOBAL chunk index so a shard_map fit draws the
+    same per-sample responsibilities as a single-device fit with the same
+    chunk size (init is then bit-deterministic across layouts)."""
+    k = cfg.n_components
+    d = x.shape[-1]
+    xs, mask = _chunk(x, chunk)
+    chunk_offset = 0
+    if cfg.axis_name is not None:
+        chunk_offset = jax.lax.axis_index(cfg.axis_name) * xs.shape[0]
+    sxx0 = (jnp.zeros((k, d), jnp.float32) if diag
+            else jnp.zeros((k, d, d), x.dtype))
+    init = _Stats(jnp.zeros((k,), jnp.float32), jnp.zeros((k, d), x.dtype),
+                  sxx0, jnp.zeros((), jnp.float32))
+
+    def body(carry, inputs):
+        stats, i = carry
+        xc, mc = inputs
+        resp = jax.random.uniform(jax.random.fold_in(key, chunk_offset + i),
+                                  (xc.shape[0], k), dtype=jnp.float32)
+        resp = resp / jnp.sum(resp, axis=-1, keepdims=True) * mc[:, None]
+        nk = stats.nk + jnp.sum(resp, axis=0)
+        sx = stats.sx + jnp.einsum("nk,nd->kd", resp.astype(xc.real.dtype), xc)
+        if diag:
+            sxx = stats.sxx + jnp.einsum("nk,nd->kd", resp, jnp.abs(xc) ** 2)
+        else:
+            rx = resp.astype(xc.real.dtype).T[..., None] * xc[None, :, :]
+            sxx = stats.sxx + jnp.einsum("knd,ne->kde", rx, jnp.conj(xc))
+        return (_Stats(nk, sx, sxx, stats.log_norm), i + 1), None
+
+    (stats, _), _ = jax.lax.scan(body, (init, 0), (xs, mask))
+    return stats
+
+
 # ---------------------------------------------------------------------------
 # EM drivers
 # ---------------------------------------------------------------------------
@@ -270,8 +324,13 @@ class _FullState(NamedTuple):
 
 def _em_loop(x, init_stats: _Stats, cfg: GmmConfig, mode: str,
              f2: Optional[jax.Array]):
-    """Shared EM driver. mode in {'full', 'diag', 'inv-em'}."""
+    """Shared EM driver. mode in {'full', 'diag', 'inv-em'}.
+
+    With cfg.axis_name set (under shard_map), x is the per-device shard; the
+    statistics all-reduce makes every device run the identical M-step."""
     n = x.shape[0]
+    if cfg.axis_name is not None:
+        n = n * jax.lax.axis_size(cfg.axis_name)
     diag = mode == "diag"
     xs_mask = _chunk(x, min(cfg.chunk_size, x.shape[0]))
 
@@ -307,7 +366,7 @@ def _em_loop(x, init_stats: _Stats, cfg: GmmConfig, mode: str,
     def em_iter(state: _FullState) -> _FullState:
         stats = accumulate_stats(x, xs_mask, jnp.log(state.weights),
                                  log_prob_fn(state), diag,
-                                 cfg.chunk_size)
+                                 cfg.chunk_size, axis_name=cfg.axis_name)
         new = params_from_stats(stats, state)
         lb = stats.log_norm / n
         return new._replace(lower_bound=lb, prev_lb=state.lower_bound,
@@ -356,11 +415,16 @@ def fit(key: jax.Array, h: jax.Array, cfg: GmmConfig) -> GmmFitResult:
     d = h.shape[-1]
     dtype = h.dtype
 
+    def init_stats_fn(x, diag):
+        s = _init_resp_stats(key, x, cfg, diag=diag, chunk=cfg.chunk_size)
+        if cfg.axis_name is not None:
+            s = jax.lax.psum(s, cfg.axis_name)
+        return s
+
     if cfg.cov_type in ("circulant", "block-circulant"):
         f = _dft_for(cfg, d, dtype)
         x = h @ f.T  # unitary-DFT-domain data
-        init_stats = _init_resp_stats(key, x, cfg, diag=True,
-                                      chunk=cfg.chunk_size)
+        init_stats = init_stats_fn(x, True)
         state, converged = _em_loop(x, init_stats, cfg, "diag", None)
         means = state.means @ jnp.conj(f)  # back-transform row vectors
         covs = jnp.einsum("fd,kf,fe->kde", jnp.conj(f),
@@ -368,18 +432,15 @@ def fit(key: jax.Array, h: jax.Array, cfg: GmmConfig) -> GmmFitResult:
         covs = linalg.hermitize(covs)
     elif cfg.cov_type in ("toeplitz", "block-toeplitz"):
         f2 = _oversampled_dft_for(cfg, d, dtype)
-        init_stats = _init_resp_stats(key, h, cfg, diag=False,
-                                      chunk=cfg.chunk_size)
+        init_stats = init_stats_fn(h, False)
         state, converged = _em_loop(h, init_stats, cfg, "inv-em", f2)
         means, covs = state.means, linalg.hermitize(state.covs)
     elif cfg.cov_type == "full":
-        init_stats = _init_resp_stats(key, h, cfg, diag=False,
-                                      chunk=cfg.chunk_size)
+        init_stats = init_stats_fn(h, False)
         state, converged = _em_loop(h, init_stats, cfg, "full", None)
         means, covs = state.means, linalg.hermitize(state.covs)
     elif cfg.cov_type == "diag":
-        init_stats = _init_resp_stats(key, h, cfg, diag=True,
-                                      chunk=cfg.chunk_size)
+        init_stats = init_stats_fn(h, True)
         state, converged = _em_loop(h, init_stats, cfg, "diag", None)
         means = state.means
         covs = state.covs[:, :, None].astype(dtype) * jnp.eye(d, dtype=dtype)

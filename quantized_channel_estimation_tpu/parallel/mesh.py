@@ -71,6 +71,37 @@ def fit_gmm_sharded(mesh: Mesh, key: jax.Array, h: jax.Array,
         return gmm.fit(key, h, cfg)
 
 
+def fit_gmm_shard_map(mesh: Mesh, key: jax.Array, h: jax.Array,
+                      cfg: GmmConfig) -> gmm.GmmFitResult:
+    """Data-parallel GMM EM with EXPLICIT collectives: each device runs the
+    fused E+M scan on its local shard, sufficient statistics are psum'd over
+    the 'data' axis (gmm.accumulate_stats with cfg.axis_name), and the M-step
+    runs replicated. One O(K D^2) all-reduce per EM iteration riding ICI.
+
+    Requires cfg.init='random' (per-shard k-means would give inconsistent
+    initial centers); the config is rewritten accordingly.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    cfg = cfg._replace(axis_name=DATA_AXIS, init="random")
+    n_shards = mesh.shape[DATA_AXIS]
+    assert h.shape[0] % n_shards == 0, (
+        f"n_samples {h.shape[0]} must divide over {n_shards} data shards")
+
+    def body(key, h_local):
+        return gmm.fit.__wrapped__(key, h_local, cfg)
+
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, *([None] * (h.ndim - 1)))),
+        out_specs=P(),
+        check_vma=False)
+    return jax.jit(mapped)(key, h)
+
+
 def estimate_sharded(mesh: Mesh, bank: PreparedBank, r: jax.Array,
                      mode: Union[str, int, float] = "all",
                      chunk_size: int = 2048) -> jax.Array:

@@ -1,0 +1,142 @@
+"""Continuous batching service for channel-estimation requests.
+
+Production-serving layer (no counterpart in the reference, which is a batch
+research codebase — SURVEY §2.4 names this as new design): requests of
+varying sizes are coalesced into fixed-shape microbatches (powers of two up
+to `max_batch`) so XLA reuses a small set of compiled programs, and are
+flushed either when a batch fills or when the oldest request exceeds
+`max_delay_ms`.
+
+The estimator bank is prepared per SNR once and cached (pure pytrees — cheap
+to hold many). The compute path is the fused Pallas kernel when available,
+falling back to the einsum estimator.
+"""
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quantized_channel_estimation_tpu.models import gmm_estimator
+from quantized_channel_estimation_tpu.models.gmm import GmmParams
+from quantized_channel_estimation_tpu.models.gmm_estimator import PreparedBank
+from quantized_channel_estimation_tpu.ops import quantizer as Q
+from quantized_channel_estimation_tpu.ops.boundary import asnumpy, cjit
+
+
+@dataclass
+class _Request:
+    r: np.ndarray                 # (n, M) complex observations
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+
+
+class EstimationService:
+    """Microbatching front-end over a prepared GMM bank.
+
+    submit() is thread-safe and blocks until the estimate is ready; a
+    background thread coalesces outstanding requests per SNR into padded
+    fixed-shape batches.
+    """
+
+    def __init__(self, params: GmmParams, a, n_bits, quantizer_type="uniform",
+                 max_batch: int = 4096, max_delay_ms: float = 5.0,
+                 use_pallas: bool = False, mode="all"):
+        self.params = params
+        self.a = a
+        self.n_bits = n_bits
+        self.quantizer_type = quantizer_type
+        self.max_batch = max_batch
+        self.max_delay = max_delay_ms / 1000.0
+        self.mode = mode
+        self.use_pallas = use_pallas
+        self._banks: Dict[float, PreparedBank] = {}
+        self._queues: Dict[float, List[Tuple[float, _Request]]] = {}
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._prepare = cjit(gmm_estimator.prepare_bank, static_argnums=(3,))
+        if use_pallas:
+            from quantized_channel_estimation_tpu.estimators import (
+                pallas_kernels as pk)
+            self._estimate = cjit(
+                lambda b, r: pk.estimate(b, r), static_argnums=())
+        else:
+            self._estimate = cjit(gmm_estimator.estimate,
+                                  static_argnums=(2, 3))
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _bank(self, snr: float) -> PreparedBank:
+        if snr not in self._banks:
+            q = Q.design_quantizer(snr, self.n_bits, self.quantizer_type)
+            self._banks[snr] = self._prepare(self.params, snr, self.a,
+                                             self.n_bits, q)
+        return self._banks[snr]
+
+    def submit(self, r: np.ndarray, snr: float,
+               timeout: Optional[float] = 30.0) -> np.ndarray:
+        """Estimate channels for observations r (n, M) at the given SNR."""
+        req = _Request(np.asarray(r))
+        with self._lock:
+            self._queues.setdefault(snr, []).append((time.monotonic(), req))
+        if not req.event.wait(timeout):
+            raise TimeoutError("estimation request timed out")
+        return req.result
+
+    def _flush(self, snr: float, batch: List[Tuple[float, _Request]]):
+        reqs = [b[1] for b in batch]
+        rs = np.concatenate([q.r for q in reqs], axis=0)
+        n = rs.shape[0]
+        # pad to the next power of two (bounded compiled-program count)
+        n_pad = 1 << max(0, (n - 1).bit_length())
+        n_pad = min(max(n_pad, 16), max(self.max_batch, n_pad))
+        rp = np.zeros((n_pad, rs.shape[1]), rs.dtype)
+        rp[:n] = rs
+        bank = self._bank(snr)
+        if self.use_pallas:
+            out = self._estimate(bank, rp)
+        else:
+            out = self._estimate(bank, rp, self.mode, min(n_pad, 2048))
+        out_np = asnumpy(out)[:n]
+        off = 0
+        for q in reqs:
+            m = q.r.shape[0]
+            q.result = out_np[off:off + m]
+            off += m
+            q.event.set()
+
+    def _loop(self):
+        while not self._stop.is_set():
+            flushed = False
+            with self._lock:
+                work = []
+                now = time.monotonic()
+                for snr, queue in self._queues.items():
+                    if not queue:
+                        continue
+                    total = sum(q.r.shape[0] for _, q in queue)
+                    oldest = queue[0][0]
+                    if total >= self.max_batch or now - oldest >= self.max_delay:
+                        take, keep, acc = [], [], 0
+                        for item in queue:
+                            if acc < self.max_batch:
+                                take.append(item)
+                                acc += item[1].r.shape[0]
+                            else:
+                                keep.append(item)
+                        self._queues[snr] = keep
+                        work.append((snr, take))
+            for snr, batch in work:
+                self._flush(snr, batch)
+                flushed = True
+            if not flushed:
+                time.sleep(0.0005)
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)

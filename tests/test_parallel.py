@@ -1,0 +1,75 @@
+"""Multi-device (8 virtual CPU) sharding tests: shard_map EM equals the
+single-device fit, sharded estimation equals unsharded."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantized_channel_estimation_tpu.models import gmm, gmm_estimator
+from quantized_channel_estimation_tpu.ops import observation, pilots, scm
+from quantized_channel_estimation_tpu.ops import quantizer as Q
+from quantized_channel_estimation_tpu.parallel import mesh as pmesh
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def data():
+    key = jax.random.PRNGKey(70)
+    h, _ = scm.generate_channels(key, 16000, scm.ScmConfig(8, 1))
+    return h
+
+
+def test_shard_map_em_matches_single_device(data):
+    """Explicit psum'd EM on an 8-way data mesh must produce the same model
+    as the single-process fit with the same random init."""
+    # chunk_size must equal the per-device chunking for the global-chunk-index
+    # PRNG alignment: 16000 samples / 8 shards = 2000 local, chunk 1000
+    cfg = gmm.GmmConfig(n_components=4, zero_mean=True, max_iter=10,
+                        init="random", chunk_size=1000)
+    key = jax.random.PRNGKey(71)
+
+    m = pmesh.make_mesh(8, 1)
+    fit_dist = pmesh.fit_gmm_shard_map(m, key, data, cfg)
+
+    fit_single = gmm.fit(key, data, cfg)
+
+    # identical math up to float32 psum summation order, which compounds
+    # slightly over the EM iterations
+    np.testing.assert_allclose(float(fit_dist.lower_bound),
+                               float(fit_single.lower_bound), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(fit_dist.params.weights),
+                               np.asarray(fit_single.params.weights),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(fit_dist.params.covariances),
+                               np.asarray(fit_single.params.covariances),
+                               atol=5e-3)
+
+
+def test_sharded_estimation_matches(data):
+    cfg = gmm.GmmConfig(n_components=4, zero_mean=True, max_iter=10,
+                        chunk_size=2000)
+    fit = gmm.fit(jax.random.PRNGKey(72), data[:8000], cfg)
+    snr, n_bits = 5.0, 2
+    a = pilots.pilot_matrix(8, 1, n_bits)
+    q = Q.design_quantizer(snr, n_bits)
+    r = observation.observe(jax.random.PRNGKey(73), data[8000:8800], snr, a,
+                            n_bits, q)
+    bank = gmm_estimator.prepare_bank(fit.params, snr, a, n_bits, q)
+    want = gmm_estimator.estimate(bank, r, "all")
+
+    m = pmesh.make_mesh(4, 2)
+    got = pmesh.estimate_sharded(m, bank, r, "all", chunk_size=200)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_random_init_fit_quality(data):
+    """Random init must converge to a usable model (possibly needing a few
+    more iterations than kmeans)."""
+    cfg = gmm.GmmConfig(n_components=4, zero_mean=True, max_iter=40,
+                        init="random")
+    fit = gmm.fit(jax.random.PRNGKey(74), data, cfg)
+    cfg_km = cfg._replace(init="kmeans")
+    fit_km = gmm.fit(jax.random.PRNGKey(74), data, cfg_km)
+    assert float(fit.lower_bound) > float(fit_km.lower_bound) - 0.5

@@ -1,0 +1,68 @@
+"""Continuous-batching estimation service."""
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from quantized_channel_estimation_tpu import serving
+from quantized_channel_estimation_tpu.models import gmm, gmm_estimator
+from quantized_channel_estimation_tpu.ops import observation, pilots, scm
+from quantized_channel_estimation_tpu.ops import quantizer as Q
+
+N_ANT = 16
+
+
+@pytest.fixture(scope="module")
+def service_setup():
+    key = jax.random.PRNGKey(60)
+    h, _ = scm.generate_channels(key, 6000, scm.ScmConfig(N_ANT, 1))
+    fit = gmm.fit(jax.random.PRNGKey(61), h[:5000],
+                  gmm.GmmConfig(n_components=4, max_iter=10, chunk_size=2048))
+    a = pilots.pilot_matrix(N_ANT, 1, 2)
+    return fit.params, a, h[5000:]
+
+
+def test_single_request_matches_direct(service_setup):
+    params, a, h_val = service_setup
+    snr = 5.0
+    q = Q.design_quantizer(snr, 2)
+    r = observation.observe(jax.random.PRNGKey(62), h_val[:100], snr, a, 2, q)
+    r_np = np.asarray(r)
+
+    svc = serving.EstimationService(params, a, 2, max_delay_ms=1.0)
+    try:
+        got = svc.submit(r_np, snr)
+        bank = gmm_estimator.prepare_bank(params, snr, a, 2, q)
+        want = np.asarray(gmm_estimator.estimate(bank, r, "all"))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    finally:
+        svc.close()
+
+
+def test_concurrent_requests_coalesce(service_setup):
+    params, a, h_val = service_setup
+    snr = 10.0
+    q = Q.design_quantizer(snr, 2)
+    r = observation.observe(jax.random.PRNGKey(63), h_val[:320], snr, a, 2, q)
+    r_np = np.asarray(r)
+    svc = serving.EstimationService(params, a, 2, max_delay_ms=20.0)
+    results = {}
+
+    def worker(i):
+        results[i] = svc.submit(r_np[i * 32:(i + 1) * 32], snr)
+
+    try:
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(10)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(30)
+        bank = gmm_estimator.prepare_bank(params, snr, a, 2, q)
+        want = np.asarray(gmm_estimator.estimate(bank, r, "all"))
+        for i in range(10):
+            np.testing.assert_allclose(results[i], want[i * 32:(i + 1) * 32],
+                                       atol=1e-4)
+    finally:
+        svc.close()
