@@ -51,6 +51,7 @@ class GmmConfig(NamedTuple):
     chunk_size: int = 4096  # E/M scan chunk (memory knob, no math effect)
     kmeans_iter: int = 50
     init: str = "kmeans"    # 'kmeans' | 'random' (sklearn's init_params)
+    n_init: int = 1         # EM restarts, best lower bound kept (sklearn n_init)
     axis_name: Optional[str] = None  # data-parallel axis under shard_map:
     # sufficient statistics are psum'd over it (EM's gradient-all-reduce
     # analog); requires init='random' for a globally consistent start
@@ -220,10 +221,20 @@ def _m_step_toeplitz(stats: _Stats, cfg: GmmConfig, prev_covs: jax.Array,
     s = stats.sxx / nk[:, None, None].astype(stats.sxx.dtype)
     if not cfg.zero_mean:
         s = s - means[:, :, None] * jnp.conj(means[:, None, :])
-    cinv = linalg.hermitian_inv(prev_covs, jitter=cfg.reg_covar)
+    # eigenvalue-truncating pseudo-inverse like the reference's
+    # np.linalg.pinv(..., hermitian=True) (`gmm_cplx_bussgang.py:817`):
+    # a jittered Cholesky inverse would blow C^{-1} up to 1/reg_covar on the
+    # near-singular SCM covariances and destabilize the fixed point
+    cinv = linalg.psd_pinv(prev_covs, rcond=1e-7)
     m = cinv @ s @ cinv - cinv  # (K, D, D)
     theta = jnp.real(jnp.einsum("fd,kde,fe->kf", f2, m, jnp.conj(f2)))
-    sigma_spec = sigma_spec + sigma_spec ** 2 * theta
+    # trust region on the multiplicative fixed-point step: the raw update
+    # sigma += sigma^2 theta can overshoot catastrophically in float32 on
+    # peaked spectra (the reference survives only by running float64); capping
+    # the per-iteration change preserves the fixed point (where the step is
+    # small) while keeping the iteration stable
+    raw = sigma_spec + sigma_spec ** 2 * theta
+    sigma_spec = jnp.clip(raw, 0.1 * sigma_spec, 10.0 * sigma_spec)
     sigma_spec = jnp.maximum(sigma_spec, cfg.reg_covar)
     covs = jnp.einsum("fd,kf,fe->kde", jnp.conj(f2), sigma_spec.astype(stats.sxx.dtype), f2)
     covs = linalg.add_jitter(covs, cfg.reg_covar)
@@ -406,12 +417,7 @@ def _oversampled_dft_for(cfg: GmmConfig, d: int, dtype) -> jax.Array:
                     linalg.oversampled_dft(n2, dtype))
 
 
-@partial(jax.jit, static_argnums=(2,))
-def fit(key: jax.Array, h: jax.Array, cfg: GmmConfig) -> GmmFitResult:
-    """Fit the complex GMM with EM; always returns full-covariance complex
-    parameters on the original data domain (the reference converts its
-    structured fits to 'full' for estimation, `gmm_cplx_bussgang.py:104-161`).
-    """
+def _fit_once(key: jax.Array, h: jax.Array, cfg: GmmConfig) -> GmmFitResult:
     d = h.shape[-1]
     dtype = h.dtype
 
@@ -452,6 +458,30 @@ def fit(key: jax.Array, h: jax.Array, cfg: GmmConfig) -> GmmFitResult:
     prec = linalg.robust_precision_cholesky(covs)
     params = GmmParams(state.weights, means, covs, prec)
     return GmmFitResult(params, state.lower_bound, state.n_iter, converged)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def fit(key: jax.Array, h: jax.Array, cfg: GmmConfig) -> GmmFitResult:
+    """Fit the complex GMM with EM; always returns full-covariance complex
+    parameters on the original data domain (the reference converts its
+    structured fits to 'full' for estimation, `gmm_cplx_bussgang.py:104-161`).
+
+    Runs cfg.n_init restarts with distinct init keys and keeps the best
+    lower bound (sklearn's n_init; `gmm_cplx_bussgang.py:500-527`).
+
+    All EM matmuls run at 'highest' precision: TPU default matmul precision
+    (bfloat16 multiplies) corrupts the covariance sufficient statistics
+    enough to NaN the factorizations at D=64 — verified on hardware; the
+    estimation path is insensitive and keeps the default.
+    """
+    with jax.default_matmul_precision("highest"):
+        best = _fit_once(key, h, cfg)
+        for i in range(1, cfg.n_init):
+            cand = _fit_once(jax.random.fold_in(key, i), h, cfg)
+            take = cand.lower_bound > best.lower_bound
+            best = jax.tree_util.tree_map(
+                lambda c, b: jnp.where(take, c, b), cand, best)
+        return best
 
 
 def predict_proba(params: GmmParams, x: jax.Array) -> jax.Array:

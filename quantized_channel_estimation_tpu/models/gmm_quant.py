@@ -143,7 +143,22 @@ def _recover_covs(stats: _QStats, cfg: GmmConfig, n_bits, sigma2,
     return covs, covs_quant
 
 
+
+
+def _highest_precision(fn):
+    """EM matmuls need full float32 precision: TPU default (bfloat16
+    multiplies) corrupts sufficient statistics enough to NaN factorizations
+    at D=64 (see gmm.fit)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+    return wrapped
+
 @partial(jax.jit, static_argnums=(2, 3, 6))
+@_highest_precision
 def fit(key: jax.Array, r: jax.Array, cfg: GmmConfig, n_bits, sigma2,
         q: Optional[ScalarQuantizer] = None,
         quantizer_type: str = "uniform") -> QuantGmmFitResult:
@@ -198,12 +213,14 @@ def fit(key: jax.Array, r: jax.Array, cfg: GmmConfig, n_bits, sigma2,
                                          pos_tau, state.covs_quant, gn_key, eye)
         if inv_em:
             # Barton-Fuhrmann projection applied to the *recovered* covariance
-            # (`gmm_cplx_quant.py:880-945`)
-            cinv = linalg.hermitian_inv(state.covs, jitter=cfg.reg_covar)
+            # (`gmm_cplx_quant.py:880-945`); pseudo-inverse + trust-region
+            # step for float32 stability (see gmm._m_step_toeplitz)
+            cinv = linalg.psd_pinv(state.covs, rcond=1e-7)
             m = cinv @ covs @ cinv - cinv
             theta = jnp.real(jnp.einsum("fd,kde,fe->kf", f2, m, jnp.conj(f2)))
+            raw = state.sigma_spec + state.sigma_spec ** 2 * theta
             sigma_spec = jnp.maximum(
-                state.sigma_spec + state.sigma_spec ** 2 * theta,
+                jnp.clip(raw, 0.1 * state.sigma_spec, 10.0 * state.sigma_spec),
                 cfg.reg_covar)
             covs = jnp.einsum("fd,kf,fe->kde", jnp.conj(f2),
                               sigma_spec.astype(dtype), f2) + cfg.reg_covar * eye

@@ -67,11 +67,30 @@ def kmeans(key: jax.Array, x: jax.Array, k: int, max_iter: int = 50,
         sums = onehot.T @ x  # (K, D)
         return sums / jnp.maximum(counts, 1.0)[:, None], counts
 
+    def relocate_empty(centers, counts):
+        """Move empty-cluster centers to the points farthest from their
+        assigned centers (sklearn's empty-cluster strategy); distinct points
+        for multiple empty clusters."""
+        dmin = jnp.min(_sq_dists(x, centers), axis=1)
+
+        def body(j, carry):
+            centers, dmin = carry
+            idx = jnp.argmax(dmin)
+            empty = counts[j] == 0
+            centers = centers.at[j].set(
+                jnp.where(empty, x[idx], centers[j]))
+            dmin = jnp.where(empty, dmin.at[idx].set(-1.0), dmin)
+            return centers, dmin
+
+        centers, _ = jax.lax.fori_loop(0, k, body, (centers, dmin))
+        return centers
+
     def body(state):
         centers, _, i, _ = state
         labels = assign(centers)
         new_centers, counts = update(labels)
         new_centers = jnp.where(counts[:, None] > 0, new_centers, centers)
+        new_centers = relocate_empty(new_centers, counts)
         shift = jnp.sum((new_centers - centers) ** 2)
         return new_centers, labels, i + 1, shift
 

@@ -122,7 +122,22 @@ def _weighted_cross(stats, mu_a, mu_b):
             + nk * mu_a[:, :, None] * jnp.conj(mu_b)[:, None, :])
 
 
+
+
+def _highest_precision(fn):
+    """EM matmuls need full float32 precision: TPU default (bfloat16
+    multiplies) corrupts sufficient statistics enough to NaN factorizations
+    at D=64 (see gmm.fit)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+    return wrapped
+
 @partial(jax.jit, static_argnums=(2,))
+@_highest_precision
 def fit(key: jax.Array, x: jax.Array, cfg: MfaConfig) -> MfaFitResult:
     """EM fit (`mofa_cplx_bussgang.py:94-113, 246-310`), statistics-based."""
     n, d = x.shape

@@ -1,0 +1,54 @@
+"""Harness variants: multi-pilot, Lloyd-Max quantizer, structured covariance
+types, 1-bit and inf-bit sweeps — end-to-end through run_gmm."""
+import numpy as np
+import pytest
+
+from quantized_channel_estimation_tpu.harness import run_gmm
+from quantized_channel_estimation_tpu.ops.quantizer import INF_BITS
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(n_antennas=16, n_components=4, n_train=8000, n_val=800,
+                snrs=(0, 10), gmm_max_iter=15,
+                results_dir=str(tmp_path / "results"),
+                cache_dir=str(tmp_path / "results" / "saves"),
+                eval_blmmse_genie=False, eval_ls_glob=False)
+    base.update(kw)
+    return run_gmm.GmmBenchConfig(**base)
+
+
+def test_multi_pilot(tmp_path):
+    # no SNR-monotonicity assertion: with amplitude-ramp multi-pilot configs
+    # the reference's scalar-beta Cr model is mismatched at high SNR and the
+    # MSE can genuinely increase (verified reference behavior)
+    mse, _, _ = run_gmm.run(_cfg(tmp_path, n_pilots=2), verbose=False)
+    assert 0 < mse["blmmse_gmm"][-1] < 1.0
+    assert 0 < mse["blmmse_gmm"][0] < 1.0
+
+
+def test_lloyd_quantizer(tmp_path):
+    mse, _, _ = run_gmm.run(_cfg(tmp_path, quantizer_type="lloyd", n_bits=3),
+                            verbose=False)
+    assert 0 < mse["blmmse_gmm"][-1] < 1.0
+
+
+@pytest.mark.parametrize("cov_type,blocks", [("circulant", None),
+                                             ("toeplitz", None),
+                                             ("block-circulant", (4, 4))])
+def test_structured_covariance(tmp_path, cov_type, blocks):
+    mse, _, _ = run_gmm.run(_cfg(tmp_path, cov_type=cov_type, blocks=blocks),
+                            verbose=False)
+    assert np.isfinite(mse["blmmse_gmm"][-1])
+    assert 0 < mse["blmmse_gmm"][-1] < 1.0
+
+
+@pytest.mark.parametrize("n_bits", [1, INF_BITS])
+def test_bit_extremes(tmp_path, n_bits):
+    mse, _, _ = run_gmm.run(_cfg(tmp_path, n_bits=n_bits), verbose=False)
+    assert 0 < mse["blmmse_gmm"][-1] < 1.0
+
+
+def test_one_bit_worse_than_inf(tmp_path):
+    m1, _, _ = run_gmm.run(_cfg(tmp_path, n_bits=1), verbose=False)
+    minf, _, _ = run_gmm.run(_cfg(tmp_path, n_bits=INF_BITS), verbose=False)
+    assert m1["blmmse_gmm"][-1] > minf["blmmse_gmm"][-1]

@@ -21,10 +21,11 @@ import numpy as np  # noqa: E402
 if not hasattr(np, "infty"):
     np.infty = np.inf
 
-N_ANT = 32
-K_COMP = 16
-N_TRAIN = 20_000
-N_VAL = 2_000
+N_ANT = int(os.environ.get("PARITY_N_ANT", 32))
+K_COMP = int(os.environ.get("PARITY_K", 16))
+N_TRAIN = int(os.environ.get("PARITY_NTRAIN", 20_000))
+N_VAL = int(os.environ.get("PARITY_NVAL", 2_000))
+MAX_ITER = int(os.environ.get("PARITY_MAXITER", 100))
 N_BITS = 2
 SNRS = [-10.0, 0.0, 10.0]
 
@@ -130,11 +131,12 @@ def main():
     t0 = time.time()
     fit = gmm.fit(jax.random.PRNGKey(7), h_train,
                   gmm.GmmConfig(n_components=K_COMP, zero_mean=True,
-                                max_iter=100))
+                                max_iter=MAX_ITER,
+                                n_init=int(os.environ.get("PARITY_NINIT", 1))))
     print(f"our GMM fit: {time.time() - t0:.1f}s ({int(fit.n_iter)} iters)")
     t0 = time.time()
     ref_gmm = RefGmm(n_components=K_COMP, covariance_type="full",
-                     max_iter=100)
+                     max_iter=MAX_ITER)
     ref_gmm.fit(h=h_np[:N_TRAIN], zero_mean=True)
     print(f"reference GMM fit: {time.time() - t0:.1f}s")
 
