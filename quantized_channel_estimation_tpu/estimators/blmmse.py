@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from quantized_channel_estimation_tpu.ops import linalg
 from quantized_channel_estimation_tpu.ops.bussgang import (
     arcsine_cov, blmmse_quantized_cov, bussgang_gain_diag)
+from quantized_channel_estimation_tpu.ops.precision import highest_precision
 from quantized_channel_estimation_tpu.ops.quantizer import (
     ScalarQuantizer, is_inf_bits)
 
@@ -50,6 +51,7 @@ def _effective_matrix_and_cr(cy: jax.Array, a: jax.Array, n_bits,
     return a_eff, cr
 
 
+@highest_precision
 def estimate_genie(r: jax.Array, t: jax.Array, snr_db, a: jax.Array,
                    n_bits, q: Optional[ScalarQuantizer] = None,
                    jitter: float = 1e-6) -> jax.Array:
@@ -67,6 +69,7 @@ def estimate_genie(r: jax.Array, t: jax.Array, snr_db, a: jax.Array,
     return jnp.einsum("...nm,...m->...n", cah, x)
 
 
+@highest_precision
 def global_filter(cov: jax.Array, snr_db, a: jax.Array, n_bits,
                   q: Optional[ScalarQuantizer] = None,
                   jitter: float = 1e-6) -> jax.Array:
@@ -81,6 +84,7 @@ def global_filter(cov: jax.Array, snr_db, a: jax.Array, n_bits,
     return jnp.conj(w_h).T
 
 
+@highest_precision
 def estimate_global(r: jax.Array, cov: jax.Array, snr_db, a: jax.Array,
                     n_bits, q: Optional[ScalarQuantizer] = None,
                     jitter: float = 1e-6) -> jax.Array:

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from quantized_channel_estimation_tpu.ops import linalg
 from quantized_channel_estimation_tpu.ops.bussgang import bussgang_gain_diag
+from quantized_channel_estimation_tpu.ops.precision import highest_precision
 from quantized_channel_estimation_tpu.ops.quantizer import (
     ScalarQuantizer, is_inf_bits)
 
@@ -40,6 +41,7 @@ def _ls_solve(a_eff: jax.Array, r: jax.Array, jitter: float) -> jax.Array:
                      jnp.zeros_like(h), h)
 
 
+@highest_precision
 def estimate_genie(r: jax.Array, t: jax.Array, snr_db, a: jax.Array, n_bits,
                    q: Optional[ScalarQuantizer] = None,
                    jitter: float = 1e-8) -> jax.Array:
@@ -54,6 +56,7 @@ def estimate_genie(r: jax.Array, t: jax.Array, snr_db, a: jax.Array, n_bits,
     return _ls_solve(a_eff, r, jitter)
 
 
+@highest_precision
 def estimate_global(r: jax.Array, cov: jax.Array, snr_db, a: jax.Array,
                     n_bits, q: Optional[ScalarQuantizer] = None,
                     jitter: float = 1e-8) -> jax.Array:

@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from quantized_channel_estimation_tpu.models.gmm_estimator import PreparedBank
+from quantized_channel_estimation_tpu.ops.precision import highest_precision
 
 
 class KernelBank(NamedTuple):
@@ -59,6 +60,7 @@ class KernelBank(NamedTuple):
     logw: jax.Array
 
 
+@highest_precision
 def kernel_bank(bank: PreparedBank) -> KernelBank:
     """Lower a PreparedBank to the kernel layout (jittable)."""
     k, d, m = bank.filters.shape

@@ -29,6 +29,7 @@ from quantized_channel_estimation_tpu.models.gmm import GmmParams, log_prob_full
 from quantized_channel_estimation_tpu.ops import linalg
 from quantized_channel_estimation_tpu.ops.bussgang import (
     arcsine_cov, bussgang_gain_diag)
+from quantized_channel_estimation_tpu.ops.precision import highest_precision
 from quantized_channel_estimation_tpu.ops.quantizer import (
     ScalarQuantizer, is_inf_bits)
 
@@ -47,6 +48,7 @@ class PreparedBank(NamedTuple):
     chol_cr: jax.Array        # (K, M, M) lower Cholesky of Cr (for reuse)
 
 
+@highest_precision
 def prepare_bank(params: GmmParams, snr_db, a: jax.Array, n_bits,
                  q: Optional[ScalarQuantizer] = None,
                  jitter: float = 1e-6) -> PreparedBank:
@@ -156,6 +158,7 @@ def _estimate_chunk(bank: PreparedBank, r: jax.Array, mode) -> jax.Array:
 
 
 @partial(jax.jit, static_argnums=(2, 3))
+@highest_precision
 def estimate(bank: PreparedBank, r: jax.Array,
              mode: Union[str, int, float] = "all",
              chunk_size: int = 2048) -> jax.Array:
