@@ -51,7 +51,8 @@ class PreparedBank(NamedTuple):
 @highest_precision
 def prepare_bank(params: GmmParams, snr_db, a: jax.Array, n_bits,
                  q: Optional[ScalarQuantizer] = None,
-                 jitter: float = 1e-6) -> PreparedBank:
+                 jitter: float = 1e-6,
+                 weight_floor: float = 1e-7) -> PreparedBank:
     """Build the Bussgang-linearized observation-domain bank
     (`gmm_cplx_bussgang.py:246-328`):
 
@@ -104,8 +105,16 @@ def prepare_bank(params: GmmParams, snr_db, a: jax.Array, n_bits,
     filters = jnp.conj(jnp.swapaxes(x, -1, -2))  # (K, D, M)
 
     bias = params.means - jnp.einsum("kdm,km->kd", filters, means_r)
-    return PreparedBank(jnp.log(params.weights), means_r, prec_chol, filters,
-                        bias, chol)
+    # Mask dead components: a collapsed EM fit can leave components with
+    # ~zero weight whose degenerate Cr models nevertheless win
+    # responsibilities at high SNR and wreck the combine (observed at
+    # K=64/2-bit/20 dB). The reference never prunes because its f64 EM
+    # rarely collapses; masking only excludes components that carry no
+    # probability mass anyway.
+    logw = jnp.where(params.weights >= weight_floor,
+                     jnp.log(jnp.maximum(params.weights, weight_floor)),
+                     -jnp.inf)
+    return PreparedBank(logw, means_r, prec_chol, filters, bias, chol)
 
 
 def responsibilities(bank: PreparedBank, r: jax.Array) -> jax.Array:

@@ -1,0 +1,46 @@
+"""EM fit-time benchmark (BASELINE.json metric: "EM fit time").
+
+Measures wall-clock for the standard-config GMM fit (K=64, D=64, N=100k,
+max_iter=100) on the current backend, with an honest scalar readback.
+
+Reference CPU comparison (this host, tools/measure_reference_baseline.py +
+parity runs): reference fit at K=32, D=64, N=30k, 100 iters ~ 25-40 min;
+ours: seconds.
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from quantized_channel_estimation_tpu.harness import stages
+    from quantized_channel_estimation_tpu.models import gmm
+    from quantized_channel_estimation_tpu.ops import scm
+    from quantized_channel_estimation_tpu.ops.boundary import cjit
+
+    key = jax.random.PRNGKey(0)
+    h, _ = stages.generate_channels(key, 100_000, scm.ScmConfig(64, 1))
+    fit_sum = cjit(
+        lambda k, hh, c: (lambda r: (r.lower_bound, r.n_iter))(
+            gmm.fit(k, hh, c)),
+        static_argnums=(2,))
+
+    cfg = gmm.GmmConfig(n_components=64, zero_mean=True, max_iter=100)
+    # warm-up = compile
+    lb, it = fit_sum(key, h, cfg)
+    print(f"warm: lb={float(lb):.2f} iters={int(it)}")
+    t0 = time.perf_counter()
+    lb, it = fit_sum(jax.random.fold_in(key, 1), h, cfg)
+    lb = float(lb)
+    dt = time.perf_counter() - t0
+    print(f"fit: {dt:.2f}s for {int(it)} EM iterations "
+          f"(K=64, D=64, N=100k) lb={lb:.2f}")
+    print(f"per-iteration: {dt / max(int(it), 1) * 1000:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,8 @@ N_TRAIN = int(os.environ.get("PARITY_NTRAIN", 20_000))
 N_VAL = int(os.environ.get("PARITY_NVAL", 2_000))
 MAX_ITER = int(os.environ.get("PARITY_MAXITER", 100))
 N_BITS = 2
-SNRS = [-10.0, 0.0, 10.0]
+SNRS = [float(s) for s in
+        os.environ.get("PARITY_SNRS", "-10,0,10").split(",")]
 
 
 def _shim_sklearn():
@@ -73,12 +74,14 @@ def main():
 
     report = []
 
-    def compare(name, snr, ours, refs, tol):
-        rel = abs(ours - refs) / max(abs(refs), 1e-12)
-        ok = rel < tol
+    def compare(name, snr, ours, refs, tol, one_sided=False):
+        rel = (ours - refs) / max(abs(refs), 1e-12)
+        # one_sided: lower MSE than the reference always passes (the target is
+        # "matched within the paper's deltas OR better", BASELINE.md)
+        ok = rel < tol if one_sided else abs(rel) < tol
         report.append((name, snr, ours, refs, rel, ok))
         print(f"{name:14s} snr={snr:6.1f}  ours={ours:.6f} ref={refs:.6f} "
-              f"rel={rel:.2e} {'OK' if ok else 'MISMATCH'}")
+              f"rel={rel:+.2e} {'OK' if ok else 'MISMATCH'}")
         return ok
 
     # quantizer bit-exactness
@@ -139,6 +142,10 @@ def main():
                      max_iter=MAX_ITER)
     ref_gmm.fit(h=h_np[:N_TRAIN], zero_mean=True)
     print(f"reference GMM fit: {time.time() - t0:.1f}s")
+    # compare achieved objective (mean per-sample log-likelihood) on the SAME
+    # training data: separates optimization quality from estimation parity
+    print(f"lower bound: ours={float(fit.lower_bound):.4f} "
+          f"ref={float(ref_gmm.gm.lower_bound_):.4f}")
 
     for snr in SNRS:
         r = r_by_snr[snr]
@@ -152,7 +159,7 @@ def main():
                                 ref_quant[snr])
         h_val_np = np.asarray(h_val, np.complex128)
         refm = np.sum(np.abs(ref - h_val_np) ** 2) / h_val_np.size
-        all_ok &= compare("blmmse_gmm", snr, ours, refm, 5e-2)
+        all_ok &= compare("blmmse_gmm", snr, ours, refm, 5e-2, one_sided=True)
 
     print("\nPARITY:", "PASS" if all_ok else "FAIL")
     return 0 if all_ok else 1
