@@ -244,12 +244,7 @@ def make_train_step(model: DnnVae, cfg: VaeConfig, a: Optional[jax.Array],
         q0 = quantizers[0] if quantizers else None
         return elbo_loss(cfg, out, None, x, snr_list=snr, q=q0)
 
-    @jax.jit
-    def step(state: VaeTrainState, h_train, key):
-        # h_train may arrive as a Packed (re, im) pair on backends without
-        # complex buffers; recombine inside the trace
-        from quantized_channel_estimation_tpu.ops.boundary import unpack
-        h_train = unpack(h_train)
+    def _one_step(state: VaeTrainState, h_train, key):
         kidx, kloss = jax.random.split(key)
         idx = jax.random.randint(kidx, (cfg.batch_size,), 0, h_train.shape[0])
         h_batch = h_train[idx]
@@ -264,6 +259,27 @@ def make_train_step(model: DnnVae, cfg: VaeConfig, a: Optional[jax.Array],
             lambda new, old: jnp.where(ok, new, old), opt_state, state.opt_state)
         return VaeTrainState(params, opt_state, state.step + 1), loss
 
+    @jax.jit
+    def step(state: VaeTrainState, h_train, key):
+        from quantized_channel_estimation_tpu.ops.boundary import unpack
+        return _one_step(state, unpack(h_train), key)
+
+    @partial(jax.jit, static_argnums=(3,))
+    def run_epoch(state: VaeTrainState, h_train, key, n_steps: int):
+        """n_steps SGD steps in one lax.scan — a single dispatch per epoch
+        (the per-step dispatch latency of a remote TPU runtime would
+        otherwise dominate training time)."""
+        from quantized_channel_estimation_tpu.ops.boundary import unpack
+        h = unpack(h_train)
+
+        def body(st, i):
+            return _one_step(st, h, jax.random.fold_in(key, i))
+
+        state, losses = jax.lax.scan(body, state, jnp.arange(n_steps))
+        return state, jnp.mean(jnp.where(jnp.isfinite(losses), losses,
+                                         jnp.nan))
+
+    step.run_epoch = run_epoch
     return step
 
 
@@ -299,14 +315,12 @@ def train(key, cfg: VaeConfig, h_train: jax.Array,
                 print(f"resumed VAE checkpoint at epoch {start_epoch}")
     step = make_train_step(model, cfg, a, jnp.asarray(snrs, jnp.float32),
                            quantizers)
-    steps = cfg.steps_per_epoch or max(1, h_train.shape[0] // cfg.batch_size)
+    n_train = jax.tree_util.tree_leaves(h_train)[0].shape[0]
+    steps = cfg.steps_per_epoch or max(1, n_train // cfg.batch_size)
     for epoch in range(start_epoch, cfg.epochs):
-        epoch_losses = []
-        for i in range(steps):
-            state, loss = step(state, h_train,
-                               jax.random.fold_in(k_train, epoch * steps + i))
-            epoch_losses.append(float(loss))
-        mean_loss = float(np.clip(np.nanmean(epoch_losses), -np.inf, 1000.0))
+        state, mean_loss = step.run_epoch(
+            state, h_train, jax.random.fold_in(k_train, epoch), steps)
+        mean_loss = float(np.clip(float(mean_loss), -np.inf, 1000.0))
         losses.append(mean_loss)
         if checkpoint_path and (epoch + 1) % checkpoint_every == 0:
             _save_checkpoint(checkpoint_path, state.params, epoch, losses)
