@@ -212,6 +212,22 @@ def design_lloyd(snr_db, n_bits: int, mixture_variances=None,
     return ScalarQuantizer(thresholds, labels, rho.astype(dtype))
 
 
+def design_lloyd_from_gmm(weights, variances, snr_db, n_bits: int,
+                          dtype=jnp.float32) -> "ScalarQuantizer":
+    """Lloyd-Max quantizer matched to a fitted GMM's per-component marginal
+    variances: the input density is the weighted mixture of
+    N(0, (sigma_k^2 + sigma_noise^2)/2) (`lloyd_max_quantizer.py:24-31`
+    with sigmas_gmm/pk_gmm).
+
+    weights: (K,) component weights; variances: (K,) per-component signal
+    variances (e.g. mean diagonal of each channel covariance).
+    """
+    return design_lloyd(snr_db, n_bits,
+                        mixture_variances=jnp.real(jnp.asarray(variances)),
+                        mixture_weights=jnp.asarray(weights, jnp.float32),
+                        dtype=dtype)
+
+
 def design_quantizer(snr_db, n_bits, quantizer_type: str = "uniform",
                      mixture_variances=None, mixture_weights=None,
                      dtype=jnp.float32) -> Optional[ScalarQuantizer]:

@@ -92,3 +92,18 @@ def test_lloyd_symmetric():
     np.testing.assert_allclose(th, -th[::-1], atol=1e-6)
     np.testing.assert_allclose(lb, -lb[::-1], atol=1e-6)
     assert np.all(np.diff(th) > 0)
+
+
+def test_lloyd_from_gmm_mixture():
+    """GMM-matched Lloyd design: mixture of two variances must give a design
+    between the two single-variance designs."""
+    import jax.numpy as jnp
+    lo = Q.design_lloyd(5.0, 3, mixture_variances=jnp.asarray([0.5]))
+    hi = Q.design_lloyd(5.0, 3, mixture_variances=jnp.asarray([2.0]))
+    mix = Q.design_lloyd_from_gmm(jnp.asarray([0.5, 0.5]),
+                                  jnp.asarray([0.5, 2.0]), 5.0, 3)
+    t_lo, t_hi, t_mix = (np.asarray(x.thresholds) for x in (lo, hi, mix))
+    pos = t_lo.shape[0] // 2  # compare the positive thresholds
+    assert np.all(t_mix[pos:] >= t_lo[pos:] - 1e-6)
+    assert np.all(t_mix[pos:] <= t_hi[pos:] + 1e-6)
+    assert np.all(np.diff(np.asarray(mix.thresholds)) > 0)
