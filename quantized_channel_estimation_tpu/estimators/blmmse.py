@@ -13,7 +13,6 @@ the near-singular 1-bit arcsine covariance, replacing the reference's pinv.
 """
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

@@ -28,7 +28,6 @@ TPU-first design:
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -493,3 +492,30 @@ def predict_proba(params: GmmParams, x: jax.Array) -> jax.Array:
     """Posterior component probabilities (N, K) (`gmm_cplx_bussgang.py:351-367`)."""
     lp = log_prob_full(x, params.means, params.prec_chol) + jnp.log(params.weights)[None, :]
     return jax.nn.softmax(lp, axis=-1)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def fit_resume(params: GmmParams, h: jax.Array, cfg: GmmConfig) -> GmmFitResult:
+    """Continue full-covariance EM from existing parameters — the
+    checkpoint-restart path (SURVEY §5; the reference's sklearn `warm_start`
+    plumbing exists but is never used, `gmm_cplx_bussgang.py:491`).
+
+    Only cov_type='full' state is resumable (all structured fits convert to
+    full post-fit, matching the reference's estimation-time invariant).
+    """
+    if cfg.cov_type != "full":
+        raise NotImplementedError("fit_resume supports cov_type='full' state")
+    with jax.default_matmul_precision("highest"):
+        d = h.shape[-1]
+        # one E-pass with the given params to produce equivalent sufficient
+        # statistics, then the standard loop continues from its M-step
+        xs_mask = _chunk(h, min(cfg.chunk_size, h.shape[0]))
+        stats = accumulate_stats(
+            h, xs_mask, jnp.log(params.weights),
+            lambda xc: log_prob_full(xc, params.means, params.prec_chol),
+            False, cfg.chunk_size, axis_name=cfg.axis_name)
+        state, converged = _em_loop(h, stats, cfg, "full", None)
+        covs = linalg.add_jitter(linalg.hermitize(state.covs), cfg.reg_covar)
+        prec = linalg.robust_precision_cholesky(covs)
+        out = GmmParams(state.weights, state.means, covs, prec)
+        return GmmFitResult(out, state.lower_bound, state.n_iter, converged)

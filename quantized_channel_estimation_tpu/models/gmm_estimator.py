@@ -18,7 +18,6 @@ Speed-of-light choices vs the reference:
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import NamedTuple, Optional, Union
 
@@ -149,7 +148,6 @@ def _selection_weights(proba: jax.Array, mode) -> jax.Array:
     # include indices up to (and incl.) the first where csum >= mode
     include_sorted = jnp.concatenate(
         [jnp.ones_like(csum[..., :1], bool), csum[..., :-1] < mode], axis=-1)
-    mask = jnp.zeros_like(proba, bool)
     mask = jnp.take_along_axis(
         include_sorted, jnp.argsort(order, axis=-1), axis=-1)
     sel = proba * mask

@@ -161,3 +161,14 @@ class TestGmmEstimation:
         for mode in ["all", 1, 3, 0.7]:
             w = gmm_estimator._selection_weights(proba, mode)
             np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_fit_resume_continues(rng, key):
+    """Resuming EM from checkpointed params must not degrade the lower bound
+    and should improve an unconverged fit."""
+    x, _ = _synthetic_mixture(rng, 4000)
+    cfg = gmm.GmmConfig(n_components=2, max_iter=3, tol=0.0, chunk_size=1024)
+    first = gmm.fit(key, jnp.asarray(x), cfg)
+    resumed = gmm.fit_resume(first.params, jnp.asarray(x),
+                             cfg._replace(max_iter=10))
+    assert float(resumed.lower_bound) >= float(first.lower_bound) - 1e-3
