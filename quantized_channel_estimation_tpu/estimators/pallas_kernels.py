@@ -43,16 +43,24 @@ from quantized_channel_estimation_tpu.ops.precision import highest_precision
 class KernelBank(NamedTuple):
     """PreparedBank re-laid-out for the kernel: all-real, component-batched.
 
-    pc_re/pc_im: (K, M, M)  conj(P_k) (y = r @ conj(P_k))
-    wt_re/wt_im: (K, M, D)  W_k^T (z = r @ W_k^T)
-    mu_re/mu_im: (K, 1, M)  mu~_k = means_r_k @ conj(P_k)
-    b_re/b_im:   (K, 1, D)  bias_k = mu_h,k - W_k mu_r,k
-    logw:        (K,)       log weights + 2 sum log diag(P_k)  [SMEM]
+    Complex GEMMs run as 3 real MXU matmuls (Karatsuba): for y = r B with
+    r = rr + i ri, B = B_re + i B_im,
+        P1 = rr B_re,  P2 = ri B_im,  P3 = (rr + ri)(B_re + B_im)
+        Re y = P1 - P2,  Im y = P3 - P1 - P2
+    so the bank stores B_re, B_im AND the precomputed sum B_re + B_im.
+
+    pc_re/pc_im/pc_s: (K, M, M)  conj(P_k) (+ sum plane)
+    wt_re/wt_im/wt_s: (K, M, D)  W_k^T (+ sum plane)
+    mu_re/mu_im:      (K, 1, M)  mu~_k = means_r_k @ conj(P_k)
+    b_re/b_im:        (K, 1, D)  bias_k = mu_h,k - W_k mu_r,k
+    logw:             (K,)       log weights + 2 sum log diag(P_k)  [SMEM]
     """
     pc_re: jax.Array
     pc_im: jax.Array
+    pc_s: jax.Array
     wt_re: jax.Array
     wt_im: jax.Array
+    wt_s: jax.Array
     mu_re: jax.Array
     mu_im: jax.Array
     b_re: jax.Array
@@ -70,43 +78,44 @@ def kernel_bank(bank: PreparedBank) -> KernelBank:
     diag = jnp.real(jnp.diagonal(bank.prec_chol_r, axis1=-2, axis2=-1))
     logw = bank.log_weights + 2.0 * jnp.sum(jnp.log(diag), axis=-1)
     b = bank.bias[:, None, :]  # (K, 1, D)
+    pc_re, pc_im = jnp.real(pc), jnp.imag(pc)
+    wt_re, wt_im = jnp.real(wt), jnp.imag(wt)
     return KernelBank(
-        jnp.real(pc), jnp.imag(pc), jnp.real(wt), jnp.imag(wt),
+        pc_re, pc_im, pc_re + pc_im, wt_re, wt_im, wt_re + wt_im,
         jnp.real(mu), jnp.imag(mu), jnp.real(b), jnp.imag(b),
         logw.astype(jnp.float32))
 
 
-def _estimate_kernel(logw, pc_re, pc_im, wt_re, wt_im, mu_re, mu_im,
-                     b_re, b_im, r_re, r_im, out_re, out_im, *, n_comp: int):
+def _estimate_kernel(logw, pc_re, pc_im, pc_s, wt_re, wt_im, wt_s,
+                     mu_re, mu_im, b_re, b_im, r_re, r_im, out_re, out_im,
+                     *, n_comp: int):
     """One sample tile: stream over K components with online softmax."""
     tile_n = r_re.shape[0]
     d = out_re.shape[1]
     rr = r_re[:]
     ri = r_im[:]
+    rs = rr + ri  # shared Karatsuba operand
+
+    def cmul(bre, bim, bsum):
+        """Complex (rr + i ri) @ (bre + i bim) via 3 real MXU matmuls."""
+        p1 = jnp.dot(rr, bre, preferred_element_type=jnp.float32)
+        p2 = jnp.dot(ri, bim, preferred_element_type=jnp.float32)
+        p3 = jnp.dot(rs, bsum, preferred_element_type=jnp.float32)
+        return p1 - p2, p3 - p1 - p2
 
     def body(k, carry):
         m_run, denom, acc_re, acc_im = carry
-        pcr = pc_re[k]
-        pci = pc_im[k]
-        # y = r @ conj(P_k): 4 real MXU matmuls
-        y_re = (jnp.dot(rr, pcr, preferred_element_type=jnp.float32)
-                - jnp.dot(ri, pci, preferred_element_type=jnp.float32))
-        y_im = (jnp.dot(rr, pci, preferred_element_type=jnp.float32)
-                + jnp.dot(ri, pcr, preferred_element_type=jnp.float32))
+        # y = r @ conj(P_k)
+        y_re, y_im = cmul(pc_re[k], pc_im[k], pc_s[k])
         dy_re = y_re - mu_re[k]
         dy_im = y_im - mu_im[k]
         quad = jnp.sum(dy_re * dy_re + dy_im * dy_im, axis=-1,
                        keepdims=True)  # (TN, 1)
         logit = logw[k] - quad
         # z = r @ W_k^T + b_k
-        wtr = wt_re[k]
-        wti = wt_im[k]
-        z_re = (jnp.dot(rr, wtr, preferred_element_type=jnp.float32)
-                - jnp.dot(ri, wti, preferred_element_type=jnp.float32)
-                + b_re[k])
-        z_im = (jnp.dot(rr, wti, preferred_element_type=jnp.float32)
-                + jnp.dot(ri, wtr, preferred_element_type=jnp.float32)
-                + b_im[k])
+        z_re, z_im = cmul(wt_re[k], wt_im[k], wt_s[k])
+        z_re = z_re + b_re[k]
+        z_im = z_im + b_im[k]
         # online softmax update
         m_new = jnp.maximum(m_run, logit)
         scale = jnp.exp(m_run - m_new)
@@ -142,22 +151,22 @@ def estimate_packed(kb: KernelBank, r_re: jax.Array, r_im: jax.Array,
     out_spec = pl.BlockSpec((tile_n, d), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_estimate_kernel, n_comp=k_comp)
-    flops = 8 * n * m * (m + d) * k_comp
+    flops = 6 * n * m * (m + d) * k_comp  # 3 real GEMMs per complex GEMM
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[smem_spec] + [bank_spec] * 8 + [data_spec, data_spec],
+        in_specs=[smem_spec] + [bank_spec] * 10 + [data_spec, data_spec],
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((n, d), jnp.float32),
                    jax.ShapeDtypeStruct((n, d), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=4 * (2 * n * m + 2 * n * d
-                                + 2 * k_comp * m * (m + d)),
+                                + 3 * k_comp * m * (m + d)),
             transcendentals=2 * n * k_comp),
         interpret=interpret,
-    )(kb.logw, kb.pc_re, kb.pc_im, kb.wt_re, kb.wt_im, kb.mu_re, kb.mu_im,
-      kb.b_re, kb.b_im, r_re, r_im)
+    )(kb.logw, kb.pc_re, kb.pc_im, kb.pc_s, kb.wt_re, kb.wt_im, kb.wt_s,
+      kb.mu_re, kb.mu_im, kb.b_re, kb.b_im, r_re, r_im)
 
 
 def estimate(bank: PreparedBank, r: jax.Array, tile_n: int = 512,
