@@ -38,6 +38,7 @@ from quantized_channel_estimation_tpu.models.gmm import (
 from quantized_channel_estimation_tpu.ops import cov_recovery, linalg
 from quantized_channel_estimation_tpu.ops.bussgang import (
     bussgang_gain_diag, quantized_variance)
+from quantized_channel_estimation_tpu.ops.precision import highest_precision
 from quantized_channel_estimation_tpu.ops.quantizer import (
     ScalarQuantizer, is_inf_bits)
 
@@ -153,21 +154,8 @@ def _recover_covs(stats: _QStats, cfg: GmmConfig, n_bits, sigma2,
 
 
 
-
-def _highest_precision(fn):
-    """EM matmuls need full float32 precision: TPU default (bfloat16
-    multiplies) corrupts sufficient statistics enough to NaN factorizations
-    at D=64 (see gmm.fit)."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
-            return fn(*args, **kwargs)
-    return wrapped
-
 @partial(jax.jit, static_argnums=(2, 3, 6))
-@_highest_precision
+@highest_precision
 def fit(key: jax.Array, r: jax.Array, cfg: GmmConfig, n_bits, sigma2,
         q: Optional[ScalarQuantizer] = None,
         quantizer_type: str = "uniform") -> QuantGmmFitResult:

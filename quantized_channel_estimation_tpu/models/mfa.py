@@ -42,6 +42,7 @@ from quantized_channel_estimation_tpu.models import gmm as gmm_mod
 from quantized_channel_estimation_tpu.models.gmm import GmmParams, _chunk
 from quantized_channel_estimation_tpu.models.kmeans import kmeans
 from quantized_channel_estimation_tpu.ops import linalg
+from quantized_channel_estimation_tpu.ops.precision import highest_precision
 from quantized_channel_estimation_tpu.ops.cplx import cplx2real
 
 
@@ -123,21 +124,8 @@ def _weighted_cross(stats, mu_a, mu_b):
 
 
 
-
-def _highest_precision(fn):
-    """EM matmuls need full float32 precision: TPU default (bfloat16
-    multiplies) corrupts sufficient statistics enough to NaN factorizations
-    at D=64 (see gmm.fit)."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
-            return fn(*args, **kwargs)
-    return wrapped
-
 @partial(jax.jit, static_argnums=(2,))
-@_highest_precision
+@highest_precision
 def fit(key: jax.Array, x: jax.Array, cfg: MfaConfig) -> MfaFitResult:
     """EM fit (`mofa_cplx_bussgang.py:94-113, 246-310`), statistics-based."""
     n, d = x.shape
