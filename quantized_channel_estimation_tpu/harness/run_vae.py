@@ -91,13 +91,15 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
     rate_cols = {f"vae_{cfg.vae_mode}_rstat": []}
     # one compiled eval program reused across the sweep: snr and the
     # quantizer tables are dynamic arguments
-    est_fn = cjit(lambda params, rr, aa, snr_db, q:
-                  vae.estimate(model, params, vcfg, rr, snr_db, aa, q))
+    # genie mode is genie-aided at eval: the encoder sees the true channel
+    est_fn = cjit(lambda params, rr, aa, snr_db, q, hh:
+                  vae.estimate(model, params, vcfg, rr, snr_db, aa, q,
+                               h_true=hh))
     for i, snr in enumerate(cfg.snrs):
         q = quantizer_by_snr[snr]
         r = stages.observe(jax.random.fold_in(k_obs, i), h_val, snr, a,
                            cfg.n_bits, q)
-        h_est = est_fn(state.params, r, a, float(snr), q)
+        h_est = est_fn(state.params, r, a, float(snr), q, h_val)
         mse_cols[f"vae_{cfg.vae_mode}"].append(stages.nmse(h_est, h_val))
         if cfg.eval_rate:
             rate_cols[f"vae_{cfg.vae_mode}_rstat"].append(

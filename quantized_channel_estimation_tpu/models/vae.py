@@ -345,16 +345,27 @@ def _save_checkpoint(path: str, params, epoch: int, losses) -> None:
 def estimate(model: DnnVae, params, cfg: VaeConfig, r: jax.Array,
              snr_db: float, a: jax.Array,
              q: Optional[ScalarQuantizer] = None,
-             chunk_size: int = 512, jitter: float = 1e-6) -> jax.Array:
+             chunk_size: int = 512, jitter: float = 1e-6,
+             h_true: Optional[jax.Array] = None) -> jax.Array:
     """Bussgang-LMMSE estimation from decoder outputs (`vae.py:157-228,
     376-431`): per-sample conditional covariance Ch = F^H diag(var) F, then
-    the standard per-bit Cr machinery and one batched solve."""
+    the standard per-bit Cr machinery and one batched solve.
+
+    Genie mode is genie-AIDED at evaluation: the encoder sees the true
+    channel (`vae.py:203-204`), so pass `h_true`; the LMMSE combine still
+    uses the quantized observation r. Other modes ignore `h_true`.
+    """
     n = cfg.n_antennas
     sigma2 = 10.0 ** (-snr_db / 10.0)
     f = linalg.unitary_dft(n, r.dtype)
+    genie = cfg.vae_mode == "genie"
+    if genie and h_true is None:
+        raise ValueError("genie-mode estimation needs h_true (the reference's"
+                         " genie VAE encoder sees the true channel at eval)")
 
-    def chunk_fn(rc):
-        x = obs_to_input(cfg, rc)
+    def chunk_fn(args):
+        rc, hc = args
+        x = fft_stack(hc) if genie else obs_to_input(cfg, rc)
         mu_dec, log_prec = model.apply(params, x,
                                        method=DnnVae.forward_nosamp)
         var = jnp.clip(jnp.exp(-log_prec), 1e-12, None)  # (B, N) FFT-domain
@@ -393,5 +404,7 @@ def estimate(model: DnnVae, params, cfg: VaeConfig, r: jax.Array,
     n_chunks = -(-n_samples // chunk_size)
     pad = n_chunks * chunk_size - n_samples
     rp = jnp.pad(r, ((0, pad), (0, 0))).reshape(n_chunks, chunk_size, -1)
-    out = jax.lax.map(chunk_fn, rp)
+    h_in = h_true if genie else jnp.zeros((n_samples, n), r.dtype)
+    hp = jnp.pad(h_in, ((0, pad), (0, 0))).reshape(n_chunks, chunk_size, -1)
+    out = jax.lax.map(chunk_fn, (rp, hp))
     return out.reshape(n_chunks * chunk_size, -1)[:n_samples]

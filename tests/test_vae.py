@@ -74,7 +74,9 @@ def test_estimation_beats_trivial(data, mode):
     snr = 10.0
     q = Q.design_quantizer(snr, cfg.n_bits)
     r = observation.observe(jax.random.PRNGKey(3), h_val, snr, a, cfg.n_bits, q)
-    h_est = vae.estimate(model, state.params, cfg, r, snr, a, q)
+    h_true = h_val if mode == "genie" else None  # genie eval is genie-aided
+    h_est = vae.estimate(model, state.params, cfg, r, snr, a, q,
+                         h_true=h_true)
     m = float(nmse(h_est, h_val))
     assert np.isfinite(m) and m < 1.0, (mode, m)
 

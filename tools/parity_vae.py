@@ -109,7 +109,7 @@ def main():
         r = observation.observe(jax.random.fold_in(key, int(snr)), h_val,
                                 snr, a, N_BITS, q)
         ours = float(nmse(vae.estimate(model, state.params, cfg, r, snr, a,
-                                       q), h_val))
+                                       q, h_true=h_val), h_val))
         r_np = np.asarray(r, np.complex128)
         refm, _, _ = ref.eval(h_val_np.copy(), r_np, snr, h_np[:N_TRAIN])
         rel = (ours - refm) / refm
