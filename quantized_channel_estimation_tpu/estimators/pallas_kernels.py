@@ -77,6 +77,11 @@ def kernel_bank(bank: PreparedBank) -> KernelBank:
     wt = jnp.swapaxes(bank.filters, -1, -2)  # (K, M, D)
     diag = jnp.real(jnp.diagonal(bank.prec_chol_r, axis1=-2, axis2=-1))
     logw = bank.log_weights + 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+    # Dead components carry log-weight -inf (prepare_bank's mask). The online
+    # softmax would compute exp(-inf - (-inf)) = NaN if such a component
+    # leads; a large finite floor keeps the recursion exact: exp(floor - m)
+    # underflows to 0 as soon as any live logit appears.
+    logw = jnp.maximum(logw, -1e30)
     b = bank.bias[:, None, :]  # (K, 1, D)
     pc_re, pc_im = jnp.real(pc), jnp.imag(pc)
     wt_re, wt_im = jnp.real(wt), jnp.imag(wt)

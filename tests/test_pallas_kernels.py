@@ -61,3 +61,16 @@ def test_estimate_wrapper_pads_and_matches(bank_and_obs):
     h_ein = gmm_estimator.estimate(bank, r_odd, "all")
     np.testing.assert_allclose(np.asarray(h_kern), np.asarray(h_ein),
                                atol=3e-4)
+
+
+def test_kernel_handles_dead_components(bank_and_obs):
+    """A masked (zero-weight, log-weight -inf) component in the LEADING
+    position must not NaN the online softmax."""
+    bank, r = bank_and_obs
+    dead_logw = bank.log_weights.at[0].set(-jnp.inf)
+    bank_dead = bank._replace(log_weights=dead_logw)
+    h_kern = pk.estimate(bank_dead, r[:256], tile_n=128, interpret=True)
+    h_ein = gmm_estimator.estimate(bank_dead, r[:256], "all")
+    assert np.all(np.isfinite(np.asarray(h_kern).view(np.float32)))
+    np.testing.assert_allclose(np.asarray(h_kern), np.asarray(h_ein),
+                               atol=3e-4)
