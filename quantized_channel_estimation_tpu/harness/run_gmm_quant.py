@@ -15,7 +15,6 @@ import time
 from typing import Sequence, Union
 
 import jax
-import jax.numpy as jnp
 
 from quantized_channel_estimation_tpu.harness import stages
 from quantized_channel_estimation_tpu.harness.run_gmm import (

@@ -301,7 +301,6 @@ def train(key, cfg: VaeConfig, h_train: jax.Array,
     losses: list = []
     if checkpoint_path:
         import os
-        from quantized_channel_estimation_tpu.utils.io import save_pytree_npz
         if os.path.exists(checkpoint_path):
             data = np.load(checkpoint_path, allow_pickle=True)
             flat_params = [jnp.asarray(data[f"leaf_{i}"])

@@ -18,7 +18,6 @@ are cjit-wrapped.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax

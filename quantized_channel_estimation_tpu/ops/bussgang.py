@@ -18,7 +18,6 @@ All functions are batched over leading axes and jittable; `n_bits` is static.
 """
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

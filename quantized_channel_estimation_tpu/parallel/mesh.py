@@ -22,11 +22,10 @@ from functools import partial
 from typing import Optional, Union
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from quantized_channel_estimation_tpu.models import gmm, gmm_estimator
-from quantized_channel_estimation_tpu.models.gmm import GmmConfig, GmmParams
+from quantized_channel_estimation_tpu.models.gmm import GmmConfig
 from quantized_channel_estimation_tpu.models.gmm_estimator import PreparedBank
 
 DATA_AXIS = "data"

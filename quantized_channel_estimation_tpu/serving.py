@@ -18,8 +18,6 @@ import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from quantized_channel_estimation_tpu.models import gmm_estimator
