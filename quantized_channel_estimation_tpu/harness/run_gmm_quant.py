@@ -33,6 +33,7 @@ class QuantGmmBenchConfig:
     n_pilots: int = 1
     n_bits: int = 2
     cov_type: str = "full"
+    blocks: tuple = None
     pilot_type: str = "angle_amp"
     quantizer_type: str = "uniform"
     snrs: Sequence[float] = (5,)
@@ -74,7 +75,8 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
                              cfg.snr_train, a, cfg.n_bits,
                              quantizers[cfg.snr_train])
     gcfg = gmm.GmmConfig(n_components=cfg.n_components, cov_type=cfg.cov_type,
-                         zero_mean=cfg.zero_mean_gmm, max_iter=cfg.max_iter)
+                         blocks=cfg.blocks, zero_mean=cfg.zero_mean_gmm,
+                         max_iter=cfg.max_iter)
     t0 = time.time()
     fit = stages.gmm_quant_fit(k_fit, r_train, gcfg, cfg.n_bits, sigma2_train,
                                quantizers[cfg.snr_train])
