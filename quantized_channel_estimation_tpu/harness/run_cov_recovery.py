@@ -111,6 +111,11 @@ def run(cfg: CovRecoveryConfig, verbose: bool = True):
         f"3gpp_path={cfg.n_path}_dim={cfg.n_dim}_bits={cfg.n_bits}"
         f"_mcs={cfg.mc_runs}_{cfg.quantizer_type}.csv")
     qio.write_result_csv(path, list(cfg.n_data_list), results)
+    qio.save_loglog_plot(
+        path.replace(".csv", ".png"), list(cfg.n_data_list), results,
+        title=f"NMSE of estimated {cfg.n_dim}x{cfg.n_dim} cov "
+              f"({cfg.n_bits}bit, {cfg.mc_runs}MC runs)",
+        xlabel="data samples", ylabel="NMSE")
     return results
 
 

@@ -115,9 +115,10 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
     if cfg.eval_rate:
         cols.update(rate_cols)
     qio.write_result_csv(os.path.join(out_dir, name + ".csv"), cfg.snrs, cols)
-    # params CSV (reference `Bussgang_VAE.py:174-182`)
+    # params CSV + loss PNG (reference `Bussgang_VAE.py:174-193`)
     qio.write_result_csv(os.path.join(out_dir, name + "_loss.csv"),
                          list(range(1, len(losses) + 1)), {"loss": losses})
+    qio.save_loss_plot(os.path.join(out_dir, name + "_loss.png"), losses)
     return mse_cols, rate_cols, {"train": train_time,
                                  "total": time.time() - t_start}
 

@@ -69,3 +69,39 @@ def load_gmm_params(path: str):
     data = np.load(path, allow_pickle=True)
     leaves = [data[f"leaf_{i}"] for i in range(4)]
     return GmmParams(*leaves)
+
+
+def save_loss_plot(path: str, losses, val_losses=None) -> None:
+    """Training-loss PNG like the reference's (`Bussgang_VAE.py:184-193`)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots()
+    ax.plot(range(1, len(losses) + 1), losses, label="train-loss")
+    if val_losses is not None:
+        ax.plot(range(1, len(val_losses) + 1), val_losses, label="val-loss")
+    ax.legend()
+    ax.set_xlabel("Epoch")
+    ax.set_ylabel("Loss")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def save_loglog_plot(path: str, x, series: Dict[str, Sequence[float]],
+                     title: str = "", xlabel: str = "", ylabel: str = "") -> None:
+    """Log-log comparison PNG like the reference's covariance-recovery figure
+    (`Covariance_recovery.py:160-167`)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots()
+    for name, vals in series.items():
+        ax.loglog(x, vals, label=name)
+    ax.legend()
+    ax.set_title(title)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path)
+    plt.close(fig)
