@@ -52,7 +52,18 @@ def generate_channels(key, n_batches: int, cfg: scm.ScmConfig, chunk=8192):
     return tree_concat(hs), tree_concat(ts)
 
 
-pilot_matrix = cjit(pilots.pilot_matrix, static_argnums=(0, 1, 2, 3))
+_pilot_matrix_j = cjit(
+    lambda n_ant, n_pil, n_bits, ptype, key: pilots.pilot_matrix(
+        n_ant, n_pil, n_bits, ptype, key),
+    static_argnums=(0, 1, 2, 3))
+
+
+def pilot_matrix(n_antennas, n_pilots, n_bits, pilot_type="angle_amp",
+                 key=None):
+    """Packed pilot matrix; pilot_type='rand' needs a PRNG key."""
+    if pilot_type == "rand" and key is None:
+        key = jax.random.PRNGKey(0)
+    return _pilot_matrix_j(n_antennas, n_pilots, n_bits, pilot_type, key)
 
 sample_cov = cjit(lambda h: jnp.einsum("nd,ne->de", h, jnp.conj(h))
                   / h.shape[0])
