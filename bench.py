@@ -82,7 +82,7 @@ def main():
         # the scalar sum forces every repeat's completion at one readback
         def one(i):
             xr = jax.tree_util.tree_map(lambda v: jnp.roll(v, i, axis=0), x)
-            return jnp.sum(jnp.abs(pk.estimate(b, xr, tile_n=1024)))
+            return jnp.sum(jnp.abs(pk.estimate_fused(b, xr)))
         return jnp.sum(jax.lax.map(one, jnp.arange(REPEATS)))
 
     run_j = cjit(run_all)

@@ -62,7 +62,7 @@ class EstimationService:
             from quantized_channel_estimation_tpu.estimators import (
                 pallas_kernels as pk)
             self._estimate = cjit(
-                lambda b, r: pk.estimate(b, r), static_argnums=())
+                lambda b, r: pk.estimate_fused(b, r), static_argnums=())
         else:
             self._estimate = cjit(gmm_estimator.estimate,
                                   static_argnums=(2, 3))

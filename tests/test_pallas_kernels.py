@@ -63,6 +63,43 @@ def test_estimate_wrapper_pads_and_matches(bank_and_obs):
                                atol=3e-4)
 
 
+def test_block_kernel_matches_einsum(bank_and_obs):
+    """Real-block layout (full-width MXU GEMMs) vs the einsum path."""
+    bank, r = bank_and_obs
+    h_blk = pk.estimate_block(bank, r[:777], tile_n=256, interpret=True)
+    h_ein = gmm_estimator.estimate(bank, r[:777], "all")
+    np.testing.assert_allclose(np.asarray(h_blk), np.asarray(h_ein),
+                               atol=3e-4)
+
+
+@pytest.mark.parametrize("group", [2, 4])
+def test_grouped_block_kernel_matches_einsum(bank_and_obs, group):
+    bank, r = bank_and_obs
+    h_g = pk.estimate_block_grouped(bank, r[:512], tile_n=128, group=group,
+                                    interpret=True)
+    h_ein = gmm_estimator.estimate(bank, r[:512], "all")
+    np.testing.assert_allclose(np.asarray(h_g), np.asarray(h_ein), atol=3e-4)
+
+
+def test_estimate_fused_dispatch(bank_and_obs):
+    """Canonical wrapper: group divides K, small batches pad to tile."""
+    bank, r = bank_and_obs
+    h_f = pk.estimate_fused(bank, r[:300], interpret=True)
+    h_ein = gmm_estimator.estimate(bank, r[:300], "all")
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_ein), atol=3e-4)
+
+
+def test_block_kernel_dead_components(bank_and_obs):
+    bank, r = bank_and_obs
+    dead_logw = bank.log_weights.at[0].set(-jnp.inf)
+    bank_dead = bank._replace(log_weights=dead_logw)
+    h_kern = pk.estimate_fused(bank_dead, r[:256], interpret=True)
+    h_ein = gmm_estimator.estimate(bank_dead, r[:256], "all")
+    assert np.all(np.isfinite(np.asarray(h_kern).view(np.float32)))
+    np.testing.assert_allclose(np.asarray(h_kern), np.asarray(h_ein),
+                               atol=3e-4)
+
+
 def test_kernel_handles_dead_components(bank_and_obs):
     """A masked (zero-weight, log-weight -inf) component in the LEADING
     position must not NaN the online softmax."""
