@@ -328,7 +328,8 @@ def estimate_block(bank: PreparedBank, r: jax.Array, tile_n: int = 1024,
 
 
 def _estimate_kernel_block_grouped(logw, pw, mu, b, r2, out, *, n_groups: int,
-                                   group: int, two_m: int):
+                                   group: int, two_m: int,
+                                   precision=None):
     """Like _estimate_kernel_block but `group` components share one GEMM:
     pw[g] is (2M, group*(2M+2D)) = [P_1|W_1|...|P_G|W_G], widening the MXU
     output dim and cutting loop-iteration count."""
@@ -339,7 +340,8 @@ def _estimate_kernel_block_grouped(logw, pw, mu, b, r2, out, *, n_groups: int,
 
     def body(g, carry):
         m_run, denom, acc = carry
-        yz = jnp.dot(rr, pw[g], preferred_element_type=jnp.float32)
+        yz = jnp.dot(rr, pw[g], preferred_element_type=jnp.float32,
+                     precision=precision)
         logits = []
         zs = []
         for j in range(group):  # static unroll
@@ -368,12 +370,13 @@ def _estimate_kernel_block_grouped(logw, pw, mu, b, r2, out, *, n_groups: int,
     out[:] = acc / denom
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def estimate_packed_block_grouped(kb: KernelBankBlock, r2: jax.Array,
                                   tile_n: int = 1024, group: int = 2,
-                                  interpret: bool = False):
+                                  interpret: bool = False, precision=None):
     """Block-GEMM estimation with `group` components per MXU call.
-    K must be a multiple of `group`."""
+    K must be a multiple of `group`. `precision` feeds the in-kernel dots
+    (None -> Mosaic default = full float32 passes)."""
     n, two_m = r2.shape
     k_comp = kb.pw.shape[0]
     two_d = kb.pw.shape[-1] - two_m
@@ -393,7 +396,8 @@ def estimate_packed_block_grouped(kb: KernelBankBlock, r2: jax.Array,
     out_spec = pl.BlockSpec((tile_n, two_d), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_estimate_kernel_block_grouped,
-                             n_groups=n_groups, group=group, two_m=two_m)
+                             n_groups=n_groups, group=group, two_m=two_m,
+                             precision=precision)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -411,7 +415,8 @@ def estimate_packed_block_grouped(kb: KernelBankBlock, r2: jax.Array,
 
 def estimate_block_grouped(bank: PreparedBank, r: jax.Array,
                            tile_n: int = 1024, group: int = 2,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           precision=None) -> jax.Array:
     """`estimate_block` with multi-component GEMMs."""
     kb = kernel_bank_block(bank)
     n = r.shape[0]
@@ -419,7 +424,8 @@ def estimate_block_grouped(bank: PreparedBank, r: jax.Array,
     rp = jnp.pad(r, ((0, n_pad - n), (0, 0)))
     r2 = jnp.concatenate([jnp.real(rp), jnp.imag(rp)],
                          axis=-1).astype(jnp.float32)
-    h2 = estimate_packed_block_grouped(kb, r2, tile_n, group, interpret)
+    h2 = estimate_packed_block_grouped(kb, r2, tile_n, group, interpret,
+                                       precision)
     d = h2.shape[-1] // 2
     return (h2[:, :d] + 1j * h2[:, d:])[:n].astype(r.dtype)
 
