@@ -90,10 +90,16 @@ def main():
     assert warm > 0 and jnp.isfinite(warm), warm
     log(f"warmup done (sum={warm:.3e})")
 
-    t0 = time.perf_counter()
-    total = float(run_j(bank, r))
-    dt = time.perf_counter() - t0
-    assert total > 0
+    # the tunnel produces multi-second latency outliers (which can only
+    # deflate the measured rate) -> report the median of 5 timed runs
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        total = float(run_j(bank, r))
+        times.append(time.perf_counter() - t0)
+        assert total > 0
+    dt = sorted(times)[len(times) // 2]
+    log(f"times: {[f'{t:.3f}' for t in times]} -> median {dt:.3f}s")
 
     rate = BATCH * REPEATS / dt
     vs = rate / REFERENCE_ESTIMATES_PER_SEC
