@@ -120,11 +120,11 @@ def _recover_covs(stats: _QStats, cfg: GmmConfig, n_bits, sigma2,
     if n_bits == 1:
         covs_quant = samp + cfg.reg_covar * eye
         covs = cov_recovery.arcsine_correlation(samp) + cfg.reg_covar * eye
-        covs = linalg.psd_project(linalg.hermitize(covs), cfg.reg_covar)
+        covs = linalg.psd_project_polar(linalg.hermitize(covs), cfg.reg_covar)
         covs = covs + cfg.reg_covar * eye
     elif is_inf_bits(n_bits):
         covs = samp + cfg.reg_covar * eye - sigma2 * eye + cfg.reg_covar * eye
-        covs = linalg.psd_project(linalg.hermitize(covs), cfg.reg_covar)
+        covs = linalg.psd_project_polar(linalg.hermitize(covs), cfg.reg_covar)
         covs = covs + cfg.reg_covar * eye
         covs_quant = covs + sigma2 * eye
     else:
@@ -132,7 +132,7 @@ def _recover_covs(stats: _QStats, cfg: GmmConfig, n_bits, sigma2,
         qstats = cov_recovery.QuantStats(stats.nk, stats.corr_1bit, stats.below)
         covs = cov_recovery.recover_covariance(qstats, pos_tau, x0, key)
         covs = covs - sigma2 * eye + cfg.reg_covar * eye
-        covs = linalg.psd_project(linalg.hermitize(covs), cfg.reg_covar)
+        covs = linalg.psd_project_polar(linalg.hermitize(covs), cfg.reg_covar)
         covs = covs + cfg.reg_covar * eye
         # resynthesize the implied quantized covariance from the recovered one
         cy = covs + sigma2 * eye

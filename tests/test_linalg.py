@@ -75,3 +75,25 @@ def test_psd_project(rng):
     proj = np.asarray(L.psd_project(jnp.asarray(sym, jnp.complex128)))
     w = np.linalg.eigvalsh(proj)
     assert w.min() >= -1e-10
+
+
+def test_psd_project_polar_matches_eigh():
+    """GEMM-only Newton-Schulz PSD projection vs the eigh-clip reference."""
+    import jax
+    import jax.numpy as jnp
+    from quantized_channel_estimation_tpu.ops import linalg
+    from quantized_channel_estimation_tpu.ops.cplx import crandn
+
+    key = jax.random.PRNGKey(3)
+    k, d = 8, 32
+    a = crandn(key, (k, d, d))
+    h = linalg.hermitize(a @ jnp.conj(jnp.swapaxes(a, -1, -2)) / d
+                         - 0.3 * jnp.eye(d, dtype=a.dtype))
+    for floor in (0.0, 1e-5):
+        want = linalg.psd_project(h, floor)
+        got = linalg.psd_project_polar(h, floor)
+        rel = jnp.max(jnp.linalg.norm(got - want, axis=(-2, -1))
+                      / jnp.linalg.norm(want, axis=(-2, -1)))
+        assert float(rel) < 1e-4, float(rel)
+        wmin = float(jnp.min(jnp.linalg.eigvalsh(got)))
+        assert wmin >= floor - 1e-5, wmin
