@@ -32,6 +32,7 @@ class _Request:
     r: np.ndarray                 # (n, M) complex observations
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
+    error: Optional[BaseException] = None
 
 
 class EstimationService:
@@ -59,10 +60,13 @@ class EstimationService:
         self._stop = threading.Event()
         self._prepare = cjit(gmm_estimator.prepare_bank, static_argnums=(3,))
         if use_pallas:
+            import jax
             from quantized_channel_estimation_tpu.estimators import (
                 pallas_kernels as pk)
+            interp = jax.default_backend() == "cpu"
             self._estimate = cjit(
-                lambda b, r: pk.estimate_fused(b, r), static_argnums=())
+                lambda b, r: pk.estimate_fused(b, r, interpret=interp),
+                static_argnums=())
         else:
             self._estimate = cjit(gmm_estimator.estimate,
                                   static_argnums=(2, 3))
@@ -84,23 +88,31 @@ class EstimationService:
             self._queues.setdefault(snr, []).append((time.monotonic(), req))
         if not req.event.wait(timeout):
             raise TimeoutError("estimation request timed out")
+        if req.error is not None:
+            raise RuntimeError("estimation request failed") from req.error
         return req.result
 
     def _flush(self, snr: float, batch: List[Tuple[float, _Request]]):
         reqs = [b[1] for b in batch]
-        rs = np.concatenate([q.r for q in reqs], axis=0)
-        n = rs.shape[0]
-        # pad to the next power of two (bounded compiled-program count)
-        n_pad = 1 << max(0, (n - 1).bit_length())
-        n_pad = min(max(n_pad, 16), max(self.max_batch, n_pad))
-        rp = np.zeros((n_pad, rs.shape[1]), rs.dtype)
-        rp[:n] = rs
-        bank = self._bank(snr)
-        if self.use_pallas:
-            out = self._estimate(bank, rp)
-        else:
-            out = self._estimate(bank, rp, self.mode, min(n_pad, 2048))
-        out_np = asnumpy(out)[:n]
+        try:
+            rs = np.concatenate([q.r for q in reqs], axis=0)
+            n = rs.shape[0]
+            # pad to the next power of two (bounded compiled-program count)
+            n_pad = 1 << max(0, (n - 1).bit_length())
+            n_pad = min(max(n_pad, 16), max(self.max_batch, n_pad))
+            rp = np.zeros((n_pad, rs.shape[1]), rs.dtype)
+            rp[:n] = rs
+            bank = self._bank(snr)
+            if self.use_pallas:
+                out = self._estimate(bank, rp)
+            else:
+                out = self._estimate(bank, rp, self.mode, min(n_pad, 2048))
+            out_np = asnumpy(out)[:n]
+        except BaseException as e:  # propagate to the waiting clients
+            for q in reqs:
+                q.error = e
+                q.event.set()
+            return
         off = 0
         for q in reqs:
             m = q.r.shape[0]

@@ -40,6 +40,23 @@ def test_single_request_matches_direct(service_setup):
         svc.close()
 
 
+def test_pallas_path_matches_direct(service_setup):
+    """use_pallas=True routes through the fused kernel (interpret on CPU)."""
+    params, a, h_val = service_setup
+    snr = 5.0
+    q = Q.design_quantizer(snr, 2)
+    r = observation.observe(jax.random.PRNGKey(64), h_val[:64], snr, a, 2, q)
+    svc = serving.EstimationService(params, a, 2, max_delay_ms=1.0,
+                                    use_pallas=True)
+    try:
+        got = svc.submit(np.asarray(r), snr)
+        bank = gmm_estimator.prepare_bank(params, snr, a, 2, q)
+        want = np.asarray(gmm_estimator.estimate(bank, r, "all"))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    finally:
+        svc.close()
+
+
 def test_concurrent_requests_coalesce(service_setup):
     params, a, h_val = service_setup
     snr = 10.0
@@ -64,5 +81,17 @@ def test_concurrent_requests_coalesce(service_setup):
         for i in range(10):
             np.testing.assert_allclose(results[i], want[i * 32:(i + 1) * 32],
                                        atol=1e-4)
+    finally:
+        svc.close()
+
+
+def test_flush_errors_propagate_to_clients(service_setup):
+    """A failing compute path must raise in submit(), not time out."""
+    params, a, h_val = service_setup
+    svc = serving.EstimationService(params, a, 2, max_delay_ms=1.0)
+    svc._estimate = lambda *args: (_ for _ in ()).throw(ValueError("boom"))
+    try:
+        with pytest.raises(RuntimeError):
+            svc.submit(np.asarray(h_val[:8]), 5.0, timeout=10)
     finally:
         svc.close()
