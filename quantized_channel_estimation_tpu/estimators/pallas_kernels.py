@@ -431,11 +431,21 @@ def estimate_block_grouped(bank: PreparedBank, r: jax.Array,
 
 
 def estimate_fused(bank: PreparedBank, r: jax.Array,
-                   interpret: bool = False) -> jax.Array:
+                   interpret: bool = False,
+                   vmem_bank_budget: int = 10 * 1024 * 1024) -> jax.Array:
     """Canonical fused 'all'-mode estimation: grouped block-GEMM kernel with
     measured-best defaults (group=4, tile_n=2048 on v5e — 15.1M est/s at
-    K=D=64 vs 6.9M for the Karatsuba layout; tools/kernel_bench.py)."""
-    k_comp = bank.log_weights.shape[0]
+    K=D=64 vs 6.9M for the Karatsuba layout; tools/kernel_bench.py).
+
+    Falls back to the einsum estimator when the bank cannot stay
+    VMEM-resident (large K·D — the kernel's whole premise is a resident
+    bank; ~16 MB VMEM/core, budget leaves room for tiles + accumulators)."""
+    k_comp, d, m = bank.filters.shape
+    bank_bytes = 4 * k_comp * (2 * m) * (2 * m + 2 * d)
+    if bank_bytes > vmem_bank_budget:
+        from quantized_channel_estimation_tpu.models import gmm_estimator
+        return gmm_estimator.estimate(bank, r, "all",
+                                      min(4096, max(256, r.shape[0])))
     group = next(g for g in (4, 2, 1) if k_comp % g == 0)
     tile_n = 2048 if r.shape[0] >= 2048 else 256
     return estimate_block_grouped(bank, r, tile_n=tile_n, group=group,

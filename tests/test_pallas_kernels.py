@@ -100,6 +100,16 @@ def test_block_kernel_dead_components(bank_and_obs):
                                atol=3e-4)
 
 
+def test_estimate_fused_large_bank_falls_back(bank_and_obs):
+    """Banks too big for VMEM must route to the einsum path, same result."""
+    bank, r = bank_and_obs
+    h_fb = pk.estimate_fused(bank, r[:300], interpret=True,
+                             vmem_bank_budget=1)  # force the fallback
+    h_ein = gmm_estimator.estimate(bank, r[:300], "all")
+    np.testing.assert_allclose(np.asarray(h_fb), np.asarray(h_ein),
+                               atol=1e-5)
+
+
 def test_kernel_handles_dead_components(bank_and_obs):
     """A masked (zero-weight, log-weight -inf) component in the LEADING
     position must not NaN the online softmax."""
