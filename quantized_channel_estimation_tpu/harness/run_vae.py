@@ -115,7 +115,10 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
     if cfg.eval_rate:
         cols.update(rate_cols)
     qio.write_result_csv(os.path.join(out_dir, name + ".csv"), cfg.snrs, cols)
-    # params CSV + loss PNG (reference `Bussgang_VAE.py:174-193`)
+    # params CSV + loss CSV/PNG (reference `Bussgang_VAE.py:174-193`)
+    from quantized_channel_estimation_tpu.utils.misc import dict_to_csv
+    dict_to_csv(dataclasses.asdict(cfg),
+                os.path.join(out_dir, name + "_params.csv"))
     qio.write_result_csv(os.path.join(out_dir, name + "_loss.csv"),
                          list(range(1, len(losses) + 1)), {"loss": losses})
     qio.save_loss_plot(os.path.join(out_dir, name + "_loss.png"), losses)

@@ -69,7 +69,7 @@ def test_run_vae_end_to_end(tmp_results):
     mse, rate, _ = run_vae.run(cfg, verbose=False)
     assert 0 < mse["vae_noisy"][1] < 1.0
     csvs = glob.glob(os.path.join(results_dir, "vae", "*.csv"))
-    assert len(csvs) == 2  # results + loss curve
+    assert len(csvs) == 3  # results + loss curve + params
 
 
 def test_run_cov_recovery_end_to_end(tmp_results):
