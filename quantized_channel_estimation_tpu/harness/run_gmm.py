@@ -176,7 +176,7 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
         def gmm_est(snr, r):
             bank = stages.prepare_bank(params, snr, a, cfg.n_bits,
                                        quantizers[snr])
-            return stages.estimate(bank, r, cfg.n_summands_or_proba)
+            return stages.estimate_auto(bank, r, cfg.n_summands_or_proba)
 
         eval_algo("blmmse_gmm", "gmm_rstat", gmm_est, norm_clip=0.1)
 

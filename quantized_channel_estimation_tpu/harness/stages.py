@@ -82,6 +82,24 @@ mfa_to_gmm = cjit(mfa.to_gmm_params, static_argnums=(1,))
 prepare_bank = cjit(gmm_estimator.prepare_bank, static_argnums=(3,))
 estimate = cjit(gmm_estimator.estimate, static_argnums=(2, 3))
 
+
+_fused = None
+
+
+def estimate_auto(bank, r, mode):
+    """'all' mode on an accelerator -> fused Pallas kernel; anything else
+    (selection modes, CPU where the kernel would run in interpret mode) ->
+    the einsum estimator."""
+    import jax as _jax
+    global _fused
+    if mode == "all" and _jax.default_backend() != "cpu":
+        if _fused is None:
+            from quantized_channel_estimation_tpu.estimators import (
+                pallas_kernels)
+            _fused = cjit(lambda b, rr: pallas_kernels.estimate_fused(b, rr))
+        return _fused(bank, r)
+    return estimate(bank, r, mode)
+
 _nmse = cjit(metrics.nmse)
 
 
