@@ -254,83 +254,18 @@ def kernel_bank_block(bank: PreparedBank) -> KernelBankBlock:
                            b2.astype(jnp.float32), logw.astype(jnp.float32))
 
 
-def _estimate_kernel_block(logw, pw, mu, b, r2, out, *, n_comp: int,
-                           two_m: int):
-    """One sample tile: stream over K; one full-width GEMM per component."""
-    tile_n = r2.shape[0]
-    two_d = out.shape[1]
-    rr = r2[:]
-
-    def body(k, carry):
-        m_run, denom, acc = carry
-        yz = jnp.dot(rr, pw[k], preferred_element_type=jnp.float32)
-        dy = yz[:, :two_m] - mu[k]
-        quad = jnp.sum(dy * dy, axis=-1, keepdims=True)  # (TN, 1)
-        logit = logw[k] - quad
-        z = yz[:, two_m:] + b[k]
-        m_new = jnp.maximum(m_run, logit)
-        scale = jnp.exp(m_run - m_new)
-        p = jnp.exp(logit - m_new)
-        return m_new, denom * scale + p, acc * scale + p * z
-
-    init = (jnp.full((tile_n, 1), -jnp.inf, jnp.float32),
-            jnp.zeros((tile_n, 1), jnp.float32),
-            jnp.zeros((tile_n, two_d), jnp.float32))
-    _, denom, acc = jax.lax.fori_loop(0, n_comp, body, init)
-    out[:] = acc / denom
-
-
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def estimate_packed_block(kb: KernelBankBlock, r2: jax.Array,
-                          tile_n: int = 1024, interpret: bool = False):
-    """Fused 'all'-mode estimation, block-GEMM layout. r2: (N, 2M) float32
-    ([re | im]) -> (N, 2D) float32 ([re | im]). N must be a tile multiple."""
-    n, two_m = r2.shape
-    k_comp = kb.pw.shape[0]
-    two_d = kb.pw.shape[-1] - two_m
-    grid = (n // tile_n,)
-    bank_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    data_spec = pl.BlockSpec((tile_n, two_m), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((tile_n, two_d), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    kern = functools.partial(_estimate_kernel_block, n_comp=k_comp,
-                             two_m=two_m)
-    return pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[smem_spec, bank_spec, bank_spec, bank_spec, data_spec],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((n, two_d), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * two_m * (two_m + two_d) * k_comp,
-            bytes_accessed=4 * (n * (2 * two_m + two_d)
-                                + k_comp * two_m * (two_m + two_d)),
-            transcendentals=2 * n * k_comp),
-        interpret=interpret,
-    )(kb.logw, kb.pw, kb.mu, kb.b, r2)
-
-
 def estimate_block(bank: PreparedBank, r: jax.Array, tile_n: int = 1024,
                    interpret: bool = False) -> jax.Array:
-    """Drop-in fused replacement for `gmm_estimator.estimate(bank, r, 'all')`
-    using the block-GEMM layout. Accepts complex r inside a trace; pads N."""
-    kb = kernel_bank_block(bank)
-    n = r.shape[0]
-    n_pad = -(-n // tile_n) * tile_n
-    rp = jnp.pad(r, ((0, n_pad - n), (0, 0)))
-    r2 = jnp.concatenate([jnp.real(rp), jnp.imag(rp)],
-                         axis=-1).astype(jnp.float32)
-    h2 = estimate_packed_block(kb, r2, tile_n, interpret)
-    d = h2.shape[-1] // 2
-    return (h2[:, :d] + 1j * h2[:, d:])[:n].astype(r.dtype)
+    """Block-GEMM estimation with one component per MXU call — exactly the
+    grouped kernel at group=1 (kept as a named benchmark variant)."""
+    return estimate_block_grouped(bank, r, tile_n=tile_n, group=1,
+                                  interpret=interpret)
 
 
 def _estimate_kernel_block_grouped(logw, pw, mu, b, r2, out, *, n_groups: int,
                                    group: int, two_m: int,
                                    precision=None):
-    """Like _estimate_kernel_block but `group` components share one GEMM:
+    """One sample tile: stream over K, `group` components per GEMM:
     pw[g] is (2M, group*(2M+2D)) = [P_1|W_1|...|P_G|W_G], widening the MXU
     output dim and cutting loop-iteration count."""
     tile_n = r2.shape[0]

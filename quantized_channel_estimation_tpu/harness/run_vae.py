@@ -78,9 +78,17 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
         n_pilot_convs=max(0, cfg.n_pilots // 2), n_bits=cfg.n_bits,
         quantizer_type=cfg.quantizer_type, lr=cfg.lr,
         batch_size=cfg.batch_size, epochs=cfg.epochs)
+    # checkpoint/resume like the reference's per-epoch torch.save into
+    # results/vae/saves (`vae.py:76-79,148-153`), at block granularity
+    ckpt_dir = os.path.join(
+        cfg.cache_dir,
+        f"vae_ckpt_{cfg.vae_mode}_ant={cfg.n_antennas}_bits={cfg.n_bits}"
+        f"_train={cfg.n_train}_seed={cfg.seed}") if cfg.use_cache else None
     t0 = time.time()
     model, state, losses = vae.train(k_fit, vcfg, h_train, a, cfg.snrs,
-                                     quantizers, verbose=verbose)
+                                     quantizers, verbose=verbose,
+                                     checkpoint_path=ckpt_dir,
+                                     checkpoint_every=25)
     train_time = time.time() - t0
     if verbose:
         print(f"VAE[{cfg.vae_mode}] trained {cfg.epochs} epochs "

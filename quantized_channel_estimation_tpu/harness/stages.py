@@ -87,12 +87,12 @@ _fused = None
 
 
 def estimate_auto(bank, r, mode):
-    """'all' mode on an accelerator -> fused Pallas kernel; anything else
-    (selection modes, CPU where the kernel would run in interpret mode) ->
-    the einsum estimator."""
+    """'all' mode on a TPU backend -> fused Pallas kernel; anything else
+    (selection modes, CPU/GPU where the TPU kernel cannot lower) -> the
+    einsum estimator."""
     import jax as _jax
     global _fused
-    if mode == "all" and _jax.default_backend() != "cpu":
+    if mode == "all" and _jax.default_backend() == "tpu":
         if _fused is None:
             from quantized_channel_estimation_tpu.estimators import (
                 pallas_kernels)

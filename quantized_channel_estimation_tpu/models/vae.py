@@ -313,26 +313,31 @@ def train(key, cfg: VaeConfig, h_train: jax.Array,
           checkpoint_every: int = 1):
     """Full training loop; returns (model, state, losses).
 
-    With `checkpoint_path`, model parameters are persisted every
-    `checkpoint_every` epochs (and training resumes from an existing
-    checkpoint) — the equivalent of the reference's per-epoch torch.save
-    (`vae.py:148-153`).
+    With `checkpoint_path` (a directory), model parameters are persisted
+    every `checkpoint_every` epochs via the Orbax-backed TrainCheckpointer
+    (atomic, step-numbered, retention-managed) and training resumes from
+    the latest checkpoint — the hardened equivalent of the reference's
+    per-epoch torch.save (`vae.py:148-153`). Per-epoch losses are kept in
+    a losses.json beside the checkpoints (variable length, host metadata).
     """
+    import json
+    import os
+
     k_init, k_train = jax.random.split(key)
     model, state = init_vae(k_init, cfg)
     start_epoch = 0
     losses: list = []
+    ckpt = None
     if checkpoint_path:
-        import os
-        if os.path.exists(checkpoint_path):
-            data = np.load(checkpoint_path, allow_pickle=True)
-            flat_params = [jnp.asarray(data[f"leaf_{i}"])
-                           for i in range(int(data["n_leaves"]))]
-            treedef = jax.tree_util.tree_structure(state.params)
-            params = jax.tree_util.tree_unflatten(treedef, flat_params)
-            state = state._replace(params=params)
-            start_epoch = int(data["epoch"]) + 1
-            losses = list(data["losses"])
+        from quantized_channel_estimation_tpu.utils.checkpoint import (
+            TrainCheckpointer)
+        ckpt = TrainCheckpointer(checkpoint_path, max_to_keep=3)
+        last = ckpt.latest_step()
+        if last is not None:
+            state = state._replace(params=ckpt.restore(last, state.params))
+            with open(os.path.join(checkpoint_path, "losses.json")) as f:
+                losses = json.load(f)[: last + 1]
+            start_epoch = last + 1
             if verbose:
                 print(f"resumed VAE checkpoint at epoch {start_epoch}")
     step = make_train_step(model, cfg, a, jnp.asarray(snrs, jnp.float32),
@@ -351,26 +356,17 @@ def train(key, cfg: VaeConfig, h_train: jax.Array,
         block_losses = np.clip(np.asarray(mean_losses), -np.inf, 1000.0)
         losses.extend(float(v) for v in block_losses)
         epoch += n_block
-        if checkpoint_path and epoch % checkpoint_every == 0:
-            _save_checkpoint(checkpoint_path, state.params, epoch - 1, losses)
+        if ckpt is not None and epoch % checkpoint_every == 0:
+            ckpt.save(epoch - 1, state.params, force=True)
+            with open(os.path.join(checkpoint_path, "losses.json"), "w") as f:
+                json.dump([float(v) for v in losses], f)
         if verbose and (epoch // max(1, cfg.epochs // 10)
                         > (epoch - n_block) // max(1, cfg.epochs // 10)):
             print(f"epoch {epoch}/{cfg.epochs} loss={losses[-1]:.2f}")
+    if ckpt is not None:
+        ckpt.close()
     return model, state, losses
 
-
-def _save_checkpoint(path: str, params, epoch: int, losses) -> None:
-    import os
-    leaves = jax.tree_util.tree_leaves(params)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, n_leaves=len(leaves), epoch=epoch,
-             losses=np.asarray(losses),
-             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
-
-
-# ---------------------------------------------------------------------------
-# estimation
-# ---------------------------------------------------------------------------
 
 def estimate(model: DnnVae, params, cfg: VaeConfig, r: jax.Array,
              snr_db: float, a: jax.Array,

@@ -173,7 +173,7 @@ def hermitize(c: jax.Array) -> jax.Array:
 
 
 def psd_project_polar(c: jax.Array, floor: float = 0.0,
-                      iters: int = 26) -> jax.Array:
+                      iters: int = 40) -> jax.Array:
     """PSD projection via the matrix sign function (Newton-Schulz).
 
     Same semantics as `psd_project` (eigenvalue clip to `floor`) but
@@ -182,11 +182,13 @@ def psd_project_polar(c: jax.Array, floor: float = 0.0,
     B scaled below unit spectral norm (Frobenius bound).
 
     Motivation: batched `eigh` costs ~26 ms at K=64, D=64 on v5e — half a
-    quantized-EM iteration — while 26 Newton-Schulz steps are ~1 ms of MXU
-    work. Eigenvalues of magnitude below ~1e-4 of the norm do not fully
-    saturate in the iteration; the resulting error is bounded by the
-    eigenvalue magnitude itself, below recovery noise (validated against
-    `psd_project` in tests and by full-scale quantized-EM parity).
+    quantized-EM iteration — while 40 Newton-Schulz steps are ~1 ms of MXU
+    work. Eigenvalues of magnitude below ~1.5^-iters of the norm do not
+    fully saturate; 40 iterations pushes that scale to ~1e-7·||B||, below
+    the norm-relative diagonal guard added at the end, so the result stays
+    >= floor even for adversarial near-zero negative spectra (covered in
+    tests/test_linalg.py; 26 iterations measurably violated the floor).
+    Validated against `psd_project` and by full-scale quantized-EM parity.
     """
     d = c.shape[-1]
     eye = jnp.eye(d, dtype=c.dtype)

@@ -63,7 +63,7 @@ class EstimationService:
             import jax
             from quantized_channel_estimation_tpu.estimators import (
                 pallas_kernels as pk)
-            interp = jax.default_backend() == "cpu"
+            interp = jax.default_backend() != "tpu"
             self._estimate = cjit(
                 lambda b, r: pk.estimate_fused(b, r, interpret=interp),
                 static_argnums=())

@@ -97,3 +97,21 @@ def test_psd_project_polar_matches_eigh():
         assert float(rel) < 1e-4, float(rel)
         wmin = float(jnp.min(jnp.linalg.eigvalsh(got)))
         assert wmin >= floor - 1e-5, wmin
+
+
+def test_psd_project_polar_floor_on_near_zero_negatives():
+    """Eigenvalues just below zero (the slow-convergence regime of the sign
+    iteration) must still come out >= floor."""
+    import jax
+    import jax.numpy as jnp
+    from quantized_channel_estimation_tpu.ops import linalg
+    from quantized_channel_estimation_tpu.ops.cplx import crandn
+
+    d, floor = 64, 1e-5
+    qmat, _ = jnp.linalg.qr(crandn(jax.random.PRNGKey(7), (d, d)))
+    for negscale in (1e-3, 1e-5, 1e-7):
+        lam = jnp.ones((d,)).at[:8].set(-negscale * d)
+        h = linalg.hermitize((qmat * lam[None, :]) @ jnp.conj(qmat.T))
+        got = linalg.psd_project_polar(h[None].astype(jnp.complex64), floor)
+        wmin = float(jnp.min(jnp.linalg.eigvalsh(got)))
+        assert wmin >= floor - 1e-7, (negscale, wmin)

@@ -18,7 +18,7 @@ def test_checkpoint_resume(tmp_path):
                         epochs=2, steps_per_epoch=5)
     a = pilots.pilot_matrix(N_ANT, 1, 2)
     quantizers = [Q.design_quantizer(s, 2) for s in SNRS]
-    ckpt = str(tmp_path / "vae.npz")
+    ckpt = str(tmp_path / "vae_ckpt")
 
     _, state1, losses1 = vae.train(jax.random.PRNGKey(0), cfg, h, a, SNRS,
                                    quantizers, verbose=False,

@@ -82,10 +82,13 @@ def main():
         try:
             warm = float(fn(bank, r))
             assert warm > 0 and jnp.isfinite(warm), (name, warm)
-            t0 = time.perf_counter()
-            total = float(fn(bank, r))
-            dt = time.perf_counter() - t0
-            assert total > 0
+            times = []
+            for _ in range(3):  # tunnel outliers only deflate -> take median
+                t0 = time.perf_counter()
+                total = float(fn(bank, r))
+                times.append(time.perf_counter() - t0)
+                assert total > 0
+            dt = sorted(times)[1]
         except Exception as e:
             print(f"{name:20s} FAILED: {str(e).splitlines()[0][:120]}",
                   flush=True)

@@ -82,9 +82,12 @@ def main():
             rj = cjit(run_all)
             warm = float(rj(bank, r))
             assert warm > 0, warm
-            t0 = time.perf_counter()
-            tot = float(rj(bank, r))
-            dt = time.perf_counter() - t0
+            times = []
+            for _ in range(3):  # median: tunnel outliers only deflate
+                t0 = time.perf_counter()
+                tot = float(rj(bank, r))
+                times.append(time.perf_counter() - t0)
+            dt = sorted(times)[1]
             rate = N_VAL * REPEATS / dt / 1e6
             print(f"snr={snr:4.0f}  {name:14s} mse={mse:.6f} "
                   f"rate={rate:8.2f} M/s", flush=True)
