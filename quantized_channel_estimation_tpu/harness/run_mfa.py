@@ -66,10 +66,13 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
                   for snr in cfg.snrs}
     cov = stages.sample_cov(h_train)
 
+    # zero-responsibility guard selection rule (`Bussgang_MFA.py:118-122`)
+    rs_clip = 1e-3 if (not (cfg.lock_psis or cfg.ppca)) or cfg.zero_mean \
+        else 0.0
     mcfg = mfa.MfaConfig(
         n_components=cfg.n_components, latent_dim=cfg.latent_dim,
         ppca=cfg.ppca, lock_psis=cfg.lock_psis, zero_mean=cfg.zero_mean,
-        max_iter=cfg.max_iter)
+        rs_clip=rs_clip, max_iter=cfg.max_iter)
     t0 = time.time()
     res_fit = stages.mfa_fit(k_fit, h_train, mcfg)
     params = stages.mfa_to_gmm(res_fit.params, 1e-6)

@@ -53,6 +53,11 @@ class MfaConfig(NamedTuple):
     lock_psis: bool = False
     zero_mean: bool = False
     max_condition_number: float = 1e6
+    # floor on a component's total responsibility mass; below it the
+    # component is reset to uniform resp == rs_clip for every sample
+    # (`mofa_cplx_bussgang.py:45,338`; `Bussgang_MFA.py:118-122` enables it
+    # for zero-mean or free-psi fits)
+    rs_clip: float = 0.0
     max_iter: int = 100
     tol: float = 1e-6
     psi_floor: float = 1e-6
@@ -165,6 +170,20 @@ def fit(key: jax.Array, x: jax.Array, cfg: MfaConfig) -> MfaFitResult:
 
         stats = gmm_mod.accumulate_stats(x, xs_mask, jnp.log(p.weights),
                                          log_prob_fn, False, cfg.chunk_size)
+        if cfg.rs_clip > 0.0:
+            # reference `mofa_cplx_bussgang.py:338`: a component whose total
+            # responsibility mass drops below rs_clip gets resp == rs_clip
+            # for EVERY sample (resurrecting dying components). With
+            # streaming statistics that is exact post-hoc: the unweighted
+            # data sums are the component-sums of the stats (sum_k resp = 1).
+            low = stats.nk < cfg.rs_clip
+            tot_sx = jnp.sum(stats.sx, axis=0)
+            tot_sxx = jnp.sum(stats.sxx, axis=0)
+            rc = cfg.rs_clip
+            stats = stats._replace(
+                nk=jnp.where(low, n * rc, stats.nk),
+                sx=jnp.where(low[:, None], rc * tot_sx, stats.sx),
+                sxx=jnp.where(low[:, None, None], rc * tot_sxx, stats.sxx))
         nk = stats.nk + 10 * jnp.finfo(jnp.float32).eps
         nk_c = nk.astype(dtype)
 

@@ -95,3 +95,29 @@ class TestMfaEstimation:
         m_glob = float(nmse(h_glob, h_val))
         assert np.isfinite(m_mfa) and m_mfa < 1.0
         assert m_mfa <= m_glob * 1.1, (m_mfa, m_glob)
+
+
+def test_rs_clip_resurrects_dying_components():
+    """A component with ~zero responsibility mass gets uniform resp ==
+    rs_clip (`mofa_cplx_bussgang.py:338`); the fit must stay finite and the
+    clipped component's weight equals rs_clip * N / sum."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from quantized_channel_estimation_tpu.models import mfa
+    from quantized_channel_estimation_tpu.ops.cplx import crandn
+
+    key = jax.random.PRNGKey(11)
+    # tight single-cluster data: with K=8 components most collapse to ~zero
+    # mass quickly
+    x = 0.01 * crandn(key, (400, 8)) + 1.0
+    cfg = mfa.MfaConfig(n_components=8, latent_dim=2, ppca=True,
+                        rs_clip=1e-3, max_iter=10, kmeans_iter=5)
+    res = mfa.fit(jax.random.PRNGKey(12), x, cfg)
+    assert np.isfinite(float(res.log_likelihood))
+    w = np.asarray(res.params.weights)
+    assert np.all(np.isfinite(w)) and abs(w.sum() - 1.0) < 1e-5
+    leaves = jax.tree_util.tree_leaves(res.params)
+    assert all(np.all(np.isfinite(np.asarray(l).view(np.float32)
+                                  if np.iscomplexobj(np.asarray(l))
+                                  else np.asarray(l))) for l in leaves)
