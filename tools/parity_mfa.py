@@ -53,7 +53,7 @@ def main():
     t0 = time.time()
     res = mfa.fit(jax.random.PRNGKey(1), h_train,
                   mfa.MfaConfig(n_components=K_COMP, latent_dim=LATENT,
-                                ppca=True, zero_mean=True,
+                                ppca=True, zero_mean=True, rs_clip=1e-3,
                                 max_iter=MAX_ITER))
     params = mfa.to_gmm_params(res.params, reg=1e-6)
     print(f"our MFA fit: {time.time() - t0:.1f}s ({int(res.n_iter)} iters, "
