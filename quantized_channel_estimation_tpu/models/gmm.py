@@ -10,6 +10,8 @@ Covariance types (reference `modules/gmm_cplx_bussgang.py:96-163`):
                        on an oversampled DFT (`gmm_cplx_bussgang.py:792-826`)
   - 'block-toeplitz':  kron of two oversampled DFTs
   - 'diag':            diagonal covariances in the data domain
+  - 'spherical':       per-component scalar variance (diag averaged over
+                       dims, `gmm_cplx_bussgang.py:828-849`)
 
 TPU-first design:
   - E+M are fused into one `lax.scan` over data chunks that accumulates the
@@ -339,22 +341,27 @@ class _FullState(NamedTuple):
 
 def _em_loop(x, init_stats: _Stats, cfg: GmmConfig, mode: str,
              f2: Optional[jax.Array]):
-    """Shared EM driver. mode in {'full', 'diag', 'inv-em'}.
+    """Shared EM driver. mode in {'full', 'diag', 'spherical', 'inv-em'}.
 
     With cfg.axis_name set (under shard_map), x is the per-device shard; the
     statistics all-reduce makes every device run the identical M-step."""
     n = x.shape[0]
     if cfg.axis_name is not None:
         n = n * jax.lax.axis_size(cfg.axis_name)
-    diag = mode == "diag"
+    diag = mode in ("diag", "spherical")
     xs_mask = _chunk(x, min(cfg.chunk_size, x.shape[0]))
 
     def params_from_stats(stats, state: Optional[_FullState]):
         if mode == "full":
             nk, means, covs = _m_step_full(stats, cfg)
             sigma = state.sigma_spec if state is not None else jnp.zeros((cfg.n_components, 1), jnp.float32)
-        elif mode == "diag":
+        elif mode in ("diag", "spherical"):
             nk, means, covs = _m_step_diag(stats, cfg)
+            if mode == "spherical":
+                # scalar variance per component: diag averaged over dims
+                # (`gmm_cplx_bussgang.py:828-849`), broadcast back to (K, D)
+                covs = jnp.broadcast_to(
+                    jnp.mean(covs, axis=-1, keepdims=True), covs.shape)
             sigma = state.sigma_spec if state is not None else jnp.zeros((cfg.n_components, 1), jnp.float32)
         else:  # inv-em
             if state is None:
@@ -449,9 +456,9 @@ def _fit_once(key: jax.Array, h: jax.Array, cfg: GmmConfig) -> GmmFitResult:
         init_stats = init_stats_fn(h, False)
         state, converged = _em_loop(h, init_stats, cfg, "full", None)
         means, covs = state.means, linalg.hermitize(state.covs)
-    elif cfg.cov_type == "diag":
+    elif cfg.cov_type in ("diag", "spherical"):
         init_stats = init_stats_fn(h, True)
-        state, converged = _em_loop(h, init_stats, cfg, "diag", None)
+        state, converged = _em_loop(h, init_stats, cfg, cfg.cov_type, None)
         means = state.means
         covs = state.covs[:, :, None].astype(dtype) * jnp.eye(d, dtype=dtype)
     else:

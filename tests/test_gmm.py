@@ -69,6 +69,7 @@ def test_em_lower_bound_improves(rng, key):
     ("toeplitz", None),
     ("block-toeplitz", (2, 3)),
     ("diag", None),
+    ("spherical", None),
 ])
 def test_structured_fit_shapes_and_psd(rng, key, cov_type, blocks):
     x, _ = _synthetic_mixture(rng, 2000)
@@ -95,6 +96,27 @@ def test_toeplitz_fit_is_toeplitz(rng, key):
         diag = np.diagonal(c, offset=off)
         spread = np.abs(diag - diag.mean()).max()
         assert spread < 5e-2 * np.abs(np.diagonal(c)).mean(), (off, spread)
+
+
+def test_spherical_fit_is_scalar_identity(rng, key):
+    """Spherical covariances are sigma_k^2 I (diag averaged over dims,
+    `gmm_cplx_bussgang.py:828-849`)."""
+    x, covs_true = _synthetic_mixture(rng, 4000)
+    cfg = gmm.GmmConfig(n_components=2, cov_type="spherical", max_iter=10,
+                        chunk_size=1024)
+    res = gmm.fit(key, jnp.asarray(x), cfg)
+    covs = np.asarray(res.params.covariances)
+    for c in covs:
+        diag = np.diagonal(c).real
+        np.testing.assert_allclose(diag, diag[0] * np.ones_like(diag),
+                                   rtol=1e-5)
+        off = c - np.diag(np.diagonal(c))
+        assert np.abs(off).max() < 1e-6 * diag[0]
+    # the two scalar variances should straddle the true per-component mean
+    # variances (components are separated by a factor ~6 in scale)
+    got = np.sort([np.diagonal(c).real[0] for c in covs])
+    want = np.sort([np.trace(c).real / c.shape[0] for c in covs_true])
+    np.testing.assert_allclose(got, want, rtol=0.2)
 
 
 def test_circulant_fit_is_circulant(rng, key):
