@@ -8,6 +8,7 @@ from quantized_channel_estimation_tpu.models import gmm_estimator, mfa
 from quantized_channel_estimation_tpu.estimators import blmmse
 from quantized_channel_estimation_tpu.ops import observation, pilots, scm
 from quantized_channel_estimation_tpu.ops import quantizer as Q
+from quantized_channel_estimation_tpu.ops.cplx import crandn
 from quantized_channel_estimation_tpu.utils.metrics import nmse
 
 
@@ -97,27 +98,39 @@ class TestMfaEstimation:
         assert m_mfa <= m_glob * 1.1, (m_mfa, m_glob)
 
 
-def test_rs_clip_resurrects_dying_components():
-    """A component with ~zero responsibility mass gets uniform resp ==
-    rs_clip (`mofa_cplx_bussgang.py:338`); the fit must stay finite and the
-    clipped component's weight equals rs_clip * N / sum."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from quantized_channel_estimation_tpu.models import mfa
-    from quantized_channel_estimation_tpu.ops.cplx import crandn
-
+def test_rs_clip_fires_exact_reference_semantics():
+    """When a component's responsibility mass falls below rs_clip, every
+    sample's responsibility for it is set to rs_clip
+    (`mofa_cplx_bussgang.py:338`), so its M-step weight is EXACTLY rs_clip
+    (reference `amps[k] = sumrs[k] / N`; weights then intentionally do NOT
+    sum to 1). Force the branch for every component with rs_clip > n so the
+    final weights are deterministic."""
     key = jax.random.PRNGKey(11)
-    # tight single-cluster data: with K=8 components most collapse to ~zero
-    # mass quickly
     x = 0.01 * crandn(key, (400, 8)) + 1.0
+    rc = 500.0  # > n: every component mass (<= n = 400) clips
     cfg = mfa.MfaConfig(n_components=8, latent_dim=2, ppca=True,
-                        rs_clip=1e-3, max_iter=10, kmeans_iter=5)
+                        rs_clip=rc, max_iter=1, kmeans_iter=5)
     res = mfa.fit(jax.random.PRNGKey(12), x, cfg)
-    assert np.isfinite(float(res.log_likelihood))
     w = np.asarray(res.params.weights)
-    assert np.all(np.isfinite(w)) and abs(w.sum() - 1.0) < 1e-5
+    np.testing.assert_allclose(w, rc, rtol=1e-6)
+    assert np.isfinite(float(res.log_likelihood))
     leaves = jax.tree_util.tree_leaves(res.params)
     assert all(np.all(np.isfinite(np.asarray(l).view(np.float32)
                                   if np.iscomplexobj(np.asarray(l))
                                   else np.asarray(l))) for l in leaves)
+
+
+def test_rs_clip_noop_when_all_components_live():
+    """With every component above the rs_clip mass threshold the clip must
+    be an exact no-op: the fit equals the rs_clip=0 fit bitwise."""
+    key = jax.random.PRNGKey(11)
+    x = 0.01 * crandn(key, (400, 8)) + 1.0
+    kw = dict(n_components=8, latent_dim=2, ppca=True, max_iter=10,
+              kmeans_iter=5)
+    res_off = mfa.fit(jax.random.PRNGKey(12), x,
+                      mfa.MfaConfig(rs_clip=0.0, **kw))
+    res_on = mfa.fit(jax.random.PRNGKey(12), x,
+                     mfa.MfaConfig(rs_clip=1e-3, **kw))
+    for a, b in zip(jax.tree_util.tree_leaves(res_off.params),
+                    jax.tree_util.tree_leaves(res_on.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
