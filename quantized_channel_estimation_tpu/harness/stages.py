@@ -27,8 +27,10 @@ def tree_concat(trees, axis=0):
 
 
 def tree_slice(tree, start, stop):
-    take = cjit(lambda t: jax.tree_util.tree_map(lambda x: x[start:stop], t))
-    return take(tree)
+    """Leafwise [start:stop]. Packed leaves are real arrays, so plain
+    slicing works on every backend (numpy views on host, cached XLA slices
+    on device) — no per-call jit closure to retrace."""
+    return jax.tree_util.tree_map(lambda x: x[start:stop], tree)
 
 
 _gen = cjit(scm.generate_channels, static_argnums=(1, 2))

@@ -150,6 +150,29 @@ def _resp_chunk(xc, mc, log_weights, log_prob_fn):
     return resp, jnp.sum(log_norm * mc)
 
 
+def _zero_stats(k: int, d: int, dtype, diag: bool) -> _Stats:
+    sxx0 = (jnp.zeros((k, d), jnp.float32) if diag
+            else jnp.zeros((k, d, d), dtype))
+    return _Stats(jnp.zeros((k,), jnp.float32), jnp.zeros((k, d), dtype),
+                  sxx0, jnp.zeros((), jnp.float32))
+
+
+def _update_stats(stats: _Stats, resp, xc, diag: bool,
+                  log_norm_inc=0.0) -> _Stats:
+    """Accumulate one chunk's responsibility-weighted moments
+    (Nk, sum r.x, sum r.xx^H). The single implementation behind every EM
+    statistics pass (plain/init/random-init here, quantized in gmm_quant)."""
+    nk = stats.nk + jnp.sum(resp, axis=0)
+    respd = resp.astype(xc.real.dtype)
+    sx = stats.sx + jnp.einsum("nk,nd->kd", respd, xc)
+    if diag:
+        sxx = stats.sxx + jnp.einsum("nk,nd->kd", resp, jnp.abs(xc) ** 2)
+    else:
+        rx = respd.T[..., None] * xc[None, :, :]  # (K, nc, D)
+        sxx = stats.sxx + jnp.einsum("knd,ne->kde", rx, jnp.conj(xc))
+    return _Stats(nk, sx, sxx, stats.log_norm + log_norm_inc)
+
+
 def accumulate_stats(x: jax.Array, mask_x, log_weights: jax.Array,
                      log_prob_fn, diag: bool, chunk: int,
                      axis_name=None) -> _Stats:
@@ -162,22 +185,12 @@ def accumulate_stats(x: jax.Array, mask_x, log_weights: jax.Array,
     xs, mask = mask_x if mask_x is not None else _chunk(x, chunk)
     k = log_weights.shape[0]
     d = xs.shape[-1]
-    sxx0 = (jnp.zeros((k, d), jnp.float32) if diag
-            else jnp.zeros((k, d, d), xs.dtype))
-    init = _Stats(jnp.zeros((k,), jnp.float32), jnp.zeros((k, d), xs.dtype),
-                  sxx0, jnp.zeros((), jnp.float32))
+    init = _zero_stats(k, d, xs.dtype, diag)
 
     def body(stats, inputs):
         xc, mc = inputs
         resp, ln = _resp_chunk(xc, mc, log_weights, log_prob_fn)
-        nk = stats.nk + jnp.sum(resp, axis=0)
-        sx = stats.sx + jnp.einsum("nk,nd->kd", resp.astype(xc.real.dtype), xc)
-        if diag:
-            sxx = stats.sxx + jnp.einsum("nk,nd->kd", resp, jnp.abs(xc) ** 2)
-        else:
-            rx = resp.astype(xc.real.dtype).T[..., None] * xc[None, :, :]  # (K, nc, D)
-            sxx = stats.sxx + jnp.einsum("knd,ne->kde", rx, jnp.conj(xc))
-        return _Stats(nk, sx, sxx, stats.log_norm + ln), None
+        return _update_stats(stats, resp, xc, diag, ln), None
 
     stats, _ = jax.lax.scan(body, init, (xs, mask))
     if axis_name is not None:
@@ -268,22 +281,12 @@ def _init_resp_stats(key, x, cfg: GmmConfig, diag: bool, chunk: int) -> _Stats:
     xs, mask = _chunk(x, chunk)
     ls = jnp.pad(labels, (0, xs.shape[0] * xs.shape[1] - labels.shape[0])
                  ).reshape(xs.shape[0], xs.shape[1])
-    sxx0 = (jnp.zeros((k, d), jnp.float32) if diag
-            else jnp.zeros((k, d, d), x.dtype))
-    init = _Stats(jnp.zeros((k,), jnp.float32), jnp.zeros((k, d), x.dtype),
-                  sxx0, jnp.zeros((), jnp.float32))
+    init = _zero_stats(k, d, x.dtype, diag)
 
     def body(stats, inputs):
         xc, mc, lc = inputs
         onehot = jax.nn.one_hot(lc, k, dtype=jnp.float32) * mc[:, None]
-        nk = stats.nk + jnp.sum(onehot, axis=0)
-        sx = stats.sx + jnp.einsum("nk,nd->kd", onehot.astype(xc.real.dtype), xc)
-        if diag:
-            sxx = stats.sxx + jnp.einsum("nk,nd->kd", onehot, jnp.abs(xc) ** 2)
-        else:
-            rx = onehot.astype(xc.real.dtype).T[..., None] * xc[None, :, :]
-            sxx = stats.sxx + jnp.einsum("knd,ne->kde", rx, jnp.conj(xc))
-        return _Stats(nk, sx, sxx, stats.log_norm), None
+        return _update_stats(stats, onehot, xc, diag), None
 
     stats, _ = jax.lax.scan(body, init, (xs, mask, ls))
     return stats
@@ -301,10 +304,7 @@ def _init_random_stats(key, x, cfg: GmmConfig, diag: bool, chunk: int) -> _Stats
     chunk_offset = 0
     if cfg.axis_name is not None:
         chunk_offset = jax.lax.axis_index(cfg.axis_name) * xs.shape[0]
-    sxx0 = (jnp.zeros((k, d), jnp.float32) if diag
-            else jnp.zeros((k, d, d), x.dtype))
-    init = _Stats(jnp.zeros((k,), jnp.float32), jnp.zeros((k, d), x.dtype),
-                  sxx0, jnp.zeros((), jnp.float32))
+    init = _zero_stats(k, d, x.dtype, diag)
 
     def body(carry, inputs):
         stats, i = carry
@@ -312,14 +312,7 @@ def _init_random_stats(key, x, cfg: GmmConfig, diag: bool, chunk: int) -> _Stats
         resp = jax.random.uniform(jax.random.fold_in(key, chunk_offset + i),
                                   (xc.shape[0], k), dtype=jnp.float32)
         resp = resp / jnp.sum(resp, axis=-1, keepdims=True) * mc[:, None]
-        nk = stats.nk + jnp.sum(resp, axis=0)
-        sx = stats.sx + jnp.einsum("nk,nd->kd", resp.astype(xc.real.dtype), xc)
-        if diag:
-            sxx = stats.sxx + jnp.einsum("nk,nd->kd", resp, jnp.abs(xc) ** 2)
-        else:
-            rx = resp.astype(xc.real.dtype).T[..., None] * xc[None, :, :]
-            sxx = stats.sxx + jnp.einsum("knd,ne->kde", rx, jnp.conj(xc))
-        return (_Stats(nk, sx, sxx, stats.log_norm), i + 1), None
+        return (_update_stats(stats, resp, xc, diag), i + 1), None
 
     (stats, _), _ = jax.lax.scan(body, (init, 0), (xs, mask))
     return stats

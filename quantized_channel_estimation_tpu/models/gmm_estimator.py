@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from quantized_channel_estimation_tpu.models.gmm import GmmParams, log_prob_full
 from quantized_channel_estimation_tpu.ops import linalg
 from quantized_channel_estimation_tpu.ops.bussgang import (
-    arcsine_cov, bussgang_gain_diag)
+    bank_gains_and_cov)
 from quantized_channel_estimation_tpu.ops.precision import highest_precision
 from quantized_channel_estimation_tpu.ops.quantizer import (
     ScalarQuantizer, is_inf_bits)
@@ -72,20 +72,7 @@ def prepare_bank(params: GmmParams, snr_db, a: jax.Array, n_bits,
     cy = cy + jnp.asarray(sigma2, jnp.float32) * eye
 
     a_mu = jnp.einsum("mn,kn->km", a, params.means)
-    diag_cy = jnp.real(jnp.diagonal(cy, axis1=-2, axis2=-1))
-
-    if is_inf_bits(n_bits):
-        gains = jnp.ones_like(diag_cy)
-        cr = cy
-    elif n_bits == 1:
-        gains = bussgang_gain_diag(diag_cy, 1)
-        cr = arcsine_cov(cy)
-    else:
-        gains = bussgang_gain_diag(diag_cy, n_bits, q)
-        beta = jnp.clip(jnp.mean(gains, axis=-1), 0.0, 1.0)
-        b2 = (beta ** 2)[:, None, None].astype(dtype)
-        diag_mat = jnp.diagonal(cy, axis1=-2, axis2=-1)[..., None] * eye
-        cr = b2 * cy + (1 - b2) * diag_mat
+    gains, cr = bank_gains_and_cov(cy, n_bits, q)
 
     means_r = gains.astype(dtype) * a_mu
     a_eff = gains[..., :, None].astype(dtype) * a  # (K, M, N)

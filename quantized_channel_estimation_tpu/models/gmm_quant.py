@@ -37,7 +37,7 @@ from quantized_channel_estimation_tpu.models.gmm import (
     GmmConfig, GmmParams, log_prob_full, _chunk, _init_resp_stats, _resp_chunk)
 from quantized_channel_estimation_tpu.ops import cov_recovery, linalg
 from quantized_channel_estimation_tpu.ops.bussgang import (
-    bussgang_gain_diag, quantized_variance)
+    bank_gains_and_cov, bussgang_gain_diag, quantized_variance)
 from quantized_channel_estimation_tpu.ops.precision import highest_precision
 from quantized_channel_estimation_tpu.ops.quantizer import (
     ScalarQuantizer, is_inf_bits)
@@ -90,11 +90,11 @@ def _accumulate(r_chunks, mask, log_weights, means, prec_chol_q, pos_tau,
         xc, mc = inputs
         lp_fn = lambda x: log_prob_full(x, means, prec_chol_q)
         resp, ln = _resp_chunk(xc, mc, log_weights, lp_fn)
-        respd = resp.astype(xc.real.dtype)
-        nk = stats.nk + jnp.sum(resp, axis=0)
-        sx = stats.sx + jnp.einsum("nk,nd->kd", respd, xc)
-        rx = respd.T[..., None] * xc[None, :, :]
-        sxx = stats.sxx + jnp.einsum("knd,ne->kde", rx, jnp.conj(xc))
+        # shared moment update (gmm._update_stats) + the quantized extras
+        base = gmm_mod._update_stats(
+            gmm_mod._Stats(stats.nk, stats.sx, stats.sxx, stats.log_norm),
+            resp, xc, diag=False, log_norm_inc=ln)
+        nk, sx, sxx = base.nk, base.sx, base.sxx
         if n_bits == 1 or is_inf_bits(n_bits):
             corr = stats.corr_1bit
             below = stats.below
@@ -102,8 +102,7 @@ def _accumulate(r_chunks, mask, log_weights, means, prec_chol_q, pos_tau,
             qs = cov_recovery.accumulate_quant_stats(xc, resp, pos_tau)
             corr = stats.corr_1bit + qs.corr_1bit
             below = stats.below + qs.below
-        return _QStats(nk, sx, sxx, corr, below,
-                       stats.log_norm + ln), None
+        return _QStats(nk, sx, sxx, corr, below, base.log_norm), None
 
     stats, _ = jax.lax.scan(body, init, (r_chunks, mask))
     return stats
@@ -221,14 +220,16 @@ def fit(key: jax.Array, r: jax.Array, cfg: GmmConfig, n_bits, sigma2,
                 cfg.reg_covar)
             covs = jnp.einsum("fd,kf,fe->kde", jnp.conj(f2),
                               sigma_spec.astype(dtype), f2) + cfg.reg_covar * eye
-            if not is_inf_bits(n_bits) and n_bits != 1:
-                cy = covs + sigma2 * eye
-                diag_cy = jnp.real(jnp.diagonal(cy, axis1=-2, axis2=-1))
-                gains = bussgang_gain_diag(diag_cy, n_bits, q)
-                beta = jnp.clip(jnp.mean(gains, axis=-1), 0.0, 1.0)
-                diag_cr = quantized_variance(diag_cy, q).astype(dtype)
-                covs_quant = ((beta ** 2)[:, None, None].astype(dtype) * cy
-                              * (1 - eye) + diag_cr[..., None] * eye)
+            if is_inf_bits(n_bits):
+                # unquantized: the E-step covariance is exactly Cy of the
+                # projected channel covariance (the reference's `n_bits > 1`
+                # resynthesis with A_buss = I, `gmm_cplx_quant.py:934-945`);
+                # without this the E-step would use the stale pre-projection
+                # covariance and EM optimizes a mismatched objective
+                covs_quant = covs + sigma2 * eye
+            elif n_bits != 1:
+                _, covs_quant = bank_gains_and_cov(covs + sigma2 * eye,
+                                                   n_bits, q, exact_diag=True)
         else:
             sigma_spec = state.sigma_spec
         weights = nk / jnp.sum(nk)

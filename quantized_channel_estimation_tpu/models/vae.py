@@ -32,7 +32,7 @@ import numpy as np
 import optax
 
 from quantized_channel_estimation_tpu.ops import linalg, observation
-from quantized_channel_estimation_tpu.ops.bussgang import bussgang_gain_diag
+from quantized_channel_estimation_tpu.ops.bussgang import bank_gains_and_cov
 from quantized_channel_estimation_tpu.ops.cplx import cplx2real, real2cplx
 from quantized_channel_estimation_tpu.ops.quantizer import (
     ScalarQuantizer, is_inf_bits)
@@ -123,8 +123,7 @@ class DnnVae(nn.Module):
         return self.decode(mu_enc)
 
 
-def elbo_loss(cfg: VaeConfig, outputs, data_h, data_y, snr_list=None,
-              q: Optional[ScalarQuantizer] = None):
+def elbo_loss(cfg: VaeConfig, outputs, data_h, data_y, snr_list=None):
     """Conditionally-Gaussian ELBO (`vae.py:312-365`); returns the negative
     mean ELBO (to minimize)."""
     mu_enc, log_std_enc, mu_dec, log_prec_dec = outputs
@@ -132,22 +131,27 @@ def elbo_loss(cfg: VaeConfig, outputs, data_h, data_y, snr_list=None,
         sigma2 = 10.0 ** (-snr_list / 10.0)
         cy = jnp.exp(-log_prec_dec) + sigma2[:, None]
         if not is_inf_bits(cfg.n_bits):
+            if cfg.quantizer_type != "uniform":
+                # the quantization-aware likelihood only has the uniform
+                # closed form (`vae.py:329-331` raises the same way)
+                raise NotImplementedError(
+                    "vae_mode='real' training supports quantizer_type="
+                    f"'uniform' only, got {cfg.quantizer_type!r}")
             cy_diag = jnp.mean(cy, axis=1, keepdims=True)
-            if cfg.n_bits == 1:
-                gains = bussgang_gain_diag(cy_diag[:, 0], 1)
-            else:
-                # per-sample uniform-step closed form, delta from each
-                # sample's own SNR (`uniform_quantizer.py:101-111`)
-                from quantized_channel_estimation_tpu.ops.quantizer import (
-                    uniform_step)
-                delta = uniform_step(snr_list, int(cfg.n_bits))  # (B,)
-                c = cy_diag[:, 0]
-                idx = jnp.arange(1, 2 ** int(cfg.n_bits), dtype=jnp.float32)
-                half = 2.0 ** int(cfg.n_bits) / 2.0
-                expo = jnp.exp(-(delta ** 2)[:, None] * (idx - half) ** 2
-                               / c[:, None])
-                gains = (delta / jnp.sqrt(jnp.pi) / jnp.sqrt(c)
-                         * jnp.sum(expo, axis=-1))
+            # per-sample uniform-step closed form, delta from each sample's
+            # own SNR, applied at EVERY bit-width including 1 (the reference
+            # `get_Bussgang_matrix_diag_fast`, `uniform_quantizer.py:101-111`,
+            # uses this formula at 1 bit too — not the sign-quantizer gain)
+            from quantized_channel_estimation_tpu.ops.quantizer import (
+                uniform_step)
+            delta = uniform_step(snr_list, int(cfg.n_bits))  # (B,)
+            c = cy_diag[:, 0]
+            idx = jnp.arange(1, 2 ** int(cfg.n_bits), dtype=jnp.float32)
+            half = 2.0 ** int(cfg.n_bits) / 2.0
+            expo = jnp.exp(-(delta ** 2)[:, None] * (idx - half) ** 2
+                           / c[:, None])
+            gains = (delta / jnp.sqrt(jnp.pi) / jnp.sqrt(c)
+                     * jnp.sum(expo, axis=-1))
             b2 = jnp.clip(gains ** 2, 0.0, 1.0)[:, None]  # (B, 1)
             cy = b2 * cy + (1.0 - b2) * cy_diag
         loss = jnp.sum(-jnp.log(cy), axis=1)
@@ -241,8 +245,7 @@ def make_train_step(model: DnnVae, cfg: VaeConfig, a: Optional[jax.Array],
         out = model.apply(params, x, ksamp)
         if cfg.vae_mode == "noisy":
             return elbo_loss(cfg, out, h_fft, None)
-        q0 = quantizers[0] if quantizers else None
-        return elbo_loss(cfg, out, None, x, snr_list=snr, q=q0)
+        return elbo_loss(cfg, out, None, x, snr_list=snr)
 
     def _one_step(state: VaeTrainState, h_train, key):
         kidx, kloss = jax.random.split(key)
@@ -313,11 +316,14 @@ def train(key, cfg: VaeConfig, h_train: jax.Array,
           checkpoint_every: int = 1):
     """Full training loop; returns (model, state, losses).
 
-    With `checkpoint_path` (a directory), model parameters are persisted
-    every `checkpoint_every` epochs via the Orbax-backed TrainCheckpointer
-    (atomic, step-numbered, retention-managed) and training resumes from
-    the latest checkpoint — the hardened equivalent of the reference's
-    per-epoch torch.save (`vae.py:148-153`). Per-epoch losses are kept in
+    With `checkpoint_path` (a directory), the FULL train state (params,
+    Adam moments, step) is persisted every `checkpoint_every` epochs via
+    the Orbax-backed TrainCheckpointer (atomic, step-numbered,
+    retention-managed) and training resumes from the latest checkpoint —
+    the equivalent of the reference's per-epoch torch.save of
+    `{model, optim, ...}` (`vae.py:148-153`); resuming with a fresh
+    optimizer would reset the Adam moments mid-run and converge to a
+    different model than an uninterrupted run. Per-epoch losses are kept in
     a losses.json beside the checkpoints (variable length, host metadata).
     """
     import json
@@ -334,7 +340,7 @@ def train(key, cfg: VaeConfig, h_train: jax.Array,
         ckpt = TrainCheckpointer(checkpoint_path, max_to_keep=3)
         last = ckpt.latest_step()
         if last is not None:
-            state = state._replace(params=ckpt.restore(last, state.params))
+            state = ckpt.restore(last, state)
             with open(os.path.join(checkpoint_path, "losses.json")) as f:
                 losses = json.load(f)[: last + 1]
             start_epoch = last + 1
@@ -357,7 +363,7 @@ def train(key, cfg: VaeConfig, h_train: jax.Array,
         losses.extend(float(v) for v in block_losses)
         epoch += n_block
         if ckpt is not None and epoch % checkpoint_every == 0:
-            ckpt.save(epoch - 1, state.params, force=True)
+            ckpt.save(epoch - 1, state, force=True)
             with open(os.path.join(checkpoint_path, "losses.json"), "w") as f:
                 json.dump([float(v) for v in losses], f)
         if verbose and (epoch // max(1, cfg.epochs // 10)
@@ -404,23 +410,8 @@ def estimate(model: DnnVae, params, cfg: VaeConfig, r: jax.Array,
         cy = jnp.einsum("md,bde,pe->bmp", a, ch, jnp.conj(a))
         m = a.shape[0]
         cy = cy + sigma2 * jnp.eye(m, dtype=rc.dtype)
-        diag_cy = jnp.real(jnp.diagonal(cy, axis1=-2, axis2=-1))
-        if is_inf_bits(cfg.n_bits):
-            a_eff = jnp.broadcast_to(a, cy.shape[:-2] + a.shape)
-            cr = cy
-        elif cfg.n_bits == 1:
-            from quantized_channel_estimation_tpu.ops.bussgang import arcsine_cov
-            gains = bussgang_gain_diag(diag_cy, 1)
-            a_eff = gains[..., :, None].astype(rc.dtype) * a
-            cr = arcsine_cov(cy)
-        else:
-            gains = bussgang_gain_diag(diag_cy, cfg.n_bits, q)
-            a_eff = gains[..., :, None].astype(rc.dtype) * a
-            beta = jnp.clip(jnp.mean(gains, axis=-1), 0.0, 1.0)
-            b2 = (beta ** 2)[:, None, None].astype(rc.dtype)
-            eye = jnp.eye(m, dtype=rc.dtype)
-            diag_mat = jnp.diagonal(cy, axis1=-2, axis2=-1)[..., None] * eye
-            cr = b2 * cy + (1 - b2) * diag_mat
+        gains, cr = bank_gains_and_cov(cy, cfg.n_bits, q)
+        a_eff = gains[..., :, None].astype(rc.dtype) * a
         mu_y = jnp.einsum("bmd,bd->bm", a_eff, mu_h)
         ch_aeff = jnp.einsum("bde,bme->bdm", ch, jnp.conj(a_eff))
         x_sol = linalg.cho_solve_hermitian(cr, rc - mu_y, jitter=jitter)

@@ -117,6 +117,41 @@ def quantized_cov(cy: jax.Array, n_bits, q: Optional[ScalarQuantizer] = None,
     return cr + diag_cr[..., None] * eye
 
 
+def bank_gains_and_cov(cy: jax.Array, n_bits,
+                       q: Optional[ScalarQuantizer] = None,
+                       exact_diag: bool = False):
+    """(diagonal Bussgang gains, Cr) of a (batched) observation covariance —
+    the shared estimator-bank model (`gmm_cplx_bussgang.py:274-307`):
+
+      1-bit: gains = sqrt(2/pi) diag(Cy)^(-1/2), Cr = arcsine law
+      inf:   gains = 1, Cr = Cy
+      n-bit: Cr = beta^2 Cy + (1-beta^2) diag(diag(Cy)),
+             beta = clip(mean(gains), 0, 1); with exact_diag=True the
+             diagonal is the exact quantized variance instead
+             (`gmm_cplx_quant.py:934-945`, the quantized-EM resynthesis).
+
+    One implementation shared by GMM bank preparation, the VAE estimator,
+    and the quantized-EM M-step, so a change to the Cr model propagates to
+    every consumer.
+    """
+    diag_cy = jnp.real(jnp.diagonal(cy, axis1=-2, axis2=-1))
+    if is_inf_bits(n_bits):
+        return jnp.ones_like(diag_cy), cy
+    if n_bits == 1:
+        return bussgang_gain_diag(diag_cy, 1), arcsine_cov(cy)
+    gains = bussgang_gain_diag(diag_cy, n_bits, q)
+    beta = jnp.clip(jnp.mean(gains, axis=-1), 0.0, 1.0)
+    b2 = (beta ** 2)[..., None, None].astype(cy.dtype)
+    eye = jnp.eye(cy.shape[-1], dtype=cy.dtype)
+    if exact_diag:
+        diag_cr = quantized_variance(diag_cy, q).astype(cy.dtype)
+        cr = b2 * cy * (1 - eye) + diag_cr[..., None] * eye
+    else:
+        diag_mat = jnp.diagonal(cy, axis1=-2, axis2=-1)[..., None] * eye
+        cr = b2 * cy + (1 - b2) * diag_mat
+    return gains, cr
+
+
 def blmmse_quantized_cov(cy: jax.Array, n_bits,
                          q: Optional[ScalarQuantizer] = None,
                          beta: str = "first") -> jax.Array:

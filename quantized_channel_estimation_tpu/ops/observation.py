@@ -56,7 +56,11 @@ def observe_random_snr(key: jax.Array, h: jax.Array, snrs_db: jax.Array,
 
     y = apply_pilots(h, a)
     noise_amp = (10.0 ** (-snr / 20.0)).astype(jnp.real(y).dtype)
-    y = y + noise_amp[:, None] * crandn(knoise, y.shape, dtype=y.dtype)
+    # broadcast the per-sample amplitude over every trailing axis (h may be
+    # (B, N) or (B, n_coherence, N)); a bare [:, None] right-aligns wrongly
+    # for ndim > 2
+    amp = noise_amp.reshape((batch,) + (1,) * (y.ndim - 1))
+    y = y + amp * crandn(knoise, y.shape, dtype=y.dtype)
 
     if is_inf_bits(n_bits):
         return y, snr

@@ -97,17 +97,27 @@ class EstimationService:
         try:
             rs = np.concatenate([q.r for q in reqs], axis=0)
             n = rs.shape[0]
-            # pad to the next power of two (bounded compiled-program count)
-            n_pad = 1 << max(0, (n - 1).bit_length())
-            n_pad = min(max(n_pad, 16), max(self.max_batch, n_pad))
-            rp = np.zeros((n_pad, rs.shape[1]), rs.dtype)
-            rp[:n] = rs
             bank = self._bank(snr)
-            if self.use_pallas:
-                out = self._estimate(bank, rp)
-            else:
-                out = self._estimate(bank, rp, self.mode, min(n_pad, 2048))
-            out_np = asnumpy(out)[:n]
+            # process in power-of-two microbatches capped at max_batch: pad
+            # sizes are drawn from the bounded set {16, 32, ..., cap}, so the
+            # compiled-program count is bounded AND a single oversized request
+            # (or a coalesced queue larger than max_batch) cannot force an
+            # arbitrarily large one-off XLA program
+            cap = 1 << max(4, (self.max_batch - 1).bit_length())
+            outs = []
+            for off in range(0, n, cap):
+                chunk = rs[off:off + cap]
+                m = chunk.shape[0]
+                n_pad = 1 << max(4, (m - 1).bit_length())
+                rp = np.zeros((n_pad, rs.shape[1]), rs.dtype)
+                rp[:m] = chunk
+                if self.use_pallas:
+                    out = self._estimate(bank, rp)
+                else:
+                    out = self._estimate(bank, rp, self.mode,
+                                         min(n_pad, 2048))
+                outs.append(asnumpy(out)[:m])
+            out_np = np.concatenate(outs, axis=0)
         except BaseException as e:  # propagate to the waiting clients
             for q in reqs:
                 q.error = e

@@ -103,6 +103,28 @@ class TestQuantGmm:
         # trained WITHOUT CSI: allow some slack vs the CSI-trained global filter
         assert m < 2.0 * m_glob + 0.05, (m, m_glob)
 
+    def test_quant_em_toeplitz_inf_bits_consistent(self, setup):
+        """inf-bit + toeplitz: the E-step covariance must be resynthesized
+        from the PROJECTED channel covariance (Cy = C + sigma2 I, the
+        reference's n_bits > 1 resynthesis with A_buss = I,
+        `gmm_cplx_quant.py:934-945`) — a stale pre-projection covs_quant
+        makes EM optimize a mismatched objective."""
+        h_train, _, _ = setup
+        snr = 5.0
+        sigma2 = 10 ** (-snr / 10)
+        a = pilots.pilot_matrix(self.N_ANT, 1, Q.INF_BITS)
+        r_train = observation.observe(jax.random.PRNGKey(9), h_train[:8000],
+                                      snr, a, Q.INF_BITS, None)
+        cfg = gmm.GmmConfig(n_components=4, cov_type="toeplitz",
+                            zero_mean=True, max_iter=6, chunk_size=4096)
+        fit = gmm_quant.fit(jax.random.PRNGKey(10), r_train, cfg,
+                            Q.INF_BITS, sigma2, None)
+        eye = np.eye(self.N_ANT)
+        want = (np.asarray(fit.params.covariances)
+                - cfg.reg_covar * eye + sigma2 * eye)
+        got = np.asarray(fit.cov_quant)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
     def test_quant_em_toeplitz(self, setup):
         h_train, h_val, _ = setup
         snr, n_bits = 5.0, 2

@@ -85,6 +85,28 @@ def test_concurrent_requests_coalesce(service_setup):
         svc.close()
 
 
+def test_oversized_request_microbatched(service_setup):
+    """A single request larger than max_batch is processed in bounded
+    power-of-two microbatches (no arbitrarily large one-off XLA program)
+    and still returns correct results."""
+    params, a, h_val = service_setup
+    snr = 5.0
+    q = Q.design_quantizer(snr, 2)
+    r = observation.observe(jax.random.PRNGKey(65), h_val[:700], snr, a, 2, q)
+    r_np = np.asarray(r)
+
+    svc = serving.EstimationService(params, a, 2, max_batch=256,
+                                    max_delay_ms=1.0)
+    try:
+        got = svc.submit(r_np, snr, timeout=60)
+        bank = gmm_estimator.prepare_bank(params, snr, a, 2, q)
+        want = np.asarray(gmm_estimator.estimate(bank, r, "all"))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    finally:
+        svc.close()
+
+
 def test_flush_errors_propagate_to_clients(service_setup):
     """A failing compute path must raise in submit(), not time out."""
     params, a, h_val = service_setup

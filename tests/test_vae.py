@@ -81,6 +81,82 @@ def test_estimation_beats_trivial(data, mode):
     assert np.isfinite(m) and m < 1.0, (mode, m)
 
 
+def test_real_mode_lloyd_raises(data):
+    """The quantization-aware real-mode ELBO only has the uniform closed
+    form; the reference raises NotImplementedError for lloyd
+    (`vae.py:329-331`) and so do we — silently training with the uniform
+    delta would be a wrong objective."""
+    h_train, _ = data
+    cfg = _cfg("real")._replace(quantizer_type="lloyd")
+    a = pilots.pilot_matrix(N_ANT, 1, cfg.n_bits)
+    quantizers = [Q.design_quantizer(s, cfg.n_bits, "lloyd") for s in SNRS]
+    with pytest.raises(NotImplementedError):
+        vae.train(jax.random.PRNGKey(33), cfg, h_train, a, SNRS, quantizers,
+                  verbose=False)
+
+
+def test_real_mode_one_bit_gain_is_uniform_formula():
+    """Real-mode ELBO at 1 bit must use the uniform-step closed-form gain
+    delta/sqrt(pi c) (the reference's get_Bussgang_matrix_diag_fast applies
+    the same formula at every bit-width, `uniform_quantizer.py:101-111`),
+    NOT the exact sign-quantizer gain sqrt(2/pi c)."""
+    from quantized_channel_estimation_tpu.ops.quantizer import uniform_step
+    b = 4
+    n = N_ANT
+    cfg = vae.VaeConfig(n_antennas=n, latent_dim=4, n_layers=2,
+                        vae_mode="real", n_bits=1)
+    key = jax.random.PRNGKey(34)
+    snr = jnp.full((b,), 10.0, jnp.float32)
+    mu_enc = jnp.zeros((b, 8))
+    log_std_enc = jnp.zeros((b, 8))
+    log_prec = jax.random.normal(key, (b, n)) * 0.1
+    y = jax.random.normal(jax.random.fold_in(key, 1), (b, 2 * n))
+    loss = vae.elbo_loss(cfg, (mu_enc, log_std_enc, None, log_prec),
+                         None, y, snr_list=snr)
+
+    # manual reference computation with the uniform 1-bit formula
+    sigma2 = 10.0 ** (-snr / 10.0)
+    cy = jnp.exp(-log_prec) + sigma2[:, None]
+    cy_diag = jnp.mean(cy, axis=1, keepdims=True)
+    delta = uniform_step(snr, 1)
+    c = cy_diag[:, 0]
+    gains = delta / jnp.sqrt(jnp.pi) / jnp.sqrt(c)  # single i=1 term
+    b2 = jnp.clip(gains ** 2, 0.0, 1.0)[:, None]
+    cy_q = b2 * cy + (1.0 - b2) * cy_diag
+    want = jnp.sum(-jnp.log(cy_q), axis=1)
+    inv = jnp.concatenate([1.0 / cy_q, 1.0 / cy_q], axis=1)
+    want = want - jnp.sum(y * inv * y, axis=1)
+    want = want + jnp.sum(log_std_enc, axis=1)
+    want = want - 0.5 * jnp.sum(mu_enc ** 2, axis=1)
+    want = want - 0.5 * jnp.sum(jnp.exp(2.0 * log_std_enc), axis=1)
+    np.testing.assert_allclose(float(loss), float(-jnp.mean(want)),
+                               rtol=1e-6)
+
+
+def test_observe_random_snr_coherence_axis():
+    """Per-sample noise amplitudes must broadcast over trailing axes for
+    (B, n_coherence, N) channel batches (a bare [:, None] right-aligns
+    wrongly for ndim > 2)."""
+    key = jax.random.PRNGKey(35)
+    b, t, n = 6, 3, N_ANT
+    h = (jax.random.normal(key, (b, t, n))
+         + 1j * jax.random.normal(key, (b, t, n))).astype(jnp.complex64)
+    snrs = jnp.asarray([0.0, 10.0], jnp.float32)
+    quantizers = [Q.design_quantizer(float(s), 2) for s in snrs]
+    r, snr = observation.observe_random_snr(
+        jax.random.fold_in(key, 1), h, snrs, None, 2, quantizers)
+    assert r.shape == (b, t, n) and snr.shape == (b,)
+    # degenerate single-SNR set: matches the fixed-SNR path's noise scale
+    r1, snr1 = observation.observe_random_snr(
+        jax.random.fold_in(key, 2), h, jnp.asarray([5.0]), None,
+        Q.INF_BITS, None)
+    assert jnp.all(snr1 == 5.0)
+    noise = r1 - h
+    amp = float(jnp.sqrt(jnp.mean(jnp.abs(noise) ** 2)))
+    want = 10.0 ** (-5.0 / 20.0)
+    assert abs(amp - want) / want < 0.35, (amp, want)
+
+
 def test_obs_to_input_shapes(data):
     h_train, _ = data
     cfg, a, quantizers = _setup("noisy")

@@ -32,3 +32,17 @@ def test_checkpoint_resume(tmp_path):
                                    checkpoint_path=ckpt)
     assert len(losses2) == 3
     np.testing.assert_allclose(losses2[:2], losses1, rtol=1e-6)
+
+    # full-state restore (params + Adam moments + step): the resumed run
+    # must be BIT-IDENTICAL to an uninterrupted 3-epoch run (batch keys fold
+    # in the absolute epoch index). A params-only restore resets the Adam
+    # moments mid-run and fails this.
+    _, state3, losses3 = vae.train(jax.random.PRNGKey(0), cfg3, h, a, SNRS,
+                                   quantizers, verbose=False)
+    np.testing.assert_allclose(losses2, losses3, rtol=1e-6)
+    for a2, a3 in zip(jax.tree_util.tree_leaves(state2.params),
+                      jax.tree_util.tree_leaves(state3.params)):
+        np.testing.assert_array_equal(np.asarray(a2), np.asarray(a3))
+    for a2, a3 in zip(jax.tree_util.tree_leaves(state2.opt_state),
+                      jax.tree_util.tree_leaves(state3.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a2), np.asarray(a3))
