@@ -6,6 +6,11 @@ no tracing or timing code at all; these are the TPU-native equivalents).
 - `Timer` / `throughput`: wall-clock counters with honest completion
   barriers (a real-scalar readback; `block_until_ready` is not a reliable
   barrier on remote TPU runtimes — see ops/boundary.py).
+- `no_implicit_transfers()`: jax transfer-guard context that turns any
+  accidental host<->device transfer inside a hot section into an error —
+  the sanitizer analog SURVEY §5 prescribes (the reference needs none
+  because everything is host NumPy; here a stray un-jitted op silently
+  round-trips through the remote tunnel instead).
 """
 from __future__ import annotations
 
@@ -26,6 +31,18 @@ def trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def no_implicit_transfers(level: str = "disallow"):
+    """Fail loudly on implicit host<->device transfers in the enclosed block.
+
+    Wrap steady-state serving/benchmark loops with this to guarantee the
+    data path stays on-device: 'disallow' errors on implicit transfers
+    (a stray un-jitted numpy op pulling a device array to host) while
+    explicit `jax.device_put` / `np.asarray` readbacks remain legal."""
+    with jax.transfer_guard(level):
+        yield
 
 
 def force_completion(tree) -> float:

@@ -61,3 +61,23 @@ def test_best_circulant_approximation(rng):
         diag_lo = np.diagonal(circ, offset=off - n)
         np.testing.assert_allclose(diag_hi, diag_hi[0], atol=1e-10)
         np.testing.assert_allclose(diag_lo[0], diag_hi[0], atol=1e-10)
+
+
+def test_no_implicit_transfers_guard():
+    """The transfer guard turns implicit host->device transfers (a stray
+    un-jitted host constant in a hot loop) into errors while device-only
+    compute passes (SURVEY §5 sanitizer analog)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from quantized_channel_estimation_tpu.utils.profiling import (
+        no_implicit_transfers)
+
+    x = jnp.arange(8.0)
+    two = jnp.asarray(2.0)  # already on device
+    with no_implicit_transfers():
+        y = jnp.sum(x * two)  # device-only: fine
+        with pytest.raises(jax.errors.JaxRuntimeError):
+            _ = x * 2.0  # python scalar = implicit host->device transfer
+    assert float(np.asarray(y)) == 56.0

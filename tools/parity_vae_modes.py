@@ -1,0 +1,141 @@
+"""VAE parity (noisy / real modes): our flax VAE vs the reference's torch
+VAE_nbit, trained on identical channels with identical architecture and
+hyperparameters, compared on estimation MSE over shared quantized
+observations.
+
+Complements tools/parity_vae.py (genie mode). The reference's noisy/real
+training regenerates quantized observations every epoch via
+`get_observation_nbit_randSNR_torch_fast` (`estimators/vae.py:88-105`),
+which is vectorized enough to run at reduced scale (D=16, 8k train).
+VAE training is stochastic (different frameworks, inits, batch draws), so
+parity is a same-ballpark check (one-sided +25%) on the converged
+estimator, not bit equality.
+
+Run on CPU: python tools/parity_vae_modes.py [noisy|real|both]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, "/root/reference")
+
+import numpy as np  # noqa: E402
+
+for alias in ("infty", "Inf"):
+    if not hasattr(np, alias):
+        setattr(np, alias, np.inf)
+
+N_ANT = 16
+LATENT = 4
+N_LAYERS = 3
+N_TRAIN = 8_000
+N_VAL = 2_000
+EPOCHS = int(os.environ.get("PARITY_EPOCHS", 40))
+BATCH = 200
+LR = 5e-4
+N_BITS = 2
+SNRS_EVAL = [5.0, 15.0]
+SNRS = [-10, -5, 0, 5, 10, 15, 20]
+
+
+def run_mode(mode: str, data) -> bool:
+    import jax
+    from quantized_channel_estimation_tpu.models import vae
+    from quantized_channel_estimation_tpu.ops import observation
+    from quantized_channel_estimation_tpu.ops import quantizer as Q
+    from quantized_channel_estimation_tpu.utils.metrics import nmse
+
+    import modules.utils as ref_ut
+    from estimators.vae import VAE_nbit as RefVae
+
+    key, h, h_np, h_train, h_test, h_val, h_val_np, a, a_np, quantizers = data
+    ref_quant = ref_ut.get_quantizer(SNRS + SNRS_EVAL, N_BITS, "uniform")
+
+    cfg = vae.VaeConfig(n_antennas=N_ANT, latent_dim=LATENT,
+                        n_layers=N_LAYERS, vae_mode=mode, n_bits=N_BITS,
+                        lr=LR, batch_size=BATCH, epochs=EPOCHS,
+                        steps_per_epoch=N_TRAIN // BATCH)
+    t0 = time.time()
+    model, state, losses = vae.train(jax.random.PRNGKey(5), cfg, h_train, a,
+                                     SNRS, quantizers, verbose=False)
+    print(f"[{mode}] our VAE train: {time.time() - t0:.0f}s, "
+          f"final loss {losses[-1]:.2f}")
+
+    import torch
+    _orig_load = torch.load
+
+    def _load(*args, **kwargs):
+        kwargs.setdefault("weights_only", False)
+        return _orig_load(*args, **kwargs)
+
+    torch.load = _load
+    params = {
+        "sim_id": f"parity_{mode}", "n_antennas": N_ANT, "n_pilots": 1,
+        "pilot_type": "angle_amp", "n_bits": N_BITS, "snrs": SNRS,
+        "n_paths": 3, "vae_mode": mode, "n_train": N_TRAIN,
+        "n_test": 1000, "n_val": N_VAL, "epochs": EPOCHS,
+        "quantizer_type": "uniform", "file_vae": "",
+        "apply_batchnorm": False, "lr": LR, "batch_size": BATCH,
+        "n_layers": N_LAYERS, "latent_dim": LATENT, "zeromean": True,
+        "fft_pre": True, "conv_vae": False, "filters_max": 32,
+        "n_pilot_convs": 0, "eval_rate": True, "snr_scale": False,
+        "snr_scale_fac": 0.5, "model_type": "3gpp", "n_path": 3,
+        "device": torch.device("cpu"), "A": a_np, "quantizer": ref_quant,
+    }
+    os.makedirs("results/vae/saves", exist_ok=True)
+    ref = RefVae(params=params)
+    t0 = time.time()
+    ref.train(h_np[:N_TRAIN].copy(), h_test.copy(), SNRS)
+    print(f"[{mode}] reference VAE train: {time.time() - t0:.0f}s")
+
+    all_ok = True
+    for snr in SNRS_EVAL:
+        q = Q.design_quantizer(snr, N_BITS)
+        r = observation.observe(jax.random.fold_in(key, int(snr)), h_val,
+                                snr, a, N_BITS, q)
+        ours = float(nmse(vae.estimate(model, state.params, cfg, r, snr, a,
+                                       q), h_val))
+        r_np = np.asarray(r, np.complex128)
+        refm, _, _ = ref.eval(h_val_np.copy(), r_np, snr, h_np[:N_TRAIN])
+        rel = (ours - refm) / refm
+        ok = rel < 0.25  # one-sided; stochastic training
+        all_ok &= ok
+        print(f"vae-{mode} snr={snr:5.1f}: ours={ours:.5f} ref={refm:.5f} "
+              f"rel={rel:+.2e} {'OK' if ok else 'MISMATCH'}")
+    return all_ok
+
+
+def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from quantized_channel_estimation_tpu.ops import pilots, scm
+    from quantized_channel_estimation_tpu.ops import quantizer as Q
+
+    modes = sys.argv[1:] or ["both"]
+    if modes == ["both"]:
+        modes = ["noisy", "real"]
+
+    key = jax.random.PRNGKey(99)
+    h, _ = scm.generate_channels_chunked(key, N_TRAIN + 1000 + N_VAL,
+                                         scm.ScmConfig(N_ANT, 3))
+    h_np = np.asarray(h, np.complex128)
+    h_train = h[:N_TRAIN]
+    h_test = h_np[N_TRAIN:N_TRAIN + 1000]
+    h_val = h[N_TRAIN + 1000:]
+    h_val_np = np.asarray(h_val, np.complex128)
+    a = pilots.pilot_matrix(N_ANT, 1, N_BITS)
+    a_np = np.asarray(a, np.complex128)
+    quantizers = [Q.design_quantizer(s, N_BITS) for s in SNRS]
+    data = (key, h, h_np, h_train, h_test, h_val, h_val_np, a, a_np,
+            quantizers)
+
+    ok = True
+    for mode in modes:
+        ok &= run_mode(mode, data)
+    print("VAE MODE PARITY:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
