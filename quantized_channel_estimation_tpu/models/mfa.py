@@ -158,15 +158,36 @@ def fit(key: jax.Array, x: jax.Array, cfg: MfaConfig) -> MfaFitResult:
 
     def em_iter(state: _MfaState) -> _MfaState:
         p = state.params
-        inv_covs = woodbury_inverse(p.lambdas, p.psis)
-        logdets = _slogdet_from_woodbury(p.lambdas, p.psis)
+        # Factored Woodbury: with inner = I + Lambda^H Psi^{-1} Lambda = L L^H,
+        # T = L^{-1} Lambda^H Psi^{-1} gives C^{-1} = Psi^{-1} - T^H T, so the
+        # E-step quadratic form is O(K N D M) in the latent rank M (= D/4 in
+        # the reference config) instead of O(K N D^2) through a dense inverse,
+        # and neither a (K, D, D) inverse nor a (K, chunk, D) diff
+        # intermediate is ever materialized. inner has eigenvalues >= 1, so
+        # its Cholesky is unconditionally stable.
+        psi_inv_r = 1.0 / p.psis                       # (K, D) real
+        psi_inv = psi_inv_r.astype(dtype)
+        lp_mat = jnp.conj(jnp.swapaxes(p.lambdas, -1, -2)) \
+            * psi_inv[:, None, :]                      # (K, M, D) = L^H Psi^-1
+        inner = jnp.eye(m, dtype=dtype) + lp_mat @ p.lambdas
+        chol = jnp.linalg.cholesky(linalg.hermitize(inner))   # (K, M, M)
+        t_mat = jax.scipy.linalg.solve_triangular(chol, lp_mat, lower=True)
+        logdets = (jnp.sum(jnp.log(p.psis), axis=-1)
+                   + 2.0 * jnp.sum(jnp.log(jnp.real(jnp.diagonal(
+                       chol, axis1=-2, axis2=-1))), axis=-1))  # log det C
+        mu = p.means
+        mu2 = jnp.sum(jnp.abs(mu) ** 2 * psi_inv_r, axis=-1)  # (K,)
+        mu_w = (jnp.conj(mu) * psi_inv).T                     # (D, K)
+        t_mu = jnp.einsum("kmd,kd->km", t_mat, mu)            # (K, M)
 
         def log_prob_fn(xc):
-            diff = xc[None, :, :] - p.means[:, None, :]  # (K, nc, D)
-            quad = jnp.real(jnp.einsum("knd,kde,kne->kn", jnp.conj(diff),
-                                       inv_covs, diff))
-            lp = -d * jnp.log(jnp.pi) - logdets[:, None] - quad
-            return lp.T
+            # diag part of (x-mu)^H C^{-1} (x-mu), expanded (no K x nc x D)
+            a = (jnp.abs(xc) ** 2) @ psi_inv_r.T              # (nc, K)
+            cross = jnp.real(xc @ mu_w)                       # (nc, K)
+            tx = jnp.einsum("kmd,nd->knm", t_mat, xc)         # (K, nc, M)
+            b = jnp.sum(jnp.abs(tx - t_mu[:, None, :]) ** 2, axis=-1)
+            quad = a - 2.0 * cross + mu2[None, :] - b.T
+            return -d * jnp.log(jnp.pi) - logdets[None, :] - quad
 
         stats = gmm_mod.accumulate_stats(x, xs_mask, jnp.log(p.weights),
                                          log_prob_fn, False, cfg.chunk_size)
@@ -187,7 +208,9 @@ def fit(key: jax.Array, x: jax.Array, cfg: MfaConfig) -> MfaFitResult:
         nk = stats.nk + 10 * jnp.finfo(jnp.float32).eps
         nk_c = nk.astype(dtype)
 
-        beta = jnp.einsum("kdm,kde->kme", jnp.conj(p.lambdas), inv_covs)
+        # beta = Lambda^H C^{-1} = inner^{-1} Lambda^H Psi^{-1} = L^{-H} T
+        beta = jax.scipy.linalg.solve_triangular(
+            jnp.conj(jnp.swapaxes(chol, -1, -2)), t_mat, lower=False)
         mu_old = p.means
         sz = jnp.einsum("kme,ke->km", beta,
                         stats.sx - nk_c[:, None] * mu_old)  # sum r z
