@@ -157,6 +157,10 @@ def estimate_packed(kb: KernelBank, r_re: jax.Array, r_im: jax.Array,
     (h_re, h_im): (N, D) float32. N must be a multiple of tile_n (callers
     pad; see `estimate`)."""
     n, m = r_re.shape
+    if n % tile_n:
+        raise ValueError(f"N={n} must be a multiple of tile_n={tile_n} "
+                         "(the grid would silently drop the tail rows); "
+                         "pad like `estimate` does")
     k_comp = kb.pc_re.shape[0]
     d = kb.wt_re.shape[-1]
     grid = (n // tile_n,)
@@ -313,6 +317,10 @@ def estimate_packed_block_grouped(kb: KernelBankBlock, r2: jax.Array,
     K must be a multiple of `group`. `precision` feeds the in-kernel dots
     (None -> Mosaic default = full float32 passes)."""
     n, two_m = r2.shape
+    if n % tile_n:
+        raise ValueError(f"N={n} must be a multiple of tile_n={tile_n} "
+                         "(the grid would silently drop the tail rows); "
+                         "pad like `estimate_block_grouped` does")
     k_comp = kb.pw.shape[0]
     two_d = kb.pw.shape[-1] - two_m
     assert k_comp % group == 0, (k_comp, group)
@@ -367,17 +375,21 @@ def estimate_block_grouped(bank: PreparedBank, r: jax.Array,
 
 def estimate_fused(bank: PreparedBank, r: jax.Array,
                    interpret: bool = False,
-                   vmem_bank_budget: int = 10 * 1024 * 1024) -> jax.Array:
+                   vmem_budget: int = 13 * 1024 * 1024) -> jax.Array:
     """Canonical fused 'all'-mode estimation: grouped block-GEMM kernel with
     measured-best defaults (group=4, tile_n=2048 on v5e — 15.1M est/s at
     K=D=64 vs 6.9M for the Karatsuba layout; tools/kernel_bench.py).
 
-    Falls back to the einsum estimator when the bank cannot stay
-    VMEM-resident (large K·D — the kernel's whole premise is a resident
-    bank; ~16 MB VMEM/core, budget leaves room for tiles + accumulators)."""
+    Falls back to the einsum estimator when the bank cannot fit Mosaic's
+    scoped-VMEM stack. Measured rule (v5e, 2026-08-18): the grouped kernel's
+    scoped allocation is exactly bank_bytes + 2 MiB against a 16 MiB limit,
+    independent of tile_n and batch size — banks up to 12 MiB (K=96 at
+    D=64) compile and run 1.7x faster than the einsum path; 16 MiB banks
+    (K=128) fail with 'Scoped allocation ... exceeded scoped vmem limit'.
+    The 13 MiB default budget keeps 1 MiB of margin under that rule."""
     k_comp, d, m = bank.filters.shape
     bank_bytes = 4 * k_comp * (2 * m) * (2 * m + 2 * d)
-    if bank_bytes > vmem_bank_budget:
+    if bank_bytes > vmem_budget:
         from quantized_channel_estimation_tpu.models import gmm_estimator
         return gmm_estimator.estimate(bank, r, "all",
                                       min(4096, max(256, r.shape[0])))

@@ -79,9 +79,7 @@ def prepare_bank(params: GmmParams, snr_db, a: jax.Array, n_bits,
 
     cr_j = linalg.add_jitter(cr, jitter)
     chol = jnp.linalg.cholesky(cr_j)
-    eye_b = jnp.broadcast_to(eye, cr_j.shape)
-    linv = jax.scipy.linalg.solve_triangular(chol, eye_b, lower=True)
-    prec_chol = jnp.conj(jnp.swapaxes(linv, -1, -2))
+    prec_chol = linalg.prec_from_chol(chol)
 
     # W_k = C_k A_eff^H Cr^{-1}: solve Cr X = A_eff C_k^H, W = X^H
     cah = jnp.einsum("knd,kmd->knm", params.covariances, jnp.conj(a_eff))  # C A_eff^H

@@ -143,10 +143,11 @@ def _recover_covs(stats: _QStats, cfg: GmmConfig, n_bits, sigma2,
     # Empty-component guard: k-means on coarsely quantized data (16 distinct
     # values per dim at 2 bits) readily produces components with Nk ~ 0,
     # whose bin-occupancy probabilities clip to inverted bounds
-    # [1/Nk, (Nk-1)/Nk] and poison the recovery. Park such components at a
+    # [1/Nk, (Nk-1)/Nk] and poison the recovery (the bounds invert for any
+    # Nk < 2, so the mask requires Nk >= 2). Park such components at a
     # unit-power prior; their ~zero weights keep them out of estimation
     # (and prepare_bank masks them entirely).
-    valid = (stats.nk > 1.0)[:, None, None]
+    valid = (stats.nk >= 2.0)[:, None, None]
     covs = jnp.where(valid, covs, eye)
     covs_quant = jnp.where(valid, covs_quant, eye)
     return covs, covs_quant

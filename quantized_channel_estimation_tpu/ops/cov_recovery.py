@@ -87,7 +87,12 @@ def recover_covariance(stats: QuantStats, pos_tau: jax.Array,
     nk = stats.nk[:, None, None]
     corr = arcsine_correlation(stats.corr_1bit / nk.astype(stats.corr_1bit.dtype))
     nk_d = stats.nk[:, None, None, None]
-    probs = jnp.clip(stats.below / nk_d, 1.0 / nk_d, (nk_d - 1.0) / nk_d)
+    # occupancy clip bounds [1/Nk, (Nk-1)/Nk] invert for Nk < 2; order them
+    # so jnp.clip stays well-defined (callers must still mask such
+    # components out — gmm_quant requires Nk >= 2)
+    lo, hi = 1.0 / nk_d, (nk_d - 1.0) / nk_d
+    probs = jnp.clip(stats.below / nk_d, jnp.minimum(lo, hi),
+                     jnp.maximum(lo, hi))
     k, d, b, _ = probs.shape
     # stack (re, im) residuals per (component, dim): 2B residuals, same tau
     probs_flat = jnp.moveaxis(probs, -1, -2).reshape(k, d, 2 * b)
@@ -104,6 +109,13 @@ def recover_covariance_from_samples(r: jax.Array, q: ScalarQuantizer,
     """Unweighted single-covariance recovery from raw quantized samples —
     the standalone Fig.-2 path (`Covariance_recovery.py:96-138`). r: (N, D)."""
     pos_tau = positive_thresholds(q)
+    if pos_tau.shape[0] == 0:
+        # a 1-bit sign quantizer has no interior thresholds: bin occupancy
+        # carries no amplitude information and the scale fit would silently
+        # return its warm start (the reference's Fig. 2 uses 3 bits)
+        raise ValueError("covariance recovery needs n_bits >= 2; a 1-bit "
+                         "quantizer provides no amplitude information "
+                         "(use the arcsine correlation alone)")
     resp = jnp.ones((r.shape[0], 1), jnp.float32)
     stats = accumulate_quant_stats(r, resp, pos_tau)
     x0 = jnp.ones((1, r.shape[1]), jnp.float32)

@@ -78,10 +78,17 @@ def precision_cholesky(c: jax.Array) -> jax.Array:
     precisions_cholesky_ convention used by the reference
     (`gmm_cplx_bussgang.py:15-52`) but batched instead of per-component loops.
     """
-    l = jnp.linalg.cholesky(c)
-    d = c.shape[-1]
-    eye = jnp.eye(d, dtype=c.dtype)
-    linv = jax.scipy.linalg.solve_triangular(l, jnp.broadcast_to(eye, c.shape), lower=True)
+    return prec_from_chol(jnp.linalg.cholesky(c))
+
+
+def prec_from_chol(l: jax.Array) -> jax.Array:
+    """Upper-triangular P = (L^{-1})^H from a lower Cholesky factor L — the
+    single encoding of the precision-cholesky convention (shared by
+    `precision_cholesky`, `robust_precision_cholesky`, and the estimator
+    bank preparation)."""
+    d = l.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=l.dtype), l.shape)
+    linv = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
     return jnp.conj(jnp.swapaxes(linv, -1, -2))
 
 
@@ -106,9 +113,7 @@ def robust_precision_cholesky(c: jax.Array, base_jitter: float = 0.0) -> jax.Arr
     for cand in reversed(ls[:-1]):
         bad = jnp.any(jnp.isnan(cand), axis=(-2, -1), keepdims=True)
         l = jnp.where(bad, l, cand)
-    eye_b = jnp.broadcast_to(eye, c.shape)
-    linv = jax.scipy.linalg.solve_triangular(l, eye_b, lower=True)
-    return jnp.conj(jnp.swapaxes(linv, -1, -2))
+    return prec_from_chol(l)
 
 
 def logdet_from_prec_chol(p: jax.Array) -> jax.Array:
@@ -212,8 +217,10 @@ def psd_project_polar(c: jax.Array, floor: float = 0.0,
 def best_circulant_approximation(t: jax.Array) -> jax.Array:
     """Eigenvalues (FFT-domain spectrum) of the best circulant approximation
     of the Hermitian Toeplitz matrix with first row t, in the Frobenius norm:
-    c_k = sum_m w_m(t) e^{-2 pi i k m / n} with the standard triangular
-    weighting w_m = ((n-m) t_m + m conj(t_{n-m})) / n.
+    c_k = sum_m w_m(t) e^{+2 pi i k m / n} (an inverse DFT of the weights —
+    see the code comment; the forward-DFT sign would build the conjugate
+    matrix) with the standard triangular weighting
+    w_m = ((n-m) t_m + m conj(t_{n-m})) / n.
 
     Spec source: the reference's dead-code `SCM3GPP/toeplitz_helpers.py:57-84`
     (unreachable upstream; reimplemented from the math). Returns the real

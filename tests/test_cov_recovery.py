@@ -15,6 +15,30 @@ from quantized_channel_estimation_tpu.estimators import blmmse
 from quantized_channel_estimation_tpu.utils.metrics import nmse
 
 
+def test_one_bit_recovery_raises(key, rng):
+    """A 1-bit quantizer has no interior thresholds — the scale fit would
+    silently return its warm start, so the standalone recovery refuses."""
+    q = Q.design_quantizer(5.0, 1)
+    r = jnp.asarray(rng.standard_normal((64, 4))
+                    + 1j * rng.standard_normal((64, 4)), jnp.complex64)
+    with pytest.raises(ValueError, match="n_bits >= 2"):
+        cov_recovery.recover_covariance_from_samples(r, q, key)
+
+
+def test_occupancy_clip_stays_ordered_for_tiny_mass(key):
+    """For component mass 1 < Nk < 2 the raw bounds [1/Nk, (Nk-1)/Nk]
+    invert; the clip must stay well-defined (finite output, no NaN) — the
+    quantized EM additionally masks such components out (Nk >= 2)."""
+    q = Q.design_quantizer(5.0, 2)
+    pos_tau = cov_recovery.positive_thresholds(q)
+    r = jnp.asarray([[0.1 + 0.1j, 1.0 + 1.0j]] * 3, jnp.complex64)
+    resp = jnp.asarray([[0.5], [0.5], [0.5]], jnp.float32)  # Nk = 1.5
+    stats = cov_recovery.accumulate_quant_stats(r, resp, pos_tau)
+    x0 = jnp.ones((1, 2), jnp.float32)
+    cov = cov_recovery.recover_covariance(stats, pos_tau, x0, key)
+    assert np.all(np.isfinite(np.asarray(cov).view(np.float32)))
+
+
 def test_gauss_newton_recovers_scale(key):
     """Exact probabilities -> recovered scale equals the true scale."""
     tau = jnp.asarray([0.4, 0.8, 1.3])

@@ -104,7 +104,7 @@ def test_estimate_fused_large_bank_falls_back(bank_and_obs):
     """Banks too big for VMEM must route to the einsum path, same result."""
     bank, r = bank_and_obs
     h_fb = pk.estimate_fused(bank, r[:300], interpret=True,
-                             vmem_bank_budget=1)  # force the fallback
+                             vmem_budget=1)  # force the fallback
     h_ein = gmm_estimator.estimate(bank, r[:300], "all")
     np.testing.assert_allclose(np.asarray(h_fb), np.asarray(h_ein),
                                atol=1e-5)
