@@ -266,16 +266,16 @@ def estimate_block(bank: PreparedBank, r: jax.Array, tile_n: int = 1024,
                                   interpret=interpret)
 
 
-def _estimate_kernel_block_grouped(logw, pw, mu, b, r2, out, *, n_groups: int,
-                                   group: int, two_m: int,
-                                   precision=None):
-    """One sample tile: stream over K, `group` components per GEMM:
-    pw[g] is (2M, group*(2M+2D)) = [P_1|W_1|...|P_G|W_G], widening the MXU
-    output dim and cutting loop-iteration count."""
-    tile_n = r2.shape[0]
-    two_d = out.shape[1]
+def _grouped_stream(logw, pw, mu, b, rr, n_groups: int, group: int,
+                    two_m: int, two_d: int, precision):
+    """Stream over K, `group` components per GEMM: pw[g] is
+    (2M, group*(2M+2D)) = [P_1|W_1|...|P_G|W_G], widening the MXU output
+    dim and cutting loop-iteration count. Returns the online-softmax state
+    (running max, denominator, un-normalized accumulator) over the streamed
+    components — the shared core of the normalizing and stats-emitting
+    kernels (the latter enables the K-chunked merge for oversized banks)."""
+    tile_n = rr.shape[0]
     stride = two_m + two_d
-    rr = r2[:]
 
     def body(g, carry):
         m_run, denom, acc = carry
@@ -305,8 +305,35 @@ def _estimate_kernel_block_grouped(logw, pw, mu, b, r2, out, *, n_groups: int,
     init = (jnp.full((tile_n, 1), -jnp.inf, jnp.float32),
             jnp.zeros((tile_n, 1), jnp.float32),
             jnp.zeros((tile_n, two_d), jnp.float32))
-    _, denom, acc = jax.lax.fori_loop(0, n_groups, body, init)
+    return jax.lax.fori_loop(0, n_groups, body, init)
+
+
+def _estimate_kernel_block_grouped(logw, pw, mu, b, r2, out, *, n_groups: int,
+                                   group: int, two_m: int,
+                                   precision=None):
+    """One sample tile: normalized weighted combine over all K components."""
+    _, denom, acc = _grouped_stream(logw, pw, mu, b, r2[:], n_groups, group,
+                                    two_m, out.shape[1], precision)
     out[:] = acc / denom
+
+
+def _estimate_kernel_block_grouped_stats(logw, pw, mu, b, r2, out_m, out_den,
+                                         out_acc, *, n_groups: int,
+                                         group: int, two_m: int,
+                                         precision=None):
+    """One sample tile over a K-CHUNK of the bank: emits the raw
+    online-softmax state (max, denominator, accumulator) so chunks can be
+    merged exactly in JAX (flash-attention-style split-K).
+
+    m/denom are written broadcast across a full 128-lane tile: a (tile_n, 1)
+    output would be lane-padded to 128 anyway AND XLA then places the
+    'small' (N, 1) logical buffer in VMEM (S(1)), blowing the scoped-VMEM
+    limit — measured on v5e ('Scoped allocation with size 17.72M')."""
+    m, denom, acc = _grouped_stream(logw, pw, mu, b, r2[:], n_groups, group,
+                                    two_m, out_acc.shape[1], precision)
+    out_m[:] = jnp.broadcast_to(m, out_m.shape)
+    out_den[:] = jnp.broadcast_to(denom, out_den.shape)
+    out_acc[:] = acc
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -373,6 +400,99 @@ def estimate_block_grouped(bank: PreparedBank, r: jax.Array,
     return (h2[:, :d] + 1j * h2[:, d:])[:n].astype(r.dtype)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def estimate_packed_block_grouped_stats(kb: KernelBankBlock, r2: jax.Array,
+                                        tile_n: int = 2048, group: int = 4,
+                                        interpret: bool = False):
+    """Grouped block-GEMM pass over a K-chunk, returning the un-normalized
+    online-softmax state (m, denom, acc) per sample for exact cross-chunk
+    merging."""
+    n, two_m = r2.shape
+    if n % tile_n:
+        raise ValueError(f"N={n} must be a multiple of tile_n={tile_n}")
+    k_comp = kb.pw.shape[0]
+    two_d = kb.pw.shape[-1] - two_m
+    assert k_comp % group == 0, (k_comp, group)
+    n_groups = k_comp // group
+    stride = two_m + two_d
+    pw = jnp.swapaxes(kb.pw.reshape(n_groups, group, two_m, stride),
+                      1, 2).reshape(n_groups, two_m, group * stride)
+    mu = kb.mu.reshape(n_groups, 1, group * two_m)
+    b = kb.b.reshape(n_groups, 1, group * two_d)
+    grid = (n // tile_n,)
+    bank_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    data_spec = pl.BlockSpec((tile_n, two_m), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((tile_n, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_n, two_d), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    kern = functools.partial(_estimate_kernel_block_grouped_stats,
+                             n_groups=n_groups, group=group, two_m=two_m)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[smem_spec, bank_spec, bank_spec, bank_spec, data_spec],
+        out_specs=[col_spec, col_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((n, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((n, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((n, two_d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * two_m * (two_m + two_d) * k_comp,
+            bytes_accessed=4 * (n * (2 * two_m + two_d)
+                                + k_comp * two_m * (two_m + two_d)),
+            transcendentals=2 * n * k_comp),
+        interpret=interpret,
+    )(kb.logw, pw, mu, b, r2)
+
+
+def _bank_slice(bank: PreparedBank, k0: int, k1: int) -> PreparedBank:
+    return PreparedBank(*[a[k0:k1] for a in bank])
+
+
+def estimate_block_grouped_chunked(bank: PreparedBank, r: jax.Array,
+                                   k_chunk: int, tile_n: int = 1024,
+                                   interpret: bool = False) -> jax.Array:
+    """Split-K estimation for banks too large for the scoped-VMEM stack:
+    run the grouped kernel per K-chunk emitting raw softmax state, merge
+    the chunks exactly (flash-attention-style): with per-chunk
+    (m_c, den_c, acc_c), m* = max_c m_c and the combined estimate is
+    sum_c exp(m_c - m*) acc_c / sum_c exp(m_c - m*) den_c.
+
+    tile_n defaults to 1024 (not the single-pass kernel's 2048): the stats
+    kernel's scoped-VMEM stack is chunk_bank + double-buffered in/out
+    tiles (1 input + 3 outputs), so halving the tile halves the fixed tile
+    cost — 10 MiB chunks + 4 MiB tiles fit the 16 MiB limit (measured;
+    at tile 2048 the same chunks hit 'Scoped allocation ... 17.72M')."""
+    n = r.shape[0]
+    tile_n = min(tile_n, 256) if n < 1024 else tile_n
+    n_pad = -(-n // tile_n) * tile_n
+    rp = jnp.pad(r, ((0, n_pad - n), (0, 0)))
+    r2 = jnp.concatenate([jnp.real(rp), jnp.imag(rp)],
+                         axis=-1).astype(jnp.float32)
+    k_comp = bank.filters.shape[0]
+    ms, dens, accs = [], [], []
+    for k0 in range(0, k_comp, k_chunk):
+        sub = _bank_slice(bank, k0, min(k0 + k_chunk, k_comp))
+        kc = sub.filters.shape[0]
+        group = next(g for g in (4, 2, 1) if kc % g == 0)
+        kb = kernel_bank_block(sub)
+        m_c, den_c, acc_c = estimate_packed_block_grouped_stats(
+            kb, r2, tile_n, group, interpret)
+        ms.append(m_c[:, :1])     # broadcast lanes, col 0 is the value
+        dens.append(den_c[:, :1])
+        accs.append(acc_c)
+    m_all = jnp.stack(ms)                       # (C, N, 1)
+    m_star = jnp.max(m_all, axis=0)             # (N, 1)
+    w = jnp.exp(m_all - m_star[None])           # (C, N, 1)
+    den = jnp.sum(jnp.stack(dens) * w, axis=0)  # (N, 1)
+    acc = jnp.sum(jnp.stack(accs) * w, axis=0)  # (N, 2D)
+    h2 = acc / den
+    d = h2.shape[-1] // 2
+    return (h2[:, :d] + 1j * h2[:, d:])[:n].astype(r.dtype)
+
+
 def estimate_fused(bank: PreparedBank, r: jax.Array,
                    interpret: bool = False,
                    vmem_budget: int = 13 * 1024 * 1024) -> jax.Array:
@@ -380,21 +500,34 @@ def estimate_fused(bank: PreparedBank, r: jax.Array,
     measured-best defaults (group=4, tile_n=2048 on v5e — 15.1M est/s at
     K=D=64 vs 6.9M for the Karatsuba layout; tools/kernel_bench.py).
 
-    Falls back to the einsum estimator when the bank cannot fit Mosaic's
-    scoped-VMEM stack. Measured rule (v5e, 2026-08-18): the grouped kernel's
-    scoped allocation is exactly bank_bytes + 2 MiB against a 16 MiB limit,
-    independent of tile_n and batch size — banks up to 12 MiB (K=96 at
-    D=64) compile and run 1.7x faster than the einsum path; 16 MiB banks
-    (K=128) fail with 'Scoped allocation ... exceeded scoped vmem limit'.
-    The 13 MiB default budget keeps 1 MiB of margin under that rule."""
+    Banks that exceed Mosaic's scoped-VMEM stack take the split-K chunked
+    kernel (`estimate_block_grouped_chunked`) instead of giving up the MXU.
+    Measured rule (v5e, 2026-08-18): the grouped kernel's scoped allocation
+    is exactly bank_bytes + 2 MiB against a 16 MiB limit, independent of
+    tile_n and batch size — banks up to 12 MiB (K=96 at D=64) compile and
+    run 1.7x faster than the einsum path; 16 MiB banks (K=128) fail with
+    'Scoped allocation ... exceeded scoped vmem limit'. The 13 MiB default
+    budget keeps 1 MiB of margin under that rule. The einsum estimator
+    remains only for the degenerate case of a single component already
+    over budget (huge D)."""
     k_comp, d, m = bank.filters.shape
-    bank_bytes = 4 * k_comp * (2 * m) * (2 * m + 2 * d)
+    per_k = 4 * (2 * m) * (2 * m + 2 * d)
+    bank_bytes = k_comp * per_k
+    tile_n = 2048 if r.shape[0] >= 2048 else 256
     if bank_bytes > vmem_budget:
+        # the stats-emitting chunk kernel carries ~4.75 MiB of scoped
+        # extras (m/denom/acc/r2 tiles at tile_n=2048, measured: a 13 MiB
+        # chunk hit 'Scoped allocation with size 17.72M') vs the
+        # normalizing kernel's 2 MiB — size chunks against a 10 MiB budget
+        chunk_budget = 10 * 1024 * 1024
+        k_chunk = (chunk_budget // per_k) // 4 * 4
+        if k_chunk >= 4:
+            return estimate_block_grouped_chunked(bank, r, k_chunk,
+                                                  interpret=interpret)
         from quantized_channel_estimation_tpu.models import gmm_estimator
         return gmm_estimator.estimate(bank, r, "all",
                                       min(4096, max(256, r.shape[0])))
     group = next(g for g in (4, 2, 1) if k_comp % g == 0)
-    tile_n = 2048 if r.shape[0] >= 2048 else 256
     return estimate_block_grouped(bank, r, tile_n=tile_n, group=group,
                                   interpret=interpret)
 

@@ -54,6 +54,28 @@ def test_kernel_matches_reference_interpret(bank_and_obs):
                                atol=2e-4)
 
 
+def test_chunked_split_k_matches_einsum(bank_and_obs):
+    """Split-K chunked kernel (online-softmax merge across bank chunks)
+    must equal the single-pass estimate for any chunking."""
+    bank, r = bank_and_obs
+    want = np.asarray(gmm_estimator.estimate(bank, r[:300], "all"))
+    for k_chunk in (2, 4, 6, 8):  # incl. non-divisor and full-bank chunks
+        got = np.asarray(pk.estimate_block_grouped_chunked(
+            bank, r[:300], k_chunk, tile_n=256, interpret=True))
+        np.testing.assert_allclose(got, want, atol=2e-4, err_msg=str(k_chunk))
+
+
+def test_fused_oversized_bank_takes_chunked_path(bank_and_obs):
+    """estimate_fused with a tiny budget routes through the split-K path
+    (not the einsum fallback) and stays correct."""
+    bank, r = bank_and_obs
+    per_k = 4 * (2 * 16) * (4 * 16)
+    got = np.asarray(pk.estimate_fused(bank, r[:300], interpret=True,
+                                       vmem_budget=5 * per_k))  # k_chunk=4
+    want = np.asarray(gmm_estimator.estimate(bank, r[:300], "all"))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_estimate_wrapper_pads_and_matches(bank_and_obs):
     bank, r = bank_and_obs
     r_odd = r[:777]  # not a tile multiple
