@@ -51,7 +51,7 @@ class PreparedBank(NamedTuple):
 def prepare_bank(params: GmmParams, snr_db, a: jax.Array, n_bits,
                  q: Optional[ScalarQuantizer] = None,
                  jitter: float = 1e-6,
-                 weight_floor: float = 1e-7) -> PreparedBank:
+                 weight_floor_rel: float = 1e-2) -> PreparedBank:
     """Build the Bussgang-linearized observation-domain bank
     (`gmm_cplx_bussgang.py:246-328`):
 
@@ -92,11 +92,18 @@ def prepare_bank(params: GmmParams, snr_db, a: jax.Array, n_bits,
     # Mask dead components: a collapsed EM fit can leave components with
     # ~zero weight whose degenerate Cr models nevertheless win
     # responsibilities at high SNR and wreck the combine (observed at
-    # K=64/2-bit/20 dB). The reference never prunes because its f64 EM
-    # rarely collapses; masking only excludes components that carry no
-    # probability mass anyway.
-    logw = jnp.where(params.weights >= weight_floor,
-                     jnp.log(jnp.maximum(params.weights, weight_floor)),
+    # K=64/2-bit/20 dB, and again at K=128 where a weight-1e-5 component —
+    # ~1 sample of mass, covariance reg_covar-dominated — survived an
+    # absolute 1e-7 floor and blew the 20 dB MSE 10x). The floor is
+    # RELATIVE to the uniform weight 1/K: a component below
+    # weight_floor_rel/K carries a vanishing share of the mixture and is
+    # fit to too few samples for its covariance to be meaningful. The
+    # reference never prunes because its f64 EM rarely collapses; masking
+    # only excludes components that carry no probability mass anyway.
+    k_comp = params.weights.shape[0]
+    floor = weight_floor_rel / k_comp
+    logw = jnp.where(params.weights >= floor,
+                     jnp.log(jnp.maximum(params.weights, floor)),
                      -jnp.inf)
     return PreparedBank(logw, means_r, prec_chol, filters, bias, chol)
 
