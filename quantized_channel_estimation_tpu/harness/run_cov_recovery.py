@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from quantized_channel_estimation_tpu.harness import stages
 from quantized_channel_estimation_tpu.ops import cov_recovery, linalg, scm
 from quantized_channel_estimation_tpu.ops import quantizer as Q
 from quantized_channel_estimation_tpu.ops.cplx import crandn
@@ -38,12 +39,6 @@ class CovRecoveryConfig:
     path_sigma: float = 2.0
     seed: int = 0
     results_dir: str = "results/cov_est_quant"
-
-
-def stages_tree_index(tree, i: int):
-    """Index row i of every leaf of a (possibly Packed) pytree."""
-    import jax as _jax
-    return _jax.tree_util.tree_map(lambda x: x[i], tree)
 
 
 def run(cfg: CovRecoveryConfig, verbose: bool = True):
@@ -91,7 +86,7 @@ def run(cfg: CovRecoveryConfig, verbose: bool = True):
         mse_rec = mse_unq = mse_q = 0.0
         for i in range(cfg.mc_runs):
             key, kr, kq = jax.random.split(key, 3)
-            cov_i = stages_tree_index(covs, i)
+            cov_i = stages.tree_index(covs, i)
             q = Q.design_quantizer(float(snr_eq[i]), cfg.n_bits,
                                    cfg.quantizer_type)
             s_rec, s_unq, s_q = one_run_j(kr, kq, cov_i, q, n_data)

@@ -88,7 +88,7 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
                                a, cfg.n_bits, quantizers[snr])
         bank = stages.prepare_bank(params, snr, a, cfg.n_bits,
                                    quantizers[snr])
-        res = stages.estimate(bank, r_val, cfg.n_summands_or_proba)
+        res = stages.estimate_auto(bank, r_val, cfg.n_summands_or_proba)
         mse_cols["blmmse_mfa"].append(stages.nmse(res, h_val))
         if cfg.eval_rate:
             rate_cols["mfa_rstat"].append(

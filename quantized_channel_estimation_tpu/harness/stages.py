@@ -33,6 +33,11 @@ def tree_slice(tree, start, stop):
     return jax.tree_util.tree_map(lambda x: x[start:stop], tree)
 
 
+def tree_index(tree, i: int):
+    """Row i of every leaf of a (possibly Packed) pytree."""
+    return jax.tree_util.tree_map(lambda x: x[i], tree)
+
+
 _gen = cjit(scm.generate_channels, static_argnums=(1, 2))
 
 

@@ -29,6 +29,14 @@ def initialize(coordinator_address: Optional[str] = None,
     pass them explicitly for manual clusters
     (coordinator 'host:port', process count, this process's id).
     """
+    args = (coordinator_address, num_processes, process_id)
+    if any(a is not None for a in args) and any(a is None for a in args):
+        # silently dropping a partial manual config would hang the process
+        # on auto-detection with the wrong cluster shape
+        raise ValueError(
+            "manual cluster config needs ALL of coordinator_address, "
+            f"num_processes, process_id (got {args}); pass none of them "
+            "for cloud auto-detection")
     kwargs = {}
     if coordinator_address is not None:
         kwargs.update(coordinator_address=coordinator_address,

@@ -82,8 +82,10 @@ def fit_gmm_shard_map(mesh: Mesh, key: jax.Array, h: jax.Array,
     """
     try:
         from jax import shard_map
-    except ImportError:  # older jax
+        rep_kwargs = {"check_vma": False}
+    except ImportError:  # older jax: experimental API, kwarg named check_rep
         from jax.experimental.shard_map import shard_map
+        rep_kwargs = {"check_rep": False}
 
     cfg = cfg._replace(axis_name=DATA_AXIS, init="random")
     n_shards = mesh.shape[DATA_AXIS]
@@ -97,7 +99,7 @@ def fit_gmm_shard_map(mesh: Mesh, key: jax.Array, h: jax.Array,
         body, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS, *([None] * (h.ndim - 1)))),
         out_specs=P(),
-        check_vma=False)
+        **rep_kwargs)
     return jax.jit(mapped)(key, h)
 
 

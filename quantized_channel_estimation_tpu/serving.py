@@ -59,6 +59,12 @@ class EstimationService:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._prepare = cjit(gmm_estimator.prepare_bank, static_argnums=(3,))
+        if use_pallas and mode != "all":
+            # the fused kernel only computes the dense 'all'-mode combine;
+            # silently serving 'all' results for a selection mode would be
+            # wrong answers, not slow ones
+            raise ValueError("use_pallas=True requires mode='all' "
+                             f"(got mode={mode!r})")
         if use_pallas:
             import jax
             from quantized_channel_estimation_tpu.estimators import (
@@ -82,8 +88,17 @@ class EstimationService:
 
     def submit(self, r: np.ndarray, snr: float,
                timeout: Optional[float] = 30.0) -> np.ndarray:
-        """Estimate channels for observations r (n, M) at the given SNR."""
-        req = _Request(np.asarray(r))
+        """Estimate channels for observations r (n, M) at the given SNR.
+
+        Shape-validates up front so one malformed request fails alone
+        instead of poisoning every co-batched request at its SNR."""
+        r = np.asarray(r)
+        m = self.a.re.shape[0] if hasattr(self.a, "re") else self.a.shape[0]
+        if r.ndim != 2 or r.shape[1] != m:
+            raise ValueError(f"observations must have shape (n, {m}); "
+                             f"got {r.shape} (a 1-D vector would be "
+                             "misread as per-row requests)")
+        req = _Request(r)
         with self._lock:
             self._queues.setdefault(snr, []).append((time.monotonic(), req))
         if not req.event.wait(timeout):
@@ -103,7 +118,9 @@ class EstimationService:
             # compiled-program count is bounded AND a single oversized request
             # (or a coalesced queue larger than max_batch) cannot force an
             # arbitrarily large one-off XLA program
-            cap = 1 << max(4, (self.max_batch - 1).bit_length())
+            # largest power of two NOT exceeding max_batch (min 16), so the
+            # configured bound really caps the compiled program size
+            cap = 1 << max(4, self.max_batch.bit_length() - 1)
             outs = []
             for off in range(0, n, cap):
                 chunk = rs[off:off + cap]

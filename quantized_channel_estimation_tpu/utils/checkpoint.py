@@ -23,11 +23,14 @@ import jax
 class TrainCheckpointer:
     """Step-numbered checkpoints with retention, atomic commits, resume.
 
-    Usage:
+    Usage (save(epoch, state) records the state AFTER that epoch, so a
+    resume continues at latest_step() + 1 — restarting AT latest_step()
+    would silently train that epoch twice):
         ckpt = TrainCheckpointer(dir, max_to_keep=3)
-        start = ckpt.latest_step()           # None if fresh
-        state = ckpt.restore(start, state)   # no-op if start is None
-        for epoch in range(start or 0, epochs):
+        last = ckpt.latest_step()            # None if fresh
+        state = ckpt.restore(last, state)    # no-op if last is None
+        start = 0 if last is None else last + 1
+        for epoch in range(start, epochs):
             ...
             ckpt.save(epoch, state)
         ckpt.close()

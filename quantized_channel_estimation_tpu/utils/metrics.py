@@ -45,7 +45,9 @@ def rate_mf_bound(h_est: jax.Array, h: jax.Array, b_glob: jax.Array,
     from quantized_channel_estimation_tpu.ops import linalg
     cq_inv = linalg.psd_pinv(cq_glob + jitter * jnp.eye(
         cq_glob.shape[-1], dtype=cq_glob.dtype))
-    g = jnp.einsum("nd,ed,fe->nf", jnp.conj(h_est), jnp.conj(b_glob), cq_inv)
+    # g_f = sum_e (h^H B^H)_e Cq^{-1}[e, f] — note 'ef', not 'fe': the
+    # transposed inverse deviates by tenths of a bit for complex Cq
+    g = jnp.einsum("nd,ed,ef->nf", jnp.conj(h_est), jnp.conj(b_glob), cq_inv)
     bh = jnp.einsum("de,ne->nd", b_glob, h_est)
     berr = jnp.einsum("de,ne->nd", b_glob, h - h_est)
     num = jnp.abs(jnp.einsum("nf,nf->n", g, bh)) ** 2

@@ -18,7 +18,10 @@ def rand_exp(left: float, right: float, shape: Tuple[int, ...] = (1,),
     if right <= left:
         raise ValueError(f"right needs to be larger than left: {left}, {right}")
     rng = np.random.default_rng(seed)
-    return np.exp(np.log(left) + rng.random(*shape)
+    # rng.random(shape), not rng.random(*shape): the reference's own
+    # `utils.py:384` unpacks the tuple and crashes for any multi-dim shape
+    # (second positional arg is dtype) — documented parity fix
+    return np.exp(np.log(left) + rng.random(shape)
                   * (np.log(right) - np.log(left)))
 
 

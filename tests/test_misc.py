@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 from quantized_channel_estimation_tpu.ops import linalg as L
+from quantized_channel_estimation_tpu.ops.quantizer import design_quantizer
 from quantized_channel_estimation_tpu.utils import misc
 from quantized_channel_estimation_tpu.utils.metrics import (
     global_bussgang_stats, rate_lower_bound, rate_mf_bound)
@@ -38,6 +39,36 @@ def test_rate_mf_bound_positive(rng):
                        + 1j * rng.standard_normal(h.shape)).astype(np.complex64)
     r_noisy = float(rate_mf_bound(jnp.asarray(noisy), jnp.asarray(h), b, cq))
     assert r_perfect > r_noisy > 0
+
+
+def test_rate_mf_bound_matches_reference_loop(rng):
+    """The batched einsum must equal the reference's per-sample loop
+    g = res^H B^H Cq^{-1} (`Bussgang_GMM.py:186-195`) — a transposed
+    Cq^{-1} deviates by tenths of a bit for complex Cq."""
+    d = 6
+    n = 40
+    h = (rng.standard_normal((n, d)) + 1j * rng.standard_normal((n, d))
+         ).astype(np.complex128) / np.sqrt(2)
+    res = h + 0.3 * (rng.standard_normal((n, d))
+                     + 1j * rng.standard_normal((n, d)))
+    cov = h.T @ h.conj() / n
+    b, cq = global_bussgang_stats(jnp.asarray(cov), 10.0, 2,
+                                  design_quantizer(10.0, 2))
+    b_np = np.asarray(b, np.complex128)
+    cq_np = np.asarray(cq, np.complex128)
+    cq_inv = np.linalg.pinv(cq_np)
+    want = 0.0
+    for i in range(n):
+        g = res[i].conj().T @ b_np.conj().T @ cq_inv
+        err = h[i] - res[i]
+        want += np.real(np.log2(
+            1 + np.abs(g @ b_np @ res[i]) ** 2
+            / (g @ cq_np @ g.conj().T + np.abs(g @ b_np @ err) ** 2)))
+    want /= n
+    got = float(rate_mf_bound(jnp.asarray(res), jnp.asarray(h),
+                              jnp.asarray(b_np), jnp.asarray(cq_np),
+                              jitter=0.0))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
 def test_best_circulant_approximation(rng):

@@ -107,6 +107,35 @@ def test_oversized_request_microbatched(service_setup):
         svc.close()
 
 
+def test_malformed_request_fails_alone(service_setup):
+    """Shape validation happens in submit(): a bad request raises there and
+    cannot poison co-batched requests; a 1-D vector is rejected instead of
+    being misread as per-row requests."""
+    params, a, h_val = service_setup
+    svc = serving.EstimationService(params, a, 2, max_delay_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="shape"):
+            svc.submit(np.ones((4, 8), np.complex64), 5.0)  # wrong M
+        with pytest.raises(ValueError, match="shape"):
+            svc.submit(np.ones((N_ANT,), np.complex64), 5.0)  # 1-D
+        # a valid request still works after the rejections
+        q = Q.design_quantizer(5.0, 2)
+        r = observation.observe(jax.random.PRNGKey(66), h_val[:8], 5.0,
+                                a, 2, q)
+        out = svc.submit(np.asarray(r), 5.0)
+        assert out.shape == (8, N_ANT)
+    finally:
+        svc.close()
+
+
+def test_pallas_with_selection_mode_rejected(service_setup):
+    """The fused kernel only computes 'all'; serving must refuse the
+    combination instead of silently returning 'all' results."""
+    params, a, _ = service_setup
+    with pytest.raises(ValueError, match="mode"):
+        serving.EstimationService(params, a, 2, use_pallas=True, mode=2)
+
+
 def test_flush_errors_propagate_to_clients(service_setup):
     """A failing compute path must raise in submit(), not time out."""
     params, a, h_val = service_setup
