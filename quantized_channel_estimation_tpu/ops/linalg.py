@@ -116,6 +116,30 @@ def robust_precision_cholesky(c: jax.Array, base_jitter: float = 0.0) -> jax.Arr
     return prec_from_chol(l)
 
 
+def robust_chol_lower(c: jax.Array, base_jitter: float = 0.0) -> jax.Array:
+    """Lower Cholesky factor with escalating relative jitter.
+
+    Same selection scheme as `robust_precision_cholesky` but returning L
+    itself — used where a coloring factor of a near-singular PSD matrix is
+    needed (e.g. sampling from truncated-Toeplitz covariances, which are
+    numerically rank-deficient for narrow angular spreads; the reference
+    falls back to `scipy.linalg.sqrtm` there, `scm_helper_MIMO.py:113-117`).
+    """
+    d = c.shape[-1]
+    eye = jnp.eye(d, dtype=c.dtype)
+    diag_mean = jnp.mean(jnp.real(jnp.diagonal(c, axis1=-2, axis2=-1)),
+                         axis=-1)[..., None, None]
+    ls = []
+    for scale in (0.0, 1e-6, 1e-4, 1e-2):
+        jit_mat = (base_jitter + scale * diag_mean) * eye
+        ls.append(jnp.linalg.cholesky(c + jit_mat))
+    l = ls[-1]
+    for cand in reversed(ls[:-1]):
+        bad = jnp.any(jnp.isnan(cand), axis=(-2, -1), keepdims=True)
+        l = jnp.where(bad, l, cand)
+    return l
+
+
 def logdet_from_prec_chol(p: jax.Array) -> jax.Array:
     """sum(log diag(P)) for upper-triangular precision-cholesky P (real part).
 

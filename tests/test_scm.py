@@ -35,3 +35,87 @@ def test_chunked_matches_batch_shape(key):
     h, t = scm.generate_channels_chunked(key, 1000, cfg, chunk=256)
     assert h.shape == (1000, 8)
     assert t.shape == (1000, 8)
+
+
+# ---- MIMO (Kronecker) variant: ops/scm_mimo.py -------------------------
+from quantized_channel_estimation_tpu.ops import scm_mimo
+
+
+def test_mimo_shapes_and_unit_power(key):
+    cfg = scm_mimo.ScmMimoConfig(n_antennas_bs=8, n_antennas_ms=4, n_path=2)
+    h, t_bs, t_ms = scm_mimo.generate_channels_mimo(key, 1500, cfg)
+    assert h.shape == (1500, 32)
+    assert t_bs.shape == (1500, 8) and t_ms.shape == (1500, 4)
+    # both ends' PSDs are energy-normalized -> t[0] = 1 at each end, and the
+    # kron diagonal is t_bs[0]*t_ms[0] = 1
+    np.testing.assert_allclose(np.asarray(t_bs)[:, 0].real, 1.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(t_ms)[:, 0].real, 1.0, atol=1e-3)
+    assert abs(np.mean(np.abs(np.asarray(h)) ** 2) - 1.0) < 0.1
+
+
+def test_mimo_cov_is_kron_of_toeplitz(key):
+    """Coherence draws of one sample must have covariance kron(C_MS, C_BS)
+    with the reference's vectorization layout (i = i_ms*N_BS + i_bs,
+    `scm_helper_MIMO.py:105-118`) — verified WITHOUT the factored shortcut,
+    against a dense numpy kron of the genie Toeplitz rows."""
+    cfg = scm_mimo.ScmMimoConfig(n_antennas_bs=4, n_antennas_ms=3, n_path=1,
+                                 n_coherence=8000)
+    h, t_bs, t_ms = scm_mimo.generate_channels_mimo(key, 2, cfg)
+    h = np.asarray(h)  # (2, n_coh, 12)
+    c_bs = np.asarray(L.toeplitz_from_first_row(t_bs))
+    c_ms = np.asarray(L.toeplitz_from_first_row(t_ms))
+    for b in range(2):
+        c_true = np.kron(c_ms[b], c_bs[b])
+        emp = h[b].T @ h[b].conj() / h.shape[1]
+        np.testing.assert_allclose(emp, c_true, atol=0.12)
+
+
+def test_mimo_chunked_matches_shapes(key):
+    cfg = scm_mimo.ScmMimoConfig(n_antennas_bs=4, n_antennas_ms=2, n_path=2)
+    h, t_bs, t_ms = scm_mimo.generate_channels_mimo_chunked(
+        key, 700, cfg, chunk=256)
+    assert h.shape == (700, 8)
+    assert t_bs.shape == (700, 4) and t_ms.shape == (700, 2)
+
+
+def test_mimo_feeds_block_toeplitz_gmm(key):
+    """The Kronecker MIMO channel is the natural block-toeplitz GMM input:
+    a small fit must converge with finite lower bound and kron-structured
+    component covariances."""
+    from quantized_channel_estimation_tpu.models import gmm
+
+    cfg = scm_mimo.ScmMimoConfig(n_antennas_bs=4, n_antennas_ms=2, n_path=1)
+    h, _, _ = scm_mimo.generate_channels_mimo(key, 2000, cfg)
+    res = gmm.fit(jax.random.PRNGKey(1), h,
+                  gmm.GmmConfig(n_components=2, cov_type="block-toeplitz",
+                                blocks=(2, 4), max_iter=15))
+    assert np.isfinite(float(res.lower_bound))
+    covs = np.asarray(res.params.covariances)
+    assert covs.shape == (2, 8, 8)
+    assert np.all(np.isfinite(covs))
+
+
+# ---- Urban-macro variant: scm.generate_channels_urban_macro ------------
+
+
+def test_urban_macro_shapes_and_pathloss_range(key):
+    cfg = scm.UrbanMacroConfig(n_antennas=8)
+    h, t = scm.generate_channels_urban_macro(key, 3000, cfg)
+    assert h.shape == (3000, 8) and t.shape == (3000, 8)
+    t0 = np.asarray(t)[:, 0]
+    np.testing.assert_allclose(t0.imag, 0.0, atol=1e-3)
+    # per-antenna power = beta in [1, (max/min)^(eps_pl/10)] ~ [1, 4.13]
+    beta_max = (cfg.max_dist / cfg.min_dist) ** (cfg.eps_pl / 10.0)
+    assert np.all(t0.real > 1.0 - 1e-3)
+    assert np.all(t0.real < beta_max + 1e-3)
+
+
+def test_urban_macro_genie_cov_matches_samples(key):
+    """Per-sample mean power must track the genie diagonal (h scaled by
+    sqrt(beta), t by beta — `SCM3GPPMacro.py:71-77`)."""
+    cfg = scm.UrbanMacroConfig(n_antennas=6, n_coherence=4000)
+    h, t = scm.generate_channels_urban_macro(key, 4, cfg)
+    h = np.asarray(h)  # (4, n_coh, 6)
+    t0 = np.asarray(t)[:, 0].real
+    emp = np.mean(np.abs(h) ** 2, axis=(1, 2))
+    np.testing.assert_allclose(emp, t0, rtol=0.08)
