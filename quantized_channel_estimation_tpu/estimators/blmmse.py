@@ -51,21 +51,51 @@ def _effective_matrix_and_cr(cy: jax.Array, a: jax.Array, n_bits,
 
 
 @highest_precision
-def estimate_genie(r: jax.Array, t: jax.Array, snr_db, a: jax.Array,
-                   n_bits, q: Optional[ScalarQuantizer] = None,
-                   jitter: float = 1e-6) -> jax.Array:
-    """Genie BLMMSE: per-sample Toeplitz covariance C_b = toeplitz(t_b),
-    h_b = C_b A_eff^H Cr_b^{-1} r_b (`blmmse.py:21-61`).
+def estimate_genie_cov(r: jax.Array, c: jax.Array, snr_db, a: jax.Array,
+                       n_bits, q: Optional[ScalarQuantizer] = None,
+                       jitter: float = 1e-6) -> jax.Array:
+    """Genie BLMMSE from explicit per-sample channel covariances:
+    h_b = C_b A_eff^H Cr_b^{-1} r_b (`blmmse.py:21-61`, covariance-build
+    step factored out).
 
-    r: (B, M) quantized observations; t: (B, N) covariance first rows.
+    r: (B, M) quantized observations; c: (B, N, N) covariances.
     """
     sigma2 = 10.0 ** (-snr_db / 10.0)
-    c = linalg.toeplitz_from_first_row(t.astype(r.dtype))  # (B, N, N)
     cy = _observation_cov(c, a, sigma2)
     a_eff, cr = _effective_matrix_and_cr(cy, a, n_bits, q)
     x = linalg.cho_solve_hermitian(cr, r, jitter=jitter)  # (B, M)
     cah = jnp.einsum("...nk,...mk->...nm", c, jnp.conj(a_eff))  # C A_eff^H
     return jnp.einsum("...nm,...m->...n", cah, x)
+
+
+def estimate_genie(r: jax.Array, t: jax.Array, snr_db, a: jax.Array,
+                   n_bits, q: Optional[ScalarQuantizer] = None,
+                   jitter: float = 1e-6) -> jax.Array:
+    """Genie BLMMSE: per-sample Toeplitz covariance C_b = toeplitz(t_b)
+    (`blmmse.py:21-61`).
+
+    r: (B, M) quantized observations; t: (B, N) covariance first rows.
+    """
+    c = linalg.toeplitz_from_first_row(t.astype(r.dtype))  # (B, N, N)
+    return estimate_genie_cov(r, c, snr_db, a, n_bits, q, jitter)
+
+
+def estimate_genie_kron(r: jax.Array, t_bs: jax.Array, t_ms: jax.Array,
+                        snr_db, a: jax.Array, n_bits,
+                        q: Optional[ScalarQuantizer] = None,
+                        jitter: float = 1e-6) -> jax.Array:
+    """Genie BLMMSE for Kronecker MIMO channels (`ops/scm_mimo.py`):
+    per-sample C_b = kron(toeplitz(t_ms,b), toeplitz(t_bs,b)) — the true
+    covariance of the vectorized channel (layout i = i_ms*N_BS + i_bs).
+    No reference counterpart (its MIMO model is dead code); the estimator
+    math is `blmmse.py:21-61` with the kron covariance.
+    """
+    c_bs = linalg.toeplitz_from_first_row(t_bs.astype(r.dtype))
+    c_ms = linalg.toeplitz_from_first_row(t_ms.astype(r.dtype))
+    n_bs, n_ms = c_bs.shape[-1], c_ms.shape[-1]
+    c = jnp.einsum("...ij,...kl->...ikjl", c_ms, c_bs).reshape(
+        c_ms.shape[:-2] + (n_ms * n_bs, n_ms * n_bs))
+    return estimate_genie_cov(r, c, snr_db, a, n_bits, q, jitter)
 
 
 @highest_precision

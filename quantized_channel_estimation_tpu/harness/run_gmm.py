@@ -23,6 +23,7 @@ import numpy as np
 from quantized_channel_estimation_tpu.harness import stages
 from quantized_channel_estimation_tpu.models import gmm
 from quantized_channel_estimation_tpu.ops import scm
+from quantized_channel_estimation_tpu.ops import scm_mimo
 from quantized_channel_estimation_tpu.ops import quantizer as Q
 from quantized_channel_estimation_tpu.utils import io as qio
 
@@ -33,6 +34,11 @@ class GmmBenchConfig:
     n_antennas: int = 64
     n_components: int = 64
     n_summands_or_proba: Union[str, int, float] = "all"
+    # '3gpp' (SCMMulti), 'urban-macro' (SCM3GPPMacro redesign), or 'mimo'
+    # (Kronecker SCMMulti_MIMO redesign; n_antennas = BS side,
+    # n_antennas_ms = MS side, channel dim = product)
+    channel_model: str = "3gpp"
+    n_antennas_ms: int = 1
     n_path: int = 1
     n_pilots: int = 1
     n_bits: Union[int, float] = 2
@@ -57,16 +63,48 @@ class GmmBenchConfig:
     gmm_max_iter: int = 100
 
 
+def channel_dim(cfg: GmmBenchConfig) -> int:
+    """Dimension of the vectorized channel (N_BS * N_MS for 'mimo')."""
+    if cfg.channel_model == "mimo":
+        return cfg.n_antennas * cfg.n_antennas_ms
+    return cfg.n_antennas
+
+
 def _get_data(cfg: GmmBenchConfig, key):
-    """Load or generate the channel dataset; returns packed (h, t)."""
+    """Load or generate the channel dataset.
+
+    Returns packed (h, genie) where genie is the Toeplitz first rows t for
+    '3gpp'/'urban-macro' and the pair (t_bs, t_ms) for 'mimo'.
+    """
     n_channels = cfg.n_train + cfg.n_val
-    path = qio.dataset_cache_path(cfg.cache_dir, cfg.n_antennas, "3gpp",
-                                  cfg.n_path, cfg.n_train, n_channels)
+    path = qio.dataset_cache_path(cfg.cache_dir, channel_dim(cfg),
+                                  cfg.channel_model, cfg.n_path,
+                                  cfg.n_train, n_channels)
+    if cfg.channel_model == "mimo":
+        mimo_cfg = scm_mimo.ScmMimoConfig(cfg.n_antennas, cfg.n_antennas_ms,
+                                          cfg.n_path)
+        if cfg.use_cache and os.path.exists(path):
+            data = np.load(path)
+            return (stages.from_numpy(data["channels"]),
+                    (stages.from_numpy(data["toep_bs"]),
+                     stages.from_numpy(data["toep_ms"])))
+        h, t_bs, t_ms = stages.generate_channels_mimo(key, n_channels,
+                                                      mimo_cfg)
+        if cfg.use_cache:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            np.savez(path, channels=stages.to_numpy(h),
+                     toep_bs=stages.to_numpy(t_bs),
+                     toep_ms=stages.to_numpy(t_ms))
+        return h, (t_bs, t_ms)
     if cfg.use_cache and os.path.exists(path):
         channels, toep = qio.load_channels(path)
         return stages.from_numpy(channels), stages.from_numpy(toep)
-    scm_cfg = scm.ScmConfig(cfg.n_antennas, cfg.n_path, cfg.path_sigma)
-    h, t = stages.generate_channels(key, n_channels, scm_cfg)
+    if cfg.channel_model == "urban-macro":
+        macro_cfg = scm.UrbanMacroConfig(cfg.n_antennas)
+        h, t = stages.generate_channels_macro(key, n_channels, macro_cfg)
+    else:
+        scm_cfg = scm.ScmConfig(cfg.n_antennas, cfg.n_path, cfg.path_sigma)
+        h, t = stages.generate_channels(key, n_channels, scm_cfg)
     if cfg.use_cache:
         qio.save_channels(path, stages.to_numpy(h), stages.to_numpy(t))
     return h, t
@@ -83,7 +121,8 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
     h_val = stages.tree_slice(channels, cfg.n_train, cfg.n_train + cfg.n_val)
     toep_val = stages.tree_slice(toep, cfg.n_train, cfg.n_train + cfg.n_val)
 
-    a = stages.pilot_matrix(cfg.n_antennas, cfg.n_pilots, cfg.n_bits,
+    dim = channel_dim(cfg)
+    a = stages.pilot_matrix(dim, cfg.n_pilots, cfg.n_bits,
                             cfg.pilot_type)
     quantizers = {snr: Q.design_quantizer(snr, cfg.n_bits, cfg.quantizer_type)
                   for snr in cfg.snrs}
@@ -140,9 +179,16 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
                                quantizers[snr]) for snr in cfg.snrs]
 
     if cfg.eval_blmmse_genie:
-        eval_algo("blmmse_genie", "blmmse_genie_rstat",
-                  lambda snr, r: stages.blmmse_genie(
-                      r, toep_val, snr, a, cfg.n_bits, quantizers[snr]))
+        if cfg.channel_model == "mimo":
+            # per-sample kron(toeplitz(t_ms), toeplitz(t_bs)) genie covariance
+            eval_algo("blmmse_genie", "blmmse_genie_rstat",
+                      lambda snr, r: stages.blmmse_genie_kron(
+                          r, toep_val[0], toep_val[1], snr, a, cfg.n_bits,
+                          quantizers[snr]))
+        else:
+            eval_algo("blmmse_genie", "blmmse_genie_rstat",
+                      lambda snr, r: stages.blmmse_genie(
+                          r, toep_val, snr, a, cfg.n_bits, quantizers[snr]))
 
     if cfg.eval_rate:
         # perfect-CSI anchor (`Bussgang_GMM.py:244-262`)
@@ -151,8 +197,9 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
             for snr in cfg.snrs]
 
     if cfg.eval_blmmse_gmm:
-        gmm_path = qio.gmm_cache_path(cfg.cache_dir, cfg.n_antennas,
-                                      cfg.n_components, "3gpp", cfg.n_path,
+        gmm_path = qio.gmm_cache_path(cfg.cache_dir, dim,
+                                      cfg.n_components, cfg.channel_model,
+                                      cfg.n_path,
                                       cfg.n_train, cfg.cov_type,
                                       cfg.zero_mean_gmm)
         t0 = time.time()
@@ -183,7 +230,9 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
     timings["total"] = time.time() - t_start
 
     stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
-    base = (f"{stamp}_ant={cfg.n_antennas}_path={cfg.n_path}"
+    model_tag = ("" if cfg.channel_model == "3gpp"
+                 else f"_model={cfg.channel_model}")
+    base = (f"{stamp}_ant={dim}{model_tag}_path={cfg.n_path}"
             f"_ntrain={cfg.n_train}_comp={cfg.n_components}"
             f"_pilots={cfg.n_pilots}_bits={cfg.n_bits}"
             f"_0mean={cfg.zero_mean_gmm}_sums={cfg.n_summands_or_proba}"

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from quantized_channel_estimation_tpu.estimators import blmmse, ls
 from quantized_channel_estimation_tpu.models import gmm, gmm_estimator, gmm_quant, mfa
 from quantized_channel_estimation_tpu.ops import observation, pilots, scm
+from quantized_channel_estimation_tpu.ops import scm_mimo
 from quantized_channel_estimation_tpu.ops.boundary import (
     Packed, asnumpy, cjit, pack_tree)
 from quantized_channel_estimation_tpu.utils import metrics
@@ -39,24 +40,42 @@ def tree_index(tree, i: int):
 
 
 _gen = cjit(scm.generate_channels, static_argnums=(1, 2))
+_gen_macro = cjit(scm.generate_channels_urban_macro, static_argnums=(1, 2))
+_gen_mimo = cjit(scm_mimo.generate_channels_mimo, static_argnums=(1, 2))
 
 
-def generate_channels(key, n_batches: int, cfg: scm.ScmConfig, chunk=8192):
-    """Chunked SCM channel generation, packed outputs (h, t)."""
+def _chunked_gen(gen, key, n_batches: int, cfg, chunk: int):
+    """Chunked channel generation around a cjit'd generator returning a
+    tuple of batch-leading packed arrays."""
     n_chunks = -(-n_batches // chunk)
     keys = jax.random.split(key, n_chunks)
     outs = []
     done = 0
     for k in keys:
-        h, t = _gen(k, min(chunk, n_batches), cfg)
+        res = gen(k, min(chunk, n_batches), cfg)
         n = min(chunk, n_batches - done)
-        if n < (h.re.shape[0] if isinstance(h, Packed) else h.shape[0]):
-            h = jax.tree_util.tree_map(lambda x: x[:n], h)
-            t = jax.tree_util.tree_map(lambda x: x[:n], t)
-        outs.append((h, t))
+        res = tuple(tree_slice(x, 0, n) for x in res)
+        outs.append(res)
         done += n
-    hs, ts = zip(*outs)
-    return tree_concat(hs), tree_concat(ts)
+    return tuple(tree_concat([o[i] for o in outs])
+                 for i in range(len(outs[0])))
+
+
+def generate_channels(key, n_batches: int, cfg: scm.ScmConfig, chunk=8192):
+    """Chunked SCM channel generation, packed outputs (h, t)."""
+    return _chunked_gen(_gen, key, n_batches, cfg, chunk)
+
+
+def generate_channels_macro(key, n_batches: int, cfg: scm.UrbanMacroConfig,
+                            chunk=8192):
+    """Chunked urban-macro channel generation, packed outputs (h, t)."""
+    return _chunked_gen(_gen_macro, key, n_batches, cfg, chunk)
+
+
+def generate_channels_mimo(key, n_batches: int, cfg: scm_mimo.ScmMimoConfig,
+                           chunk=4096):
+    """Chunked Kronecker-MIMO generation, packed outputs (h, t_bs, t_ms)."""
+    return _chunked_gen(_gen_mimo, key, n_batches, cfg, chunk)
 
 
 _pilot_matrix_j = cjit(
@@ -79,6 +98,7 @@ observe = cjit(observation.observe, static_argnums=(4,))
 
 blmmse_global = cjit(blmmse.estimate_global, static_argnums=(4,))
 blmmse_genie = cjit(blmmse.estimate_genie, static_argnums=(4,))
+blmmse_genie_kron = cjit(blmmse.estimate_genie_kron, static_argnums=(5,))
 ls_global = cjit(ls.estimate_global, static_argnums=(4,))
 
 gmm_fit = cjit(gmm.fit, static_argnums=(2,))

@@ -52,3 +52,22 @@ def test_one_bit_worse_than_inf(tmp_path):
     m1, _, _ = run_gmm.run(_cfg(tmp_path, n_bits=1), verbose=False)
     minf, _, _ = run_gmm.run(_cfg(tmp_path, n_bits=INF_BITS), verbose=False)
     assert m1["blmmse_gmm"][-1] > minf["blmmse_gmm"][-1]
+
+
+def test_mimo_channel_model(tmp_path):
+    """Kronecker MIMO end to end: kron-genie BLMMSE must beat the global
+    filter, and the GMM must sit between them."""
+    mse, _, _ = run_gmm.run(_cfg(tmp_path, channel_model="mimo",
+                                 n_antennas=8, n_antennas_ms=2,
+                                 n_components=4, eval_blmmse_genie=True),
+                            verbose=False)
+    assert mse["blmmse_genie"][-1] < mse["blmmse_gmm"][-1] \
+        < mse["blmmse_glob"][-1]
+
+
+def test_urban_macro_channel_model(tmp_path):
+    mse, _, _ = run_gmm.run(_cfg(tmp_path, channel_model="urban-macro",
+                                 eval_blmmse_genie=True),
+                            verbose=False)
+    assert mse["blmmse_genie"][-1] < mse["blmmse_glob"][-1]
+    assert np.isfinite(mse["blmmse_gmm"][-1])
