@@ -267,20 +267,41 @@ def estimate_block(bank: PreparedBank, r: jax.Array, tile_n: int = 1024,
 
 
 def _grouped_stream(logw, pw, mu, b, rr, n_groups: int, group: int,
-                    two_m: int, two_d: int, precision):
+                    two_m: int, two_d: int, precision, mode: str = "f32",
+                    pw_lo=None, rr_lo=None):
     """Stream over K, `group` components per GEMM: pw[g] is
     (2M, group*(2M+2D)) = [P_1|W_1|...|P_G|W_G], widening the MXU output
     dim and cutting loop-iteration count. Returns the online-softmax state
     (running max, denominator, un-normalized accumulator) over the streamed
     components — the shared core of the normalizing and stats-emitting
-    kernels (the latter enables the K-chunked merge for oversized banks)."""
+    kernels (the latter enables the K-chunked merge for oversized banks).
+
+    `mode` selects the GEMM precision scheme (tools/kernel_split_bench.py):
+      - 'f32':    float32 operands, Mosaic full-f32 passes (default);
+      - 'bf16':   operands cast to bfloat16, ONE MXU pass — the speed
+                  ceiling; rejected for accuracy on the headline config
+                  (PARITY_NOTES.md) but exposed for measurement;
+      - 'split3': bf16 hi/lo decomposition of both operands, 3 passes
+                  (hi·hi + hi·lo + lo·hi; the dropped lo·lo term is
+                  O(2^-16) relative) — near-f32 accuracy;
+      - 'split2': hi·hi + hi·lo only (full-precision bank, bf16 samples) —
+                  2 passes, sample low bits dropped.
+    For the split modes, rr/pw are the bf16 HI planes and rr_lo/pw_lo the
+    bf16 LO planes (hi+lo bf16 = the same VMEM bytes as the f32 bank)."""
     tile_n = rr.shape[0]
     stride = two_m + two_d
 
     def body(g, carry):
         m_run, denom, acc = carry
-        yz = jnp.dot(rr, pw[g], preferred_element_type=jnp.float32,
-                     precision=precision)
+        if mode in ("f32", "bf16"):
+            yz = jnp.dot(rr, pw[g], preferred_element_type=jnp.float32,
+                         precision=precision)
+        else:
+            yz = (jnp.dot(rr, pw[g], preferred_element_type=jnp.float32)
+                  + jnp.dot(rr, pw_lo[g], preferred_element_type=jnp.float32))
+            if mode == "split3":
+                yz = yz + jnp.dot(rr_lo, pw[g],
+                                  preferred_element_type=jnp.float32)
         logits = []
         zs = []
         for j in range(group):  # static unroll
@@ -317,6 +338,30 @@ def _estimate_kernel_block_grouped(logw, pw, mu, b, r2, out, *, n_groups: int,
     out[:] = acc / denom
 
 
+def _estimate_kernel_block_grouped_bf16(logw, pw, mu, b, r2, out, *,
+                                        n_groups: int, group: int,
+                                        two_m: int):
+    """Pure-bfloat16 GEMM variant (speed ceiling; accuracy-rejected)."""
+    rr = r2[:].astype(jnp.bfloat16)
+    _, denom, acc = _grouped_stream(logw, pw, mu, b, rr, n_groups, group,
+                                    two_m, out.shape[1], None, mode="bf16")
+    out[:] = acc / denom
+
+
+def _estimate_kernel_block_grouped_split(logw, pw_hi, pw_lo, mu, b, r2, out,
+                                         *, n_groups: int, group: int,
+                                         two_m: int, mode: str):
+    """bf16 hi/lo split-GEMM variant (3- or 2-pass); the sample tile is
+    split on the VPU, the bank planes arrive pre-split."""
+    rr_f = r2[:]
+    rr = rr_f.astype(jnp.bfloat16)
+    rr_lo = (rr_f - rr.astype(jnp.float32)).astype(jnp.bfloat16)
+    _, denom, acc = _grouped_stream(logw, pw_hi, mu, b, rr, n_groups, group,
+                                    two_m, out.shape[1], None, mode=mode,
+                                    pw_lo=pw_lo, rr_lo=rr_lo)
+    out[:] = acc / denom
+
+
 def _estimate_kernel_block_grouped_stats(logw, pw, mu, b, r2, out_m, out_den,
                                          out_acc, *, n_groups: int,
                                          group: int, two_m: int,
@@ -336,13 +381,15 @@ def _estimate_kernel_block_grouped_stats(logw, pw, mu, b, r2, out_m, out_den,
     out_acc[:] = acc
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def estimate_packed_block_grouped(kb: KernelBankBlock, r2: jax.Array,
                                   tile_n: int = 1024, group: int = 2,
-                                  interpret: bool = False, precision=None):
+                                  interpret: bool = False, precision=None,
+                                  mode: str = "f32"):
     """Block-GEMM estimation with `group` components per MXU call.
     K must be a multiple of `group`. `precision` feeds the in-kernel dots
-    (None -> Mosaic default = full float32 passes)."""
+    (None -> Mosaic default = full float32 passes); `mode` selects the GEMM
+    precision scheme (see `_grouped_stream`)."""
     n, two_m = r2.shape
     if n % tile_n:
         raise ValueError(f"N={n} must be a multiple of tile_n={tile_n} "
@@ -365,13 +412,31 @@ def estimate_packed_block_grouped(kb: KernelBankBlock, r2: jax.Array,
                              memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tile_n, two_d), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    kern = functools.partial(_estimate_kernel_block_grouped,
-                             n_groups=n_groups, group=group, two_m=two_m,
-                             precision=precision)
+    static = dict(n_groups=n_groups, group=group, two_m=two_m)
+    if mode == "f32":
+        kern = functools.partial(_estimate_kernel_block_grouped,
+                                 precision=precision, **static)
+        in_specs = [smem_spec, bank_spec, bank_spec, bank_spec, data_spec]
+        args = (kb.logw, pw, mu, b, r2)
+    elif mode == "bf16":
+        kern = functools.partial(_estimate_kernel_block_grouped_bf16,
+                                 **static)
+        in_specs = [smem_spec, bank_spec, bank_spec, bank_spec, data_spec]
+        args = (kb.logw, pw.astype(jnp.bfloat16), mu, b, r2)
+    elif mode in ("split3", "split2"):
+        pw_hi = pw.astype(jnp.bfloat16)
+        pw_lo = (pw - pw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        kern = functools.partial(_estimate_kernel_block_grouped_split,
+                                 mode=mode, **static)
+        in_specs = [smem_spec, bank_spec, bank_spec, bank_spec, bank_spec,
+                    data_spec]
+        args = (kb.logw, pw_hi, pw_lo, mu, b, r2)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[smem_spec, bank_spec, bank_spec, bank_spec, data_spec],
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n, two_d), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -380,13 +445,13 @@ def estimate_packed_block_grouped(kb: KernelBankBlock, r2: jax.Array,
                                 + k_comp * two_m * (two_m + two_d)),
             transcendentals=2 * n * k_comp),
         interpret=interpret,
-    )(kb.logw, pw, mu, b, r2)
+    )(*args)
 
 
 def estimate_block_grouped(bank: PreparedBank, r: jax.Array,
                            tile_n: int = 1024, group: int = 2,
                            interpret: bool = False,
-                           precision=None) -> jax.Array:
+                           precision=None, mode: str = "f32") -> jax.Array:
     """`estimate_block` with multi-component GEMMs."""
     kb = kernel_bank_block(bank)
     n = r.shape[0]
@@ -395,7 +460,7 @@ def estimate_block_grouped(bank: PreparedBank, r: jax.Array,
     r2 = jnp.concatenate([jnp.real(rp), jnp.imag(rp)],
                          axis=-1).astype(jnp.float32)
     h2 = estimate_packed_block_grouped(kb, r2, tile_n, group, interpret,
-                                       precision)
+                                       precision, mode)
     d = h2.shape[-1] // 2
     return (h2[:, :d] + 1j * h2[:, d:])[:n].astype(r.dtype)
 

@@ -143,3 +143,18 @@ def test_kernel_handles_dead_components(bank_and_obs):
     assert np.all(np.isfinite(np.asarray(h_kern).view(np.float32)))
     np.testing.assert_allclose(np.asarray(h_kern), np.asarray(h_ein),
                                atol=3e-4)
+
+
+@pytest.mark.parametrize("mode,tol", [("bf16", 3e-2), ("split3", 1e-4),
+                                      ("split2", 3e-2)])
+def test_grouped_kernel_precision_modes(bank_and_obs, mode, tol):
+    """bf16 hi/lo split-GEMM modes: split3 must be near-f32 (the dropped
+    lo*lo term is O(2^-16) relative); bf16/split2 are coarse measurement
+    modes bounded loosely."""
+    bank, r = bank_and_obs
+    ref = pk.estimate_block_grouped(bank, r, tile_n=256, group=2,
+                                    interpret=True)
+    out = pk.estimate_block_grouped(bank, r, tile_n=256, group=2,
+                                    interpret=True, mode=mode)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < tol, (mode, rel)
