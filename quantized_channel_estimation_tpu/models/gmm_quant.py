@@ -154,6 +154,28 @@ def _recover_covs(stats: _QStats, cfg: GmmConfig, n_bits, sigma2,
 
 
 
+def _prep(r: jax.Array, cfg: GmmConfig, n_bits, q):
+    """Shared fit/fit_resume preparation: thresholds, cov-structure flags,
+    data chunks."""
+    d = r.shape[-1]
+    dtype = r.dtype
+    eye = jnp.eye(d, dtype=dtype)
+    pos_tau = (cov_recovery.positive_thresholds(q)
+               if (q is not None and not is_inf_bits(n_bits) and n_bits != 1)
+               else None)
+    inv_em = cfg.cov_type in ("toeplitz", "block-toeplitz")
+    f2 = None
+    if inv_em:
+        f2 = gmm_mod._oversampled_dft_for(cfg, d, dtype)
+    elif cfg.cov_type != "full":
+        raise NotImplementedError(
+            f"Gmm_quant covariance_type={cfg.cov_type!r}: only 'full', "
+            "'toeplitz', 'block-toeplitz' are supported (the reference's "
+            "diag/circulant paths are broken upstream)")
+    chunks, mask = _chunk(r, min(cfg.chunk_size, r.shape[0]))
+    return d, dtype, eye, pos_tau, inv_em, f2, chunks, mask
+
+
 @partial(jax.jit, static_argnums=(2, 3, 6))
 @highest_precision
 def fit(key: jax.Array, r: jax.Array, cfg: GmmConfig, n_bits, sigma2,
@@ -162,22 +184,7 @@ def fit(key: jax.Array, r: jax.Array, cfg: GmmConfig, n_bits, sigma2,
     """Fit on quantized observations r (N, M); sigma2 is the training-SNR
     noise variance (`Bussgang_GMM_quant.py:117-122`)."""
     del quantizer_type  # the quantizer object already encodes the design
-    d = r.shape[-1]
-    dtype = r.dtype
-    eye = jnp.eye(d, dtype=dtype)
-    pos_tau = (cov_recovery.positive_thresholds(q)
-               if (q is not None and not is_inf_bits(n_bits) and n_bits != 1)
-               else None)
-    inv_em = cfg.cov_type in ("toeplitz", "block-toeplitz")
-    if inv_em:
-        f2 = gmm_mod._oversampled_dft_for(cfg, d, dtype)
-    elif cfg.cov_type != "full":
-        raise NotImplementedError(
-            f"Gmm_quant covariance_type={cfg.cov_type!r}: only 'full', "
-            "'toeplitz', 'block-toeplitz' are supported (the reference's "
-            "diag/circulant paths are broken upstream)")
-
-    chunks, mask = _chunk(r, min(cfg.chunk_size, r.shape[0]))
+    d, dtype, eye, pos_tau, inv_em, f2, chunks, mask = _prep(r, cfg, n_bits, q)
     n = r.shape[0]
     k_init, k_gn = jax.random.split(key)
 
@@ -197,6 +204,22 @@ def fit(key: jax.Array, r: jax.Array, cfg: GmmConfig, n_bits, sigma2,
                      jnp.asarray(-jnp.inf, jnp.float32),
                      jnp.asarray(jnp.inf, jnp.float32),
                      jnp.zeros((), jnp.int32))
+
+    # initialize sigma_spec for inv-em from the initial covariance spectrum
+    if inv_em:
+        sig0 = jnp.maximum(jnp.real(jnp.einsum(
+            "fd,kde,fe->kf", f2, covs_quant0, jnp.conj(f2))), cfg.reg_covar)
+        state0 = state0._replace(sigma_spec=sig0)
+    return _run_quant_em(state0, chunks, mask, r.shape[0], cfg, n_bits,
+                         sigma2, q, pos_tau, inv_em, f2, eye, k_gn)
+
+
+def _run_quant_em(state0: _QState, chunks, mask, n: int, cfg: GmmConfig,
+                  n_bits, sigma2, q, pos_tau, inv_em: bool, f2, eye,
+                  k_gn) -> QuantGmmFitResult:
+    """The quantized-EM loop from a given state (shared by `fit` and
+    `fit_resume`)."""
+    dtype = eye.dtype
 
     def em_iter(state: _QState) -> _QState:
         prec_q = linalg.robust_precision_cholesky(state.covs_quant)
@@ -243,12 +266,6 @@ def fit(key: jax.Array, r: jax.Array, cfg: GmmConfig, n_bits, sigma2,
             state.n_iter < cfg.max_iter,
             jnp.abs(state.lower_bound - state.prev_lb) >= cfg.tol)
 
-    # initialize sigma_spec for inv-em from the initial covariance spectrum
-    if inv_em:
-        sig0 = jnp.maximum(jnp.real(jnp.einsum(
-            "fd,kde,fe->kf", f2, covs_quant0, jnp.conj(f2))), cfg.reg_covar)
-        state0 = state0._replace(sigma_spec=sig0)
-
     state = jax.lax.while_loop(cond, em_iter, state0)
     converged = jnp.abs(state.lower_bound - state.prev_lb) < cfg.tol
 
@@ -259,3 +276,31 @@ def fit(key: jax.Array, r: jax.Array, cfg: GmmConfig, n_bits, sigma2,
     params = GmmParams(state.weights, state.means, covs, prec)
     return QuantGmmFitResult(params, state.covs_quant, state.lower_bound,
                              state.n_iter, converged)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+@highest_precision
+def fit_resume(key: jax.Array, prev: QuantGmmFitResult, r: jax.Array,
+               cfg: GmmConfig, n_bits, sigma2,
+               q: Optional[ScalarQuantizer] = None) -> QuantGmmFitResult:
+    """Warm-start quantized EM from a previous fit result — checkpoint-based
+    restart (SURVEY §5); the analog of `gmm.fit_resume`. The key seeds the
+    per-iteration Gauss-Newton restarts only. For toeplitz/block-toeplitz
+    the inv-em spectrum is re-derived from the checkpointed channel
+    covariances (it is their exact DFT-domain representation)."""
+    d, dtype, eye, pos_tau, inv_em, f2, chunks, mask = _prep(r, cfg, n_bits, q)
+    k = prev.params.weights.shape[0]
+    if inv_em:
+        sigma_spec = jnp.maximum(jnp.real(jnp.einsum(
+            "fd,kde,fe->kf", f2, prev.params.covariances, jnp.conj(f2))),
+            cfg.reg_covar)
+    else:
+        sigma_spec = jnp.zeros((k, 1), jnp.float32)
+    state0 = _QState(prev.params.weights, prev.params.means,
+                     prev.params.covariances.astype(dtype),
+                     prev.cov_quant.astype(dtype), sigma_spec,
+                     jnp.asarray(-jnp.inf, jnp.float32),
+                     jnp.asarray(jnp.inf, jnp.float32),
+                     jnp.zeros((), jnp.int32))
+    return _run_quant_em(state0, chunks, mask, r.shape[0], cfg, n_bits,
+                         sigma2, q, pos_tau, inv_em, f2, eye, key)

@@ -129,32 +129,14 @@ def _weighted_cross(stats, mu_a, mu_b):
 
 
 
-@partial(jax.jit, static_argnums=(2,))
-@highest_precision
-def fit(key: jax.Array, x: jax.Array, cfg: MfaConfig) -> MfaFitResult:
-    """EM fit (`mofa_cplx_bussgang.py:94-113, 246-310`), statistics-based."""
+def _run_em(params0: MfaParams, x: jax.Array,
+            cfg: MfaConfig) -> MfaFitResult:
+    """The EM loop from given starting parameters (shared by `fit` and
+    `fit_resume`)."""
     n, d = x.shape
     m = cfg.latent_dim
-    k = cfg.n_components
     dtype = x.dtype
     xs_mask = _chunk(x, min(cfg.chunk_size, n))
-
-    # ----- init (`mofa_cplx_bussgang.py:219-243`) -----
-    k_km, k_l, k_a = jax.random.split(key, 3)
-    km = kmeans(k_km, cplx2real(x, axis=-1).astype(jnp.float32), k,
-                max_iter=cfg.kmeans_iter)
-    means0 = (jnp.zeros((k, d), dtype) if cfg.zero_mean else
-              (km.centers[:, :d] + 1j * km.centers[:, d:]).astype(dtype))
-    lam_scale = 1.0 / jnp.sqrt(2.0 * cfg.max_condition_number)
-    lr, li = jax.random.split(k_l)
-    lambdas0 = (lam_scale * (jax.random.normal(lr, (k, d, m))
-                             + 1j * jax.random.normal(li, (k, d, m)))).astype(dtype)
-    # np.var of complex data = E|x - mean|^2 (`mofa_cplx_bussgang.py:236`)
-    psis0 = jnp.tile(jnp.mean(jnp.abs(x - jnp.mean(x, 0)) ** 2, axis=0)[None, :],
-                     (k, 1)).astype(jnp.float32)
-    amps0 = jax.random.uniform(k_a, (k,), jnp.float32)
-    amps0 = amps0 / jnp.sum(amps0)
-    params0 = MfaParams(amps0, means0, lambdas0, psis0)
 
     def em_iter(state: _MfaState) -> _MfaState:
         p = state.params
@@ -268,6 +250,44 @@ def fit(key: jax.Array, x: jax.Array, cfg: MfaConfig) -> MfaFitResult:
     rel = jnp.abs((state.log_like - state.prev_ll) / state.log_like)
     return MfaFitResult(state.params, state.log_like, state.n_iter,
                         rel < cfg.tol)
+
+
+@partial(jax.jit, static_argnums=(2,))
+@highest_precision
+def fit(key: jax.Array, x: jax.Array, cfg: MfaConfig) -> MfaFitResult:
+    """EM fit (`mofa_cplx_bussgang.py:94-113, 246-310`), statistics-based."""
+    n, d = x.shape
+    m = cfg.latent_dim
+    k = cfg.n_components
+    dtype = x.dtype
+
+    # ----- init (`mofa_cplx_bussgang.py:219-243`) -----
+    k_km, k_l, k_a = jax.random.split(key, 3)
+    km = kmeans(k_km, cplx2real(x, axis=-1).astype(jnp.float32), k,
+                max_iter=cfg.kmeans_iter)
+    means0 = (jnp.zeros((k, d), dtype) if cfg.zero_mean else
+              (km.centers[:, :d] + 1j * km.centers[:, d:]).astype(dtype))
+    lam_scale = 1.0 / jnp.sqrt(2.0 * cfg.max_condition_number)
+    lr, li = jax.random.split(k_l)
+    lambdas0 = (lam_scale * (jax.random.normal(lr, (k, d, m))
+                             + 1j * jax.random.normal(li, (k, d, m)))).astype(dtype)
+    # np.var of complex data = E|x - mean|^2 (`mofa_cplx_bussgang.py:236`)
+    psis0 = jnp.tile(jnp.mean(jnp.abs(x - jnp.mean(x, 0)) ** 2, axis=0)[None, :],
+                     (k, 1)).astype(jnp.float32)
+    amps0 = jax.random.uniform(k_a, (k,), jnp.float32)
+    amps0 = amps0 / jnp.sum(amps0)
+    return _run_em(MfaParams(amps0, means0, lambdas0, psis0), x, cfg)
+
+
+@partial(jax.jit, static_argnums=(2,))
+@highest_precision
+def fit_resume(params: MfaParams, x: jax.Array,
+               cfg: MfaConfig) -> MfaFitResult:
+    """Warm-start EM from existing parameters — checkpoint-based restart
+    (SURVEY §5); the analog of `gmm.fit_resume`. The reference's sklearn
+    `warm_start` plumbing exists but is unused (`gmm_cplx_bussgang.py:491`);
+    its Mofa has no resume at all."""
+    return _run_em(params, x, cfg)
 
 
 def to_gmm_params(params: MfaParams, reg: float = 0.0) -> GmmParams:

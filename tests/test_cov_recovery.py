@@ -164,3 +164,25 @@ class TestQuantGmm:
         for off in range(1, 4):
             diag = np.diagonal(c, offset=off)
             assert np.abs(diag - diag.mean()).max() < 0.1 * np.abs(np.diagonal(c)).mean()
+
+
+def test_quant_fit_resume_continues():
+    """Warm-starting quantized EM from a previous fit result must not
+    degrade the lower bound (SURVEY §5 checkpoint-based restart); covers
+    the inv-em spectrum re-derivation on the toeplitz path too."""
+    key = jax.random.PRNGKey(0)
+    h, _ = scm.generate_channels(key, 12000, scm.ScmConfig(8, 1))
+    snr, n_bits = 5.0, 2
+    a = pilots.pilot_matrix(8, 1, n_bits)
+    q = Q.design_quantizer(snr, n_bits)
+    sigma2 = 10 ** (-snr / 10)
+    r = observation.observe(jax.random.PRNGKey(1), h, snr, a, n_bits, q)
+    for cov_type in ("full", "toeplitz"):
+        cfg = gmm.GmmConfig(n_components=4, zero_mean=True, max_iter=3,
+                            tol=0.0, cov_type=cov_type, chunk_size=4096)
+        first = gmm_quant.fit(jax.random.PRNGKey(2), r, cfg, n_bits,
+                              sigma2, q)
+        resumed = gmm_quant.fit_resume(jax.random.PRNGKey(3), first, r,
+                                       cfg._replace(max_iter=8), n_bits,
+                                       sigma2, q)
+        assert float(resumed.lower_bound) >= float(first.lower_bound) - 1e-3

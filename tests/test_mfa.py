@@ -134,3 +134,14 @@ def test_rs_clip_noop_when_all_components_live():
     for a, b in zip(jax.tree_util.tree_leaves(res_off.params),
                     jax.tree_util.tree_leaves(res_on.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mfa_fit_resume_continues(key):
+    """Warm-starting EM from checkpointed params must not degrade the
+    log-likelihood and should improve an unconverged fit (SURVEY §5
+    checkpoint-based restart)."""
+    h, _ = scm.generate_channels(key, 4000, scm.ScmConfig(8, 1))
+    cfg = mfa.MfaConfig(n_components=2, latent_dim=2, max_iter=3, tol=0.0)
+    first = mfa.fit(jax.random.PRNGKey(1), h, cfg)
+    resumed = mfa.fit_resume(first.params, h, cfg._replace(max_iter=10))
+    assert float(resumed.log_likelihood) >= float(first.log_likelihood) - 1e-3
