@@ -112,3 +112,51 @@ def test_no_implicit_transfers_guard():
         with pytest.raises(jax.errors.JaxRuntimeError):
             _ = x * 2.0  # python scalar = implicit host->device transfer
     assert float(np.asarray(y)) == 56.0
+
+
+def test_rate_lower_bound_matches_reference_loop(rng):
+    """The statistical rate bound (the main rate metric in every CSV) must
+    equal the reference's per-sample numpy computation
+    (`Bussgang_GMM.py:153-163`): per-sample power normalization, inner
+    products through B, num = |mean|^2, den = var + mean quadratic form."""
+    d = 6
+    n = 60
+    h = (rng.standard_normal((n, d)) + 1j * rng.standard_normal((n, d))
+         ).astype(np.complex128) / np.sqrt(2)
+    res = h + 0.3 * (rng.standard_normal((n, d))
+                     + 1j * rng.standard_normal((n, d)))
+    cov = h.T @ h.conj() / n
+    b, cq = global_bussgang_stats(jnp.asarray(cov), 10.0, 2,
+                                  design_quantizer(10.0, 2))
+    b_np = np.asarray(b, np.complex128)
+    cq_np = np.asarray(cq, np.complex128)
+    res_ref = res.copy()
+    norm_fac = np.sum(np.abs(res_ref) ** 2, axis=1)
+    for i in range(res_ref.shape[0]):
+        res_ref[i] /= norm_fac[i]
+    inner = np.squeeze(np.expand_dims(res_ref.conj(), 1) @ b_np
+                       @ np.expand_dims(h, 2))
+    num = np.abs(np.mean(inner, axis=0)) ** 2
+    den1 = np.var(inner, axis=0)
+    den2 = np.real(np.squeeze(np.expand_dims(res_ref.conj(), 1) @ cq_np
+                              @ np.expand_dims(res_ref, 2)))
+    want = np.log2(1 + num / (den1 + np.mean(den2, axis=0)))
+    got = float(rate_lower_bound(jnp.asarray(res), jnp.asarray(h),
+                                 jnp.asarray(b_np), jnp.asarray(cq_np)))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # and the GMM path's clipped normalization (`Bussgang_GMM.py:299`)
+    res_ref = res.copy()
+    norm_fac = np.clip(np.sum(np.abs(res_ref) ** 2, axis=1), 0.1, None)
+    for i in range(res_ref.shape[0]):
+        res_ref[i] /= norm_fac[i]
+    inner = np.squeeze(np.expand_dims(res_ref.conj(), 1) @ b_np
+                       @ np.expand_dims(h, 2))
+    den2 = np.real(np.squeeze(np.expand_dims(res_ref.conj(), 1) @ cq_np
+                              @ np.expand_dims(res_ref, 2)))
+    want = np.log2(1 + np.abs(np.mean(inner)) ** 2
+                   / (np.var(inner) + np.mean(den2)))
+    got = float(rate_lower_bound(jnp.asarray(res), jnp.asarray(h),
+                                 jnp.asarray(b_np), jnp.asarray(cq_np),
+                                 norm_clip=0.1))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
