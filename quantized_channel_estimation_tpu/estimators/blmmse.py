@@ -80,6 +80,7 @@ def estimate_genie(r: jax.Array, t: jax.Array, snr_db, a: jax.Array,
     return estimate_genie_cov(r, c, snr_db, a, n_bits, q, jitter)
 
 
+@highest_precision
 def estimate_genie_kron(r: jax.Array, t_bs: jax.Array, t_ms: jax.Array,
                         snr_db, a: jax.Array, n_bits,
                         q: Optional[ScalarQuantizer] = None,

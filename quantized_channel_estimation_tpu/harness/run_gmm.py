@@ -36,7 +36,10 @@ class GmmBenchConfig:
     n_summands_or_proba: Union[str, int, float] = "all"
     # '3gpp' (SCMMulti), 'urban-macro' (SCM3GPPMacro redesign), or 'mimo'
     # (Kronecker SCMMulti_MIMO redesign; n_antennas = BS side,
-    # n_antennas_ms = MS side, channel dim = product)
+    # n_antennas_ms = MS side, channel dim = product). n_path applies to all
+    # models (the canonical urban-macro-15deg run uses n_path=6);
+    # path_sigma applies to '3gpp' and the BS side of 'mimo' (urban-macro
+    # fixes the per-path spread at 2.82843, the MS side of 'mimo' at 35).
     channel_model: str = "3gpp"
     n_antennas_ms: int = 1
     n_path: int = 1
@@ -63,11 +66,26 @@ class GmmBenchConfig:
     gmm_max_iter: int = 100
 
 
+CHANNEL_MODELS = ("3gpp", "urban-macro", "mimo")
+
+
 def channel_dim(cfg: GmmBenchConfig) -> int:
     """Dimension of the vectorized channel (N_BS * N_MS for 'mimo')."""
+    if cfg.channel_model not in CHANNEL_MODELS:
+        raise ValueError(f"channel_model={cfg.channel_model!r}; "
+                         f"expected one of {CHANNEL_MODELS}")
     if cfg.channel_model == "mimo":
         return cfg.n_antennas * cfg.n_antennas_ms
     return cfg.n_antennas
+
+
+def _model_tag(cfg: GmmBenchConfig) -> str:
+    """Cache/result key for the channel model. MIMO embeds BOTH antenna
+    counts — different (BS, MS) splits with the same product must not
+    collide on one cache file."""
+    if cfg.channel_model == "mimo":
+        return f"mimo{cfg.n_antennas}x{cfg.n_antennas_ms}"
+    return cfg.channel_model
 
 
 def _get_data(cfg: GmmBenchConfig, key):
@@ -78,11 +96,12 @@ def _get_data(cfg: GmmBenchConfig, key):
     """
     n_channels = cfg.n_train + cfg.n_val
     path = qio.dataset_cache_path(cfg.cache_dir, channel_dim(cfg),
-                                  cfg.channel_model, cfg.n_path,
+                                  _model_tag(cfg), cfg.n_path,
                                   cfg.n_train, n_channels)
     if cfg.channel_model == "mimo":
         mimo_cfg = scm_mimo.ScmMimoConfig(cfg.n_antennas, cfg.n_antennas_ms,
-                                          cfg.n_path)
+                                          cfg.n_path,
+                                          path_sigma_bs=cfg.path_sigma)
         if cfg.use_cache and os.path.exists(path):
             data = np.load(path)
             return (stages.from_numpy(data["channels"]),
@@ -100,7 +119,9 @@ def _get_data(cfg: GmmBenchConfig, key):
         channels, toep = qio.load_channels(path)
         return stages.from_numpy(channels), stages.from_numpy(toep)
     if cfg.channel_model == "urban-macro":
-        macro_cfg = scm.UrbanMacroConfig(cfg.n_antennas)
+        # n_path is honored; path_sigma is NOT — urban-macro-15deg fixes the
+        # per-path Laplace spread at 2.82843 (`SCM3GPPMacro.py:23`)
+        macro_cfg = scm.UrbanMacroConfig(cfg.n_antennas, n_paths=cfg.n_path)
         h, t = stages.generate_channels_macro(key, n_channels, macro_cfg)
     else:
         scm_cfg = scm.ScmConfig(cfg.n_antennas, cfg.n_path, cfg.path_sigma)
@@ -198,7 +219,7 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
 
     if cfg.eval_blmmse_gmm:
         gmm_path = qio.gmm_cache_path(cfg.cache_dir, dim,
-                                      cfg.n_components, cfg.channel_model,
+                                      cfg.n_components, _model_tag(cfg),
                                       cfg.n_path,
                                       cfg.n_train, cfg.cov_type,
                                       cfg.zero_mean_gmm)
@@ -231,7 +252,7 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
 
     stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     model_tag = ("" if cfg.channel_model == "3gpp"
-                 else f"_model={cfg.channel_model}")
+                 else f"_model={_model_tag(cfg)}")
     base = (f"{stamp}_ant={dim}{model_tag}_path={cfg.n_path}"
             f"_ntrain={cfg.n_train}_comp={cfg.n_components}"
             f"_pilots={cfg.n_pilots}_bits={cfg.n_bits}"

@@ -92,28 +92,34 @@ def prec_from_chol(l: jax.Array) -> jax.Array:
     return jnp.conj(jnp.swapaxes(linv, -1, -2))
 
 
-def robust_precision_cholesky(c: jax.Array, base_jitter: float = 0.0) -> jax.Array:
-    """`precision_cholesky` with escalating relative jitter.
-
-    The reference runs float64 where an absolute reg_covar=1e-6 keeps every
-    empirical covariance factorizable; in float32 a rank-deficient component
-    (e.g. a tiny k-means cluster in D=64) NaNs. Retry each matrix with jitter
-    scaled to its mean diagonal: +0, +1e-4 d, +1e-2 d. All three factorizations
-    are computed batched; the first finite one is selected per matrix.
-    """
+def _robust_chol(c: jax.Array, base_jitter: float, scales) -> jax.Array:
+    """Batched Cholesky with an escalating relative-jitter ladder: each
+    matrix is factored at every jitter level (scaled to its mean diagonal)
+    and the first finite factorization is selected per matrix."""
     d = c.shape[-1]
     eye = jnp.eye(d, dtype=c.dtype)
     diag_mean = jnp.mean(jnp.real(jnp.diagonal(c, axis1=-2, axis2=-1)),
                          axis=-1)[..., None, None]
     ls = []
-    for scale in (0.0, 1e-4, 1e-2):
+    for scale in scales:
         jit_mat = (base_jitter + scale * diag_mean) * eye
         ls.append(jnp.linalg.cholesky(c + jit_mat))
     l = ls[-1]
     for cand in reversed(ls[:-1]):
         bad = jnp.any(jnp.isnan(cand), axis=(-2, -1), keepdims=True)
         l = jnp.where(bad, l, cand)
-    return prec_from_chol(l)
+    return l
+
+
+def robust_precision_cholesky(c: jax.Array, base_jitter: float = 0.0) -> jax.Array:
+    """`precision_cholesky` with escalating relative jitter.
+
+    The reference runs float64 where an absolute reg_covar=1e-6 keeps every
+    empirical covariance factorizable; in float32 a rank-deficient component
+    (e.g. a tiny k-means cluster in D=64) NaNs. Retry each matrix with jitter
+    scaled to its mean diagonal: +0, +1e-4 d, +1e-2 d.
+    """
+    return prec_from_chol(_robust_chol(c, base_jitter, (0.0, 1e-4, 1e-2)))
 
 
 def robust_chol_lower(c: jax.Array, base_jitter: float = 0.0) -> jax.Array:
@@ -124,20 +130,11 @@ def robust_chol_lower(c: jax.Array, base_jitter: float = 0.0) -> jax.Array:
     needed (e.g. sampling from truncated-Toeplitz covariances, which are
     numerically rank-deficient for narrow angular spreads; the reference
     falls back to `scipy.linalg.sqrtm` there, `scm_helper_MIMO.py:113-117`).
+    The ladder starts finer than `robust_precision_cholesky`'s (+1e-6 d)
+    because a sampling factor tolerates — and benefits from — the smallest
+    jitter that factorizes.
     """
-    d = c.shape[-1]
-    eye = jnp.eye(d, dtype=c.dtype)
-    diag_mean = jnp.mean(jnp.real(jnp.diagonal(c, axis1=-2, axis2=-1)),
-                         axis=-1)[..., None, None]
-    ls = []
-    for scale in (0.0, 1e-6, 1e-4, 1e-2):
-        jit_mat = (base_jitter + scale * diag_mean) * eye
-        ls.append(jnp.linalg.cholesky(c + jit_mat))
-    l = ls[-1]
-    for cand in reversed(ls[:-1]):
-        bad = jnp.any(jnp.isnan(cand), axis=(-2, -1), keepdims=True)
-        l = jnp.where(bad, l, cand)
-    return l
+    return _robust_chol(c, base_jitter, (0.0, 1e-6, 1e-4, 1e-2))
 
 
 def logdet_from_prec_chol(p: jax.Array) -> jax.Array:

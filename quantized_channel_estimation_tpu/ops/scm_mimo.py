@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from quantized_channel_estimation_tpu.ops import linalg
 from quantized_channel_estimation_tpu.ops.cplx import crandn
+from quantized_channel_estimation_tpu.ops.precision import highest_precision
 from quantized_channel_estimation_tpu.ops.scm import sample_psd
 
 
@@ -59,6 +60,7 @@ def genie_toeplitz_rows(fs_bs: jax.Array, fs_ms: jax.Array,
     return t_bs.astype(dtype), t_ms.astype(dtype)
 
 
+@highest_precision
 def color_kron(key: jax.Array, t_bs: jax.Array, t_ms: jax.Array,
                n_coherence: int = 1, dtype=jnp.complex64) -> jax.Array:
     """Sample h ~ CN(0, kron(toeplitz(t_ms), toeplitz(t_bs))) without forming
@@ -69,6 +71,9 @@ def color_kron(key: jax.Array, t_bs: jax.Array, t_ms: jax.Array,
     vectorization as the reference's `np.kron(C_MS, C_BS)`
     (`scm_helper_MIMO.py:105-118`).
     """
+    # covariance-level factorization + coloring GEMMs: pinned to full f32
+    # matmul precision (TPU default bf16 multiplies would color the batch
+    # with ~0.4% covariance error vs the genie kron — CLAUDE.md rule)
     n_bs, n_ms = t_bs.shape[-1], t_ms.shape[-1]
     l_bs = linalg.robust_chol_lower(
         linalg.toeplitz_from_first_row(t_bs).astype(dtype))

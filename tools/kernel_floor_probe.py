@@ -255,7 +255,6 @@ def main():
         kb = pk.kernel_bank_block(b_)
         n_groups = K_COMP // GROUP
         two_m = 2 * N_ANT
-        stride = kb.pw.shape[-1] + two_m - two_m  # 2M+2D
         stride = kb.pw.shape[-1]
         pw = jnp.swapaxes(kb.pw.reshape(n_groups, GROUP, two_m, stride),
                           1, 2).reshape(n_groups, two_m, GROUP * stride)
