@@ -72,8 +72,13 @@ class _QStats(NamedTuple):
 
 
 def _accumulate(r_chunks, mask, log_weights, means, prec_chol_q, pos_tau,
-                n_bits):
-    """Fused E-step + sufficient-statistics pass over chunked quantized data."""
+                n_bits, axis_name=None):
+    """Fused E-step + sufficient-statistics pass over chunked quantized data.
+
+    Under shard_map with `axis_name`, the statistics (moments + covariance-
+    recovery sums: 1-bit requantized correlation, threshold bin-occupancy
+    counts) are psum'd over the data axis — every field is a plain data
+    sum."""
     k = log_weights.shape[0]
     d = r_chunks.shape[-1]
     n_tau = pos_tau.shape[0] if pos_tau is not None else 0
@@ -105,6 +110,8 @@ def _accumulate(r_chunks, mask, log_weights, means, prec_chol_q, pos_tau,
         return _QStats(nk, sx, sxx, corr, below, base.log_norm), None
 
     stats, _ = jax.lax.scan(body, init, (r_chunks, mask))
+    if axis_name is not None:
+        stats = jax.lax.psum(stats, axis_name)
     return stats
 
 
@@ -192,6 +199,10 @@ def fit(key: jax.Array, r: jax.Array, cfg: GmmConfig, n_bits, sigma2,
     # initial quantized covs; channel covs start from the same recovery -----
     init_stats0 = _init_resp_stats(k_init, r, cfg, diag=False,
                                    chunk=cfg.chunk_size)
+    if cfg.axis_name is not None:
+        # shard_map data parallelism: global init statistics (requires
+        # cfg.init='random'; per-shard k-means would be inconsistent)
+        init_stats0 = jax.lax.psum(init_stats0, cfg.axis_name)
     nk0 = init_stats0.nk + 10.0 * jnp.finfo(jnp.float32).eps
     means0 = jnp.zeros((cfg.n_components, d), dtype) if cfg.zero_mean else (
         init_stats0.sx / nk0[:, None].astype(dtype))
@@ -220,11 +231,14 @@ def _run_quant_em(state0: _QState, chunks, mask, n: int, cfg: GmmConfig,
     """The quantized-EM loop from a given state (shared by `fit` and
     `fit_resume`)."""
     dtype = eye.dtype
+    if cfg.axis_name is not None:
+        n = n * jax.lax.axis_size(cfg.axis_name)
 
     def em_iter(state: _QState) -> _QState:
         prec_q = linalg.robust_precision_cholesky(state.covs_quant)
         stats = _accumulate(chunks, mask, jnp.log(state.weights), state.means,
-                            prec_q, pos_tau, n_bits)
+                            prec_q, pos_tau, n_bits,
+                            axis_name=cfg.axis_name)
         nk = stats.nk + 10.0 * jnp.finfo(jnp.float32).eps
         means = (jnp.zeros_like(state.means) if cfg.zero_mean
                  else stats.sx / nk[:, None].astype(dtype))

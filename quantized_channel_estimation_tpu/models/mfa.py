@@ -33,7 +33,7 @@ Estimation reuses the Bussgang prepared-bank machinery of `gmm_estimator`
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +63,9 @@ class MfaConfig(NamedTuple):
     psi_floor: float = 1e-6
     chunk_size: int = 4096
     kmeans_iter: int = 50
+    axis_name: Optional[str] = None  # data-parallel axis under shard_map:
+    # the GMM-shaped sufficient statistics are psum'd over it (requires
+    # zero_mean=True — per-shard k-means means would be inconsistent)
 
 
 class MfaParams(NamedTuple):
@@ -134,9 +137,11 @@ def _run_em(params0: MfaParams, x: jax.Array,
     """The EM loop from given starting parameters (shared by `fit` and
     `fit_resume`)."""
     n, d = x.shape
+    if cfg.axis_name is not None:
+        n = n * jax.lax.axis_size(cfg.axis_name)
     m = cfg.latent_dim
     dtype = x.dtype
-    xs_mask = _chunk(x, min(cfg.chunk_size, n))
+    xs_mask = _chunk(x, min(cfg.chunk_size, x.shape[0]))
 
     def em_iter(state: _MfaState) -> _MfaState:
         p = state.params
@@ -172,7 +177,8 @@ def _run_em(params0: MfaParams, x: jax.Array,
             return -d * jnp.log(jnp.pi) - logdets[None, :] - quad
 
         stats = gmm_mod.accumulate_stats(x, xs_mask, jnp.log(p.weights),
-                                         log_prob_fn, False, cfg.chunk_size)
+                                         log_prob_fn, False, cfg.chunk_size,
+                                         axis_name=cfg.axis_name)
         if cfg.rs_clip > 0.0:
             # reference `mofa_cplx_bussgang.py:338`: a component whose total
             # responsibility mass drops below rs_clip gets resp == rs_clip
@@ -263,17 +269,34 @@ def fit(key: jax.Array, x: jax.Array, cfg: MfaConfig) -> MfaFitResult:
 
     # ----- init (`mofa_cplx_bussgang.py:219-243`) -----
     k_km, k_l, k_a = jax.random.split(key, 3)
-    km = kmeans(k_km, cplx2real(x, axis=-1).astype(jnp.float32), k,
-                max_iter=cfg.kmeans_iter)
-    means0 = (jnp.zeros((k, d), dtype) if cfg.zero_mean else
-              (km.centers[:, :d] + 1j * km.centers[:, d:]).astype(dtype))
+    if cfg.axis_name is not None:
+        if not cfg.zero_mean:
+            raise NotImplementedError(
+                "data-parallel MFA requires zero_mean=True (per-shard "
+                "k-means would give inconsistent initial means)")
+        means0 = jnp.zeros((k, d), dtype)
+    else:
+        km = kmeans(k_km, cplx2real(x, axis=-1).astype(jnp.float32), k,
+                    max_iter=cfg.kmeans_iter)
+        means0 = (jnp.zeros((k, d), dtype) if cfg.zero_mean else
+                  (km.centers[:, :d] + 1j * km.centers[:, d:]).astype(dtype))
     lam_scale = 1.0 / jnp.sqrt(2.0 * cfg.max_condition_number)
     lr, li = jax.random.split(k_l)
     lambdas0 = (lam_scale * (jax.random.normal(lr, (k, d, m))
                              + 1j * jax.random.normal(li, (k, d, m)))).astype(dtype)
     # np.var of complex data = E|x - mean|^2 (`mofa_cplx_bussgang.py:236`)
-    psis0 = jnp.tile(jnp.mean(jnp.abs(x - jnp.mean(x, 0)) ** 2, axis=0)[None, :],
-                     (k, 1)).astype(jnp.float32)
+    if cfg.axis_name is not None:
+        # global per-dim variance: psum'd moments so every shard starts
+        # from identical parameters
+        n_tot = n * jax.lax.axis_size(cfg.axis_name)
+        gmean = jax.lax.psum(jnp.sum(x, 0), cfg.axis_name) / n_tot
+        gvar = jax.lax.psum(jnp.sum(jnp.abs(x - gmean) ** 2, 0),
+                            cfg.axis_name) / n_tot
+        psis0 = jnp.tile(gvar[None, :], (k, 1)).astype(jnp.float32)
+    else:
+        psis0 = jnp.tile(
+            jnp.mean(jnp.abs(x - jnp.mean(x, 0)) ** 2, axis=0)[None, :],
+            (k, 1)).astype(jnp.float32)
     amps0 = jax.random.uniform(k_a, (k,), jnp.float32)
     amps0 = amps0 / jnp.sum(amps0)
     return _run_em(MfaParams(amps0, means0, lambdas0, psis0), x, cfg)

@@ -103,6 +103,57 @@ def fit_gmm_shard_map(mesh: Mesh, key: jax.Array, h: jax.Array,
     return jax.jit(mapped)(key, h)
 
 
+def _shard_map_fn(mesh: Mesh, body, data_ndim: int, n_keys: int = 1):
+    """shard_map wrapper: replicated keys/params, data sharded on 'data'."""
+    try:
+        from jax import shard_map
+        rep_kwargs = {"check_vma": False}
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        rep_kwargs = {"check_rep": False}
+    in_specs = tuple([P()] * n_keys
+                     + [P(DATA_AXIS, *([None] * (data_ndim - 1)))])
+    return shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=P(),
+                     **rep_kwargs)
+
+
+def fit_mfa_shard_map(mesh: Mesh, key: jax.Array, x: jax.Array, cfg):
+    """Data-parallel MFA EM with explicit collectives: the MFA reduces to
+    the same GMM-shaped sufficient statistics (models/mfa.py docstring), so
+    the parallelism is the identical one O(K D^2) psum per iteration.
+    Requires cfg.zero_mean (enforced by mfa.fit; per-shard k-means means
+    would be inconsistent); the axis name is set here."""
+    from quantized_channel_estimation_tpu.models import mfa
+
+    cfg = cfg._replace(axis_name=DATA_AXIS)
+    n_shards = mesh.shape[DATA_AXIS]
+    assert x.shape[0] % n_shards == 0, (x.shape, n_shards)
+
+    def body(key, x_local):
+        return mfa.fit.__wrapped__(key, x_local, cfg)
+
+    return jax.jit(_shard_map_fn(mesh, body, x.ndim))(key, x)
+
+
+def fit_gmm_quant_shard_map(mesh: Mesh, key: jax.Array, r: jax.Array,
+                            cfg: GmmConfig, n_bits, sigma2, q=None):
+    """Data-parallel quantized-training EM: the recovery statistics (1-bit
+    requantized correlation, bin-occupancy counts) are data sums like the
+    moments, so the whole covariance-recovery M-step runs replicated on
+    psum'd statistics. Requires init='random' (rewritten here, like
+    `fit_gmm_shard_map`)."""
+    from quantized_channel_estimation_tpu.models import gmm_quant
+
+    cfg = cfg._replace(axis_name=DATA_AXIS, init="random")
+    n_shards = mesh.shape[DATA_AXIS]
+    assert r.shape[0] % n_shards == 0, (r.shape, n_shards)
+
+    def body(key, r_local):
+        return gmm_quant.fit.__wrapped__(key, r_local, cfg, n_bits, sigma2, q)
+
+    return jax.jit(_shard_map_fn(mesh, body, r.ndim))(key, r)
+
+
 def estimate_sharded(mesh: Mesh, bank: PreparedBank, r: jax.Array,
                      mode: Union[str, int, float] = "all",
                      chunk_size: int = 2048) -> jax.Array:

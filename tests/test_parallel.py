@@ -73,3 +73,50 @@ def test_random_init_fit_quality(data):
     cfg_km = cfg._replace(init="kmeans")
     fit_km = gmm.fit(jax.random.PRNGKey(74), data, cfg_km)
     assert float(fit.lower_bound) > float(fit_km.lower_bound) - 0.5
+
+
+def test_shard_map_mfa_matches_single_device(data):
+    """Data-parallel MFA EM == single-device up to f32 psum order (the MFA
+    shares the GMM's psum'd sufficient statistics)."""
+    from quantized_channel_estimation_tpu.models import mfa
+
+    m = pmesh.make_mesh(4, 1)
+    key = jax.random.PRNGKey(11)
+    cfg = mfa.MfaConfig(n_components=2, latent_dim=2, zero_mean=True,
+                        max_iter=8, tol=0.0, chunk_size=2000)
+    fit_dist = pmesh.fit_mfa_shard_map(m, key, data, cfg)
+    fit_single = mfa.fit(key, data, cfg._replace(axis_name=None))
+    # the single-device init path uses the same zero means and the same
+    # key-drawn loadings; psis0 reduces to the same global variance
+    np.testing.assert_allclose(float(fit_dist.log_likelihood),
+                               float(fit_single.log_likelihood), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(fit_dist.params.weights),
+                               np.asarray(fit_single.params.weights),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(fit_dist.params.psis),
+                               np.asarray(fit_single.params.psis), rtol=2e-2)
+
+
+def test_shard_map_quant_em_matches_single_device(data):
+    """Data-parallel quantized-training EM == single-device: the recovery
+    statistics psum like the moments."""
+    from quantized_channel_estimation_tpu.models import gmm_quant
+
+    m = pmesh.make_mesh(4, 1)
+    key = jax.random.PRNGKey(21)
+    snr, n_bits = 5.0, 2
+    a = pilots.pilot_matrix(8, 1, n_bits)
+    q = Q.design_quantizer(snr, n_bits)
+    sigma2 = 10 ** (-snr / 10)
+    r = observation.observe(jax.random.PRNGKey(22), data, snr, a, n_bits, q)
+    cfg = gmm.GmmConfig(n_components=2, zero_mean=True, max_iter=6, tol=0.0,
+                        chunk_size=2000, init="random")
+    fit_dist = pmesh.fit_gmm_quant_shard_map(m, key, r, cfg, n_bits,
+                                             sigma2, q)
+    fit_single = gmm_quant.fit(key, r, cfg._replace(axis_name=None), n_bits,
+                               sigma2, q)
+    np.testing.assert_allclose(float(fit_dist.lower_bound),
+                               float(fit_single.lower_bound), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(fit_dist.params.covariances),
+                               np.asarray(fit_single.params.covariances),
+                               atol=5e-3)
