@@ -53,6 +53,10 @@ class VaeConfig(NamedTuple):
     batch_size: int = 200
     epochs: int = 500
     steps_per_epoch: Optional[int] = None  # default: n_train // batch_size
+    axis_name: Optional[str] = None  # data-parallel axis under shard_map:
+    # each device draws its own batch from its shard (keys decorrelated by
+    # axis index) and gradients/losses are pmean'd — SGD's gradient
+    # all-reduce; effective batch = batch_size * n_devices
 
 
 def _linspace_dims(a: int, b: int, n: int) -> Sequence[int]:
@@ -248,10 +252,18 @@ def make_train_step(model: DnnVae, cfg: VaeConfig, a: Optional[jax.Array],
         return elbo_loss(cfg, out, None, x, snr_list=snr)
 
     def _one_step(state: VaeTrainState, h_train, key):
+        if cfg.axis_name is not None:
+            # decorrelate the batch draw and observation noise across devices
+            key = jax.random.fold_in(key, jax.lax.axis_index(cfg.axis_name))
         kidx, kloss = jax.random.split(key)
         idx = jax.random.randint(kidx, (cfg.batch_size,), 0, h_train.shape[0])
         h_batch = h_train[idx]
         loss, grads = jax.value_and_grad(loss_fn)(state.params, h_batch, kloss)
+        if cfg.axis_name is not None:
+            # gradient all-reduce; the NaN guard then fires identically on
+            # every device (global mean loss), keeping params replicated
+            grads = jax.lax.pmean(grads, cfg.axis_name)
+            loss = jax.lax.pmean(loss, cfg.axis_name)
         # NaN/explosion guard: skip the update for bad batches (`vae.py:120-128`)
         ok = jnp.isfinite(loss) & (loss < 1000.0)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -154,6 +154,39 @@ def fit_gmm_quant_shard_map(mesh: Mesh, key: jax.Array, r: jax.Array,
     return jax.jit(_shard_map_fn(mesh, body, r.ndim))(key, r)
 
 
+def vae_run_epochs_shard_map(mesh: Mesh, model, cfg, a, snrs, quantizers,
+                             state, h_train: jax.Array, key: jax.Array,
+                             n_steps: int, n_epochs: int, epoch0: int = 0):
+    """Data-parallel VAE training: channels sharded over 'data', each device
+    draws its own batches (keys decorrelated by axis index) and gradients
+    are pmean'd per step — SGD's gradient all-reduce, the reference has no
+    analog (single-GPU torch). Effective batch = cfg.batch_size * n_devices.
+    Returns (state, per-epoch mean losses), replicated."""
+    from quantized_channel_estimation_tpu.models import vae
+
+    try:
+        from jax import shard_map
+        rep_kwargs = {"check_vma": False}
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        rep_kwargs = {"check_rep": False}
+
+    cfg = cfg._replace(axis_name=DATA_AXIS)
+    n_shards = mesh.shape[DATA_AXIS]
+    assert h_train.shape[0] % n_shards == 0, (h_train.shape, n_shards)
+    step = vae.make_train_step(model, cfg, a, snrs, quantizers)
+
+    def body(st, h_local, k):
+        return step.run_epochs(st, h_local, k, epoch0, n_steps, n_epochs)
+
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P()),
+        out_specs=P(),
+        **rep_kwargs)
+    return jax.jit(mapped)(state, h_train, key)
+
+
 def estimate_sharded(mesh: Mesh, bank: PreparedBank, r: jax.Array,
                      mode: Union[str, int, float] = "all",
                      chunk_size: int = 2048) -> jax.Array:
