@@ -40,7 +40,7 @@ cumulative modes).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -517,7 +517,7 @@ def _bank_slice(bank: PreparedBank, k0: int, k1: int) -> PreparedBank:
 
 
 def estimate_block_grouped_chunked(bank: PreparedBank, r: jax.Array,
-                                   k_chunk: int, tile_n: int = 1024,
+                                   k_chunk: int, tile_n: Optional[int] = None,
                                    interpret: bool = False) -> jax.Array:
     """Split-K estimation for banks too large for the scoped-VMEM stack:
     run the grouped kernel per K-chunk emitting raw softmax state, merge
@@ -525,12 +525,15 @@ def estimate_block_grouped_chunked(bank: PreparedBank, r: jax.Array,
     (m_c, den_c, acc_c), m* = max_c m_c and the combined estimate is
     sum_c exp(m_c - m*) acc_c / sum_c exp(m_c - m*) den_c.
 
-    tile_n defaults to 1024 (not the single-pass kernel's 2048): the stats
-    kernel's scoped-VMEM stack is chunk_bank + double-buffered in/out
-    tiles (1 input + 3 outputs), so halving the tile halves the fixed tile
-    cost — 10 MiB chunks + 4 MiB tiles fit the 16 MiB limit (measured;
-    at tile 2048 the same chunks hit 'Scoped allocation ... 17.72M')."""
+    The stats kernel's scoped-VMEM stack is chunk_bank + in/out tiles whose
+    bytes scale with tile_n * (2M + 2D): at D=64, 10 MiB chunks + tile 1024
+    fit the 16 MiB limit (tile 2048 measured 'Scoped allocation ...
+    17.72M'); at D=256, tile 1024 measured 22.41M — so tile_n defaults to
+    `_chunk_tile_n` (inverse scaling with block width, 1024 at D=64, 256 at
+    D=256)."""
     n = r.shape[0]
+    if tile_n is None:
+        tile_n = _chunk_tile_n(bank)
     tile_n = min(tile_n, 256) if n < 1024 else tile_n
     n_pad = -(-n // tile_n) * tile_n
     rp = jnp.pad(r, ((0, n_pad - n), (0, 0)))
@@ -558,6 +561,19 @@ def estimate_block_grouped_chunked(bank: PreparedBank, r: jax.Array,
     return (h2[:, :d] + 1j * h2[:, d:])[:n].astype(r.dtype)
 
 
+def _chunk_tile_n(bank: PreparedBank) -> int:
+    """Sample-tile size for the split-K stats kernel, scaled down with the
+    real-block width to bound the tile portion of the scoped-VMEM stack:
+    1024 up to 2M+2D=512 (D=64 and the measured-good D=128 config), 512 to
+    768, 256 beyond (D=256 at tile 1024 measured 22.41M scoped vs the
+    16 MiB limit)."""
+    k_comp, d, m = bank.filters.shape
+    width = 2 * m + 2 * d
+    if width <= 512:
+        return 1024
+    return 512 if width <= 768 else 256
+
+
 def estimate_fused(bank: PreparedBank, r: jax.Array,
                    interpret: bool = False,
                    vmem_budget: int = 13 * 1024 * 1024) -> jax.Array:
@@ -580,11 +596,15 @@ def estimate_fused(bank: PreparedBank, r: jax.Array,
     bank_bytes = k_comp * per_k
     tile_n = 2048 if r.shape[0] >= 2048 else 256
     if bank_bytes > vmem_budget:
-        # the stats-emitting chunk kernel carries ~4.75 MiB of scoped
-        # extras (m/denom/acc/r2 tiles at tile_n=2048, measured: a 13 MiB
-        # chunk hit 'Scoped allocation with size 17.72M') vs the
-        # normalizing kernel's 2 MiB — size chunks against a 10 MiB budget
-        chunk_budget = 10 * 1024 * 1024
+        # the stats-emitting chunk kernel carries scoped tile extras beyond
+        # the chunk bank (m/denom/acc/r2 tiles; ~4.75 MiB at D=64 tile 2048
+        # — a 13 MiB chunk measured 'Scoped allocation with size 17.72M').
+        # `_chunk_tile_n` keeps the tile portion ~constant across D; wide
+        # blocks (2M > 128) still get a smaller chunk budget because the
+        # acc tile scales with 2D (D=256 with the old 10 MiB budget
+        # measured 22.41M scoped)
+        two_m = 2 * m
+        chunk_budget = (10 if two_m <= 256 else 8) * 1024 * 1024
         k_chunk = (chunk_budget // per_k) // 4 * 4
         if k_chunk >= 4:
             return estimate_block_grouped_chunked(bank, r, k_chunk,
