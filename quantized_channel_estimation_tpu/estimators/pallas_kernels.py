@@ -516,21 +516,32 @@ def _bank_slice(bank: PreparedBank, k0: int, k1: int) -> PreparedBank:
     return PreparedBank(*[a[k0:k1] for a in bank])
 
 
-def estimate_block_grouped_chunked(bank: PreparedBank, r: jax.Array,
-                                   k_chunk: int, tile_n: Optional[int] = None,
-                                   interpret: bool = False) -> jax.Array:
-    """Split-K estimation for banks too large for the scoped-VMEM stack:
-    run the grouped kernel per K-chunk emitting raw softmax state, merge
-    the chunks exactly (flash-attention-style): with per-chunk
-    (m_c, den_c, acc_c), m* = max_c m_c and the combined estimate is
-    sum_c exp(m_c - m*) acc_c / sum_c exp(m_c - m*) den_c.
+def merge_stats(ms, dens, accs):
+    """Exact merge of online-softmax estimation states from DISJOINT
+    component sets (flash-attention-style split-K): with per-set
+    (m_c, den_c, acc_c), m* = max_c m_c and
 
-    The stats kernel's scoped-VMEM stack is chunk_bank + in/out tiles whose
-    bytes scale with tile_n * (2M + 2D): at D=64, 10 MiB chunks + tile 1024
-    fit the 16 MiB limit (tile 2048 measured 'Scoped allocation ...
-    17.72M'); at D=256, tile 1024 measured 22.41M — so tile_n defaults to
-    `_chunk_tile_n` (inverse scaling with block width, 1024 at D=64, 256 at
-    D=256)."""
+        den* = sum_c exp(m_c - m*) den_c
+        acc* = sum_c exp(m_c - m*) acc_c
+
+    so acc*/den* equals the single-pass combine over the union. ms/dens are
+    lists of (N,) arrays, accs a list of (N, X) arrays (real-packed or
+    complex). The same recurrence runs across devices as pmax + psum in
+    `parallel.mesh.estimate_sharded_kernel`."""
+    m_all = jnp.stack(ms)                            # (C, N)
+    m_star = jnp.max(m_all, axis=0)                  # (N,)
+    w = jnp.exp(m_all - m_star[None])                # (C, N)
+    den = jnp.sum(jnp.stack(dens) * w, axis=0)       # (N,)
+    acc = jnp.sum(jnp.stack(accs) * w[..., None].astype(accs[0].dtype),
+                  axis=0)                            # (N, X)
+    return m_star, den, acc
+
+
+def _stats_chunked(bank: PreparedBank, r: jax.Array, k_chunk: int,
+                   tile_n: Optional[int], interpret: bool):
+    """Run the stats kernel over K-chunks of the bank and merge exactly.
+    Returns (m (N,), den (N,), acc (N, 2D) real-packed), already sliced to
+    the un-padded sample count."""
     n = r.shape[0]
     if tile_n is None:
         tile_n = _chunk_tile_n(bank)
@@ -548,17 +559,61 @@ def estimate_block_grouped_chunked(bank: PreparedBank, r: jax.Array,
         kb = kernel_bank_block(sub)
         m_c, den_c, acc_c = estimate_packed_block_grouped_stats(
             kb, r2, tile_n, group, interpret)
-        ms.append(m_c[:, :1])     # broadcast lanes, col 0 is the value
-        dens.append(den_c[:, :1])
+        ms.append(m_c[:, 0])      # broadcast lanes, col 0 is the value
+        dens.append(den_c[:, 0])
         accs.append(acc_c)
-    m_all = jnp.stack(ms)                       # (C, N, 1)
-    m_star = jnp.max(m_all, axis=0)             # (N, 1)
-    w = jnp.exp(m_all - m_star[None])           # (C, N, 1)
-    den = jnp.sum(jnp.stack(dens) * w, axis=0)  # (N, 1)
-    acc = jnp.sum(jnp.stack(accs) * w, axis=0)  # (N, 2D)
-    h2 = acc / den
+    m_star, den, acc = merge_stats(ms, dens, accs)
+    return m_star[:n], den[:n], acc[:n]
+
+
+def estimate_block_grouped_chunked(bank: PreparedBank, r: jax.Array,
+                                   k_chunk: int, tile_n: Optional[int] = None,
+                                   interpret: bool = False) -> jax.Array:
+    """Split-K estimation for banks too large for the scoped-VMEM stack:
+    run the grouped kernel per K-chunk emitting raw softmax state, merge
+    the chunks exactly with `merge_stats`.
+
+    The stats kernel's scoped-VMEM stack is chunk_bank + in/out tiles whose
+    bytes scale with tile_n * (2M + 2D): at D=64, 10 MiB chunks + tile 1024
+    fit the 16 MiB limit (tile 2048 measured 'Scoped allocation ...
+    17.72M'); at D=256, tile 1024 measured 22.41M — so tile_n defaults to
+    `_chunk_tile_n` (inverse scaling with block width, 1024 at D=64, 256 at
+    D=256)."""
+    _, den, acc = _stats_chunked(bank, r, k_chunk, tile_n, interpret)
+    h2 = acc / den[:, None]
     d = h2.shape[-1] // 2
-    return (h2[:, :d] + 1j * h2[:, d:])[:n].astype(r.dtype)
+    return (h2[:, :d] + 1j * h2[:, d:]).astype(r.dtype)
+
+
+def estimate_fused_stats(bank: PreparedBank, r: jax.Array,
+                         interpret: bool = False):
+    """'all'-mode estimation state via the Pallas stats kernel: the
+    kernel-path analog of `gmm_estimator.estimate_stats` (same logit
+    convention — `kernel_bank_block` folds 2 sum log diag(P_k) into logw).
+
+    The bank is split into scoped-VMEM-sized K-chunks (one chunk when it
+    fits) and the per-chunk states merge exactly via `merge_stats`. Used by
+    `parallel.mesh.estimate_sharded_kernel`, where each device runs this on
+    its component shard and the cross-DEVICE merge is pmax + psum over the
+    'component' mesh axis. Returns (m (N,) f32, den (N,) f32,
+    acc (N, D) complex64).
+    """
+    k_comp, d, m = bank.filters.shape
+    per_k = 4 * (2 * m) * (2 * m + 2 * d)
+    two_m = 2 * m
+    # measured-safe chunk budget for the stats kernel's scoped stack
+    # (chunk bank + m/den/acc/r2 tiles; see `estimate_fused`)
+    chunk_budget = (10 if two_m <= 256 else 8) * 1024 * 1024
+    k_chunk = (chunk_budget // per_k) // 4 * 4
+    if k_chunk < 4:
+        # degenerate: a handful of components already over budget (huge D)
+        from quantized_channel_estimation_tpu.models import gmm_estimator
+        return gmm_estimator.estimate_stats(bank, r,
+                                            min(4096, max(256, r.shape[0])))
+    m_s, den, acc2 = _stats_chunked(bank, r, min(k_chunk, k_comp), None,
+                                    interpret)
+    acc = (acc2[:, :d] + 1j * acc2[:, d:]).astype(jnp.complex64)
+    return m_s, den, acc
 
 
 def _chunk_tile_n(bank: PreparedBank) -> int:

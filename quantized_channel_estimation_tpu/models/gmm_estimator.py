@@ -172,3 +172,55 @@ def estimate(bank: PreparedBank, r: jax.Array,
     rp = jnp.pad(r, ((0, pad), (0, 0))).reshape(n_chunks, chunk_size, -1)
     out = jax.lax.map(lambda rc: _estimate_chunk(bank, rc, mode), rp)
     return out.reshape(n_chunks * chunk_size, -1)[:n]
+
+
+def _stats_chunk(bank: PreparedBank, r: jax.Array):
+    """Un-normalized online-softmax estimation state over THIS bank's
+    components for one sample chunk — the JAX mirror of the Pallas stats
+    kernel (`pallas_kernels._estimate_kernel_block_grouped_stats`). Logits
+    use the kernel convention
+
+        logit_k(r) = logw_k + 2 sum log diag(P_k) - |r conj(P_k) - mu~_k|^2
+
+    (the row-constant -M log pi of the complex Gaussian is dropped: it is
+    identical for every component on every shard, so it cancels in any
+    normalized or merged combine). Dead components (-inf log-weight from
+    `prepare_bank`'s floor) are clamped to -1e30 like the kernel so the
+    running max stays finite."""
+    pc = jnp.conj(bank.prec_chol_r)                       # (K, M, M)
+    y = jnp.einsum("nm,kmp->nkp", r, pc)
+    mu = jnp.einsum("km,kmp->kp", bank.means_r, pc)
+    quad = jnp.sum(jnp.abs(y - mu[None, :, :]) ** 2, axis=-1)  # (N, K)
+    diag = jnp.real(jnp.diagonal(bank.prec_chol_r, axis1=-2, axis2=-1))
+    logw = jnp.maximum(
+        bank.log_weights + 2.0 * jnp.sum(jnp.log(diag), axis=-1), -1e30)
+    logits = (logw[None, :] - quad).astype(jnp.float32)
+    m = jnp.max(logits, axis=-1)                          # (N,)
+    p = jnp.exp(logits - m[:, None])
+    den = jnp.sum(p, axis=-1)                             # (N,)
+    k, d, mm = bank.filters.shape
+    z = (r @ bank.filters.reshape(k * d, mm).T).reshape(r.shape[0], k, d)
+    z = z + bank.bias[None, :, :]
+    acc = jnp.einsum("nk,nkd->nd", p.astype(z.dtype), z)  # (N, D)
+    return m, den, acc
+
+
+@partial(jax.jit, static_argnums=(2,))
+@highest_precision
+def estimate_stats(bank: PreparedBank, r: jax.Array,
+                   chunk_size: int = 2048):
+    """'all'-mode estimation state (m, den, acc) for a (shard of a) bank.
+
+    Merging states from disjoint component shards — flash-attention-style,
+    with `pallas_kernels.merge_stats` or pmax/psum collectives over a mesh
+    axis (`parallel.mesh.estimate_sharded_kernel`) — and taking acc/den
+    reproduces `estimate(bank_full, r, 'all')` exactly. Shapes: m (N,) f32,
+    den (N,) f32, acc (N, D) complex.
+    """
+    n = r.shape[0]
+    n_chunks = -(-n // chunk_size)
+    pad = n_chunks * chunk_size - n
+    rp = jnp.pad(r, ((0, pad), (0, 0))).reshape(n_chunks, chunk_size, -1)
+    m, den, acc = jax.lax.map(lambda rc: _stats_chunk(bank, rc), rp)
+    return (m.reshape(-1)[:n], den.reshape(-1)[:n],
+            acc.reshape(n_chunks * chunk_size, -1)[:n])

@@ -192,7 +192,68 @@ def estimate_sharded(mesh: Mesh, bank: PreparedBank, r: jax.Array,
                      chunk_size: int = 2048) -> jax.Array:
     """Estimation with samples sharded over 'data' and the component bank
     sharded over 'component'. The weighted combine contracts over K, which
-    XLA lowers to a psum over the component axis."""
+    XLA lowers to a psum over the component axis. GSPMD auto-sharding of the
+    einsum estimator — supports every selection mode; for kernel-speed
+    'all'-mode tensor parallelism use `estimate_sharded_kernel`."""
     r = shard_data(mesh, r)
     bank = shard_bank(mesh, bank)
     return gmm_estimator.estimate(bank, r, mode, chunk_size)
+
+
+def estimate_sharded_kernel(mesh: Mesh, bank: PreparedBank, r: jax.Array,
+                            use_kernel: Optional[bool] = None,
+                            chunk_size: int = 2048) -> jax.Array:
+    """Tensor-parallel fused 'all'-mode estimation with EXPLICIT collectives:
+    each device holds a K-shard of the prepared bank (VMEM-resident inside
+    the Pallas stats kernel on TPU), computes the un-normalized online-
+    softmax state (m, den, acc) for its own components, and the shards merge
+    EXACTLY with one pmax + two psums over 'component' — the cross-device
+    form of the split-K chunked kernel's flash-style merge
+    (`pallas_kernels.merge_stats`). Samples are sharded over 'data'.
+
+    Per sample the collective payload is one f32 pair + one complex D-vector
+    (acc), independent of K — the bank never moves, only the merged state
+    rides ICI. `use_kernel=None` picks the Pallas stats kernel on TPU and
+    the einsum stats path (`gmm_estimator.estimate_stats`, identical merge
+    semantics) elsewhere — which is also how the path is validated on the
+    virtual CPU mesh."""
+    try:
+        from jax import shard_map
+        rep_kwargs = {"check_vma": False}
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        rep_kwargs = {"check_rep": False}
+    import jax.numpy as jnp
+
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    n_k = mesh.shape[COMPONENT_AXIS]
+    n_d = mesh.shape[DATA_AXIS]
+    k_comp = bank.filters.shape[0]
+    assert k_comp % n_k == 0, (
+        f"K={k_comp} must divide over {n_k} component shards")
+    assert r.shape[0] % n_d == 0, (
+        f"n_samples {r.shape[0]} must divide over {n_d} data shards")
+
+    def body(bank_local, r_local):
+        if use_kernel:
+            from quantized_channel_estimation_tpu.estimators import (
+                pallas_kernels)
+            m, den, acc = pallas_kernels.estimate_fused_stats(bank_local,
+                                                              r_local)
+        else:
+            m, den, acc = gmm_estimator.estimate_stats(bank_local, r_local,
+                                                       chunk_size)
+        m_star = jax.lax.pmax(m, COMPONENT_AXIS)
+        w = jnp.exp(m - m_star)
+        den = jax.lax.psum(den * w, COMPONENT_AXIS)
+        acc = jax.lax.psum(acc * w[:, None].astype(acc.dtype),
+                           COMPONENT_AXIS)
+        return (acc / den[:, None].astype(acc.dtype)).astype(r_local.dtype)
+
+    mapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(COMPONENT_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        **rep_kwargs)
+    return jax.jit(mapped)(bank, r)

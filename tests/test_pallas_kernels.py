@@ -158,3 +158,34 @@ def test_grouped_kernel_precision_modes(bank_and_obs, mode, tol):
                                     interpret=True, mode=mode)
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < tol, (mode, rel)
+
+
+def test_estimate_stats_merge_equals_full(bank_and_obs):
+    """Merging einsum-path stats from disjoint component shards
+    (`merge_stats`) must reproduce the full-bank 'all' estimate — the
+    correctness core of both the split-K chunked kernel and the
+    tensor-parallel `estimate_sharded_kernel`."""
+    bank, r = bank_and_obs
+    want = np.asarray(gmm_estimator.estimate(bank, r, "all"))
+    k = bank.filters.shape[0]
+    shards = [gmm_estimator.PreparedBank(*[x[k0:k0 + k // 4] for x in bank])
+              for k0 in range(0, k, k // 4)]
+    stats = [gmm_estimator.estimate_stats(b, r, 512) for b in shards]
+    _, den, acc = pk.merge_stats([s[0] for s in stats],
+                                 [s[1] for s in stats],
+                                 [s[2] for s in stats])
+    got = np.asarray(acc / den[:, None].astype(acc.dtype))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_estimate_fused_stats_interpret_matches_einsum_stats(bank_and_obs):
+    """The Pallas stats kernel (interpret mode) and the einsum stats path
+    must produce the same merged estimate AND consistent raw states (same
+    logit convention up to padding)."""
+    bank, r = bank_and_obs
+    m_e, den_e, acc_e = gmm_estimator.estimate_stats(bank, r, 512)
+    m_k, den_k, acc_k = pk.estimate_fused_stats(bank, r, interpret=True)
+    np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_e), atol=1e-4)
+    got = np.asarray(acc_k / den_k[:, None].astype(acc_k.dtype))
+    want = np.asarray(acc_e / den_e[:, None].astype(acc_e.dtype))
+    np.testing.assert_allclose(got, want, atol=2e-5)

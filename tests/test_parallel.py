@@ -149,3 +149,27 @@ def test_shard_map_vae_training(data):
     l2 = jax.tree_util.tree_leaves(st2.params)
     for a_, b_ in zip(l1, l2):
         np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (8, 1)])
+def test_estimate_sharded_kernel_matches(data, mesh_shape):
+    """Tensor-parallel stats estimation (per-shard online-softmax state,
+    pmax + psum merge over 'component') must equal the unsharded 'all'
+    estimate on every mesh factorization. On CPU this exercises the einsum
+    stats path; the Pallas kernel path shares the identical merge
+    (tests/test_pallas_kernels.py::test_estimate_fused_stats_*)."""
+    cfg = gmm.GmmConfig(n_components=8, zero_mean=True, max_iter=10,
+                        chunk_size=2000)
+    fit = gmm.fit(jax.random.PRNGKey(80), data[:8000], cfg)
+    snr, n_bits = 5.0, 2
+    a = pilots.pilot_matrix(8, 1, n_bits)
+    q = Q.design_quantizer(snr, n_bits)
+    r = observation.observe(jax.random.PRNGKey(81), data[8000:8800], snr, a,
+                            n_bits, q)
+    bank = gmm_estimator.prepare_bank(fit.params, snr, a, n_bits, q)
+    want = np.asarray(gmm_estimator.estimate(bank, r, "all"))
+
+    m = pmesh.make_mesh(*mesh_shape)
+    got = np.asarray(pmesh.estimate_sharded_kernel(m, bank, r,
+                                                   chunk_size=200))
+    np.testing.assert_allclose(got, want, atol=1e-5)
