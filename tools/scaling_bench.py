@@ -100,18 +100,30 @@ def main():
 
         est_once()
         t_est = median_time(est_once, reps=3)
-        results.append((n_dev, t_fit, t_est))
+
+        # tensor-parallel stats-kernel path: each device runs the Pallas
+        # stats kernel on its K-shard (einsum stats mirror off-TPU), shards
+        # merge with pmax + psum over 'component'
+        def est_tp_once():
+            out = pmesh.estimate_sharded_kernel(m2, bank, r_batch,
+                                                chunk_size=2048)
+            force_completion((jnp.sum(jnp.abs(out)),))
+
+        est_tp_once()
+        t_tp = median_time(est_tp_once, reps=3)
+        results.append((n_dev, t_fit, t_est, t_tp))
         print(f"devices={n_dev}: EM 10 iters (N={n} total, weak) "
-              f"{t_fit:.3f}s; estimation (4096 reqs) {t_est:.3f}s",
-              flush=True)
+              f"{t_fit:.3f}s; estimation (4096 reqs) GSPMD {t_est:.3f}s / "
+              f"TP-kernel {t_tp:.3f}s", flush=True)
 
     t1_fit = results[0][1]
     t1_est = results[0][2]
-    for n_dev, t_fit, t_est in results[1:]:
+    t1_tp = results[0][3]
+    for n_dev, t_fit, t_est, t_tp in results[1:]:
         print(f"weak-scaling efficiency @ {n_dev} devices: "
               f"EM {100 * t1_fit / t_fit:.0f}% "
               f"(target >= 80%), estimation speedup "
-              f"{t1_est / t_est:.2f}x")
+              f"GSPMD {t1_est / t_est:.2f}x / TP-kernel {t1_tp / t_tp:.2f}x")
     if len(results) == 1:
         print("single device: no efficiency to report "
               "(need jax.device_count() > 1 real chips)")
