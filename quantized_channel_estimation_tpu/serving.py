@@ -45,7 +45,13 @@ class EstimationService:
 
     def __init__(self, params: GmmParams, a, n_bits, quantizer_type="uniform",
                  max_batch: int = 4096, max_delay_ms: float = 5.0,
-                 use_pallas: bool = False, mode="all"):
+                 use_pallas: Optional[bool] = None, mode="all"):
+        if use_pallas is None:
+            # auto: the fused kernel serves 'all'-mode requests on TPU;
+            # selection modes and kernel-less backends take the einsum path
+            import jax
+            use_pallas = (mode == "all"
+                          and jax.default_backend() == "tpu")
         self.params = params
         self.a = a
         self.n_bits = n_bits
