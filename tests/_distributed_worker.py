@@ -56,4 +56,32 @@ assert abs(lb_d - lb_s) <= 1e-3 * abs(lb_s), (lb_d, lb_s)
 np.testing.assert_allclose(np.asarray(fit_dist.params.covariances),
                            np.asarray(fit_single.params.covariances),
                            atol=5e-3)
+
+# tensor-parallel estimation with the COMPONENT axis spanning the two
+# processes: the pmax/psum online-softmax merge rides the inter-process
+# collective transport (the DCN analog of the pod case)
+from quantized_channel_estimation_tpu.models import gmm_estimator
+from quantized_channel_estimation_tpu.ops import observation, pilots
+from quantized_channel_estimation_tpu.ops import quantizer as Q
+
+mesh_tp = dist.global_mesh(n_component_shards=jax.device_count())
+snr, n_bits = 5.0, 2
+a = pilots.pilot_matrix(D, 1, n_bits)
+q = Q.design_quantizer(snr, n_bits)
+r_np = np.asarray(observation.observe(jax.random.PRNGKey(7),
+                                      jnp.asarray(h_np[:400]), snr, a,
+                                      n_bits, q))
+bank = gmm_estimator.prepare_bank(fit_single.params, snr, a, n_bits, q)
+k_local = 4 // jax.process_count()
+bank_global = gmm_estimator.PreparedBank(*[
+    jax.make_array_from_process_local_data(
+        NamedSharding(mesh_tp, P(pmesh.COMPONENT_AXIS)),
+        np.asarray(x)[pid * k_local:(pid + 1) * k_local], np.asarray(x).shape)
+    for x in bank])
+r_global = jax.make_array_from_process_local_data(
+    NamedSharding(mesh_tp, P()), r_np, r_np.shape)
+got = pmesh.estimate_sharded_kernel(mesh_tp, bank_global, r_global,
+                                    chunk_size=200)
+want = gmm_estimator.estimate(bank, jnp.asarray(r_np), "all", 200)
+np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 print(f"WORKER_OK pid={pid} lb={lb_d:.4f}", flush=True)

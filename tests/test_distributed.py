@@ -4,6 +4,7 @@ collectives) runs the data-parallel EM over a global (data, component)
 mesh and must match the single-process fit — the closest a single machine
 gets to a 2-host pod slice (SURVEY §4: the standard JAX fake-cluster
 technique)."""
+import os
 import pathlib
 import socket
 import subprocess
@@ -22,10 +23,13 @@ def _free_port() -> int:
 def test_two_process_data_parallel_em():
     worker = pathlib.Path(__file__).parent / "_distributed_worker.py"
     port = _free_port()
+    # the suite's conftest exports XLA_FLAGS=--xla_force_host_platform_
+    # device_count=8; the workers model one chip per host, so clear it
+    env = {**os.environ, "XLA_FLAGS": ""}
     procs = [subprocess.Popen([sys.executable, str(worker), str(port),
                                str(pid)],
                               stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT, text=True)
+                              stderr=subprocess.STDOUT, text=True, env=env)
              for pid in range(2)]
     outs = []
     try:
