@@ -44,7 +44,6 @@ class PreparedBank(NamedTuple):
     prec_chol_r: jax.Array    # (K, M, M) precision cholesky of Cr (responsibilities)
     filters: jax.Array        # (K, D, M) W_k = C_k A_eff_k^H Cr_k^{-1}
     bias: jax.Array           # (K, D)   mu_h,k - W_k means_r,k
-    chol_cr: jax.Array        # (K, M, M) lower Cholesky of Cr (for reuse)
 
 
 @highest_precision
@@ -105,7 +104,7 @@ def prepare_bank(params: GmmParams, snr_db, a: jax.Array, n_bits,
     logw = jnp.where(params.weights >= floor,
                      jnp.log(jnp.maximum(params.weights, floor)),
                      -jnp.inf)
-    return PreparedBank(logw, means_r, prec_chol, filters, bias, chol)
+    return PreparedBank(logw, means_r, prec_chol, filters, bias)
 
 
 def responsibilities(bank: PreparedBank, r: jax.Array) -> jax.Array:

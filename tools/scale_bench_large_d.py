@@ -50,9 +50,18 @@ r = stages.observe(jax.random.PRNGKey(2), h_val, SNR, a, NB, q)
 bank = stages.prepare_bank(fit.params, SNR, a, NB, q)
 h_gmm = stages.estimate_auto(bank, r, "all")
 mse_gmm = stages.nmse(h_gmm, h_val)
-h_gen = stages.blmmse_genie(r, t_val, SNR, a, NB, q)
-mse_gen = stages.nmse(h_gen, h_val)
-print(f"D=256 @10dB 2-bit: gmm={mse_gmm:.4f} genie={mse_gen:.4f} "
+# genie builds (chunk, D, D) covariance stacks; at D=512 the full 2000-sample
+# batch is ~4 GB per live tensor -> chunk the evaluation
+gen_chunk = max(1, min(N_VAL, (1 << 28) // (8 * D * D)))
+mse_gen = 0.0
+for i0 in range(0, N_VAL, gen_chunk):
+    i1 = min(i0 + gen_chunk, N_VAL)
+    h_gen_c = stages.blmmse_genie(stages.tree_slice(r, i0, i1),
+                                  stages.tree_slice(t_val, i0, i1),
+                                  SNR, a, NB, q)
+    mse_gen += stages.nmse(h_gen_c, stages.tree_slice(h_val, i0, i1)) \
+        * (i1 - i0) / N_VAL
+print(f"D={D} K={K} {COV} @10dB 2-bit: gmm={mse_gmm:.4f} genie={mse_gen:.4f} "
       f"(ratio {mse_gmm/mse_gen:.3f})", flush=True)
 
 # estimation throughput through the split-K chunked kernel vs einsum
