@@ -146,3 +146,29 @@ def test_flush_errors_propagate_to_clients(service_setup):
             svc.submit(np.asarray(h_val[:8]), 5.0, timeout=10)
     finally:
         svc.close()
+
+
+def test_mfa_backed_service(service_setup):
+    """The service takes any GmmParams — an MFA prior serves through the
+    identical bank machinery after `to_gmm_params` densification."""
+    _, a, h_val = service_setup
+    from quantized_channel_estimation_tpu.models import mfa
+
+    key = jax.random.PRNGKey(65)
+    h, _ = scm.generate_channels(key, 4000, scm.ScmConfig(N_ANT, 1))
+    fit = mfa.fit(jax.random.PRNGKey(66), h,
+                  mfa.MfaConfig(n_components=4, latent_dim=4, zero_mean=True,
+                                max_iter=10, chunk_size=2000))
+    params = mfa.to_gmm_params(fit.params)
+    snr = 5.0
+    q = Q.design_quantizer(snr, 2)
+    r_np = np.asarray(observation.observe(jax.random.PRNGKey(67),
+                                          h_val[:64], snr, a, 2, q))
+    svc = serving.EstimationService(params, a, 2, max_delay_ms=1.0)
+    try:
+        got = svc.submit(r_np, snr)
+        bank = gmm_estimator.prepare_bank(params, snr, a, 2, q)
+        want = np.asarray(gmm_estimator.estimate(bank, r_np, "all"))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    finally:
+        svc.close()
