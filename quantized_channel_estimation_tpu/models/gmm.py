@@ -332,12 +332,15 @@ class _FullState(NamedTuple):
     n_iter: jax.Array
 
 
-def _em_loop(x, init_stats: _Stats, cfg: GmmConfig, mode: str,
-             f2: Optional[jax.Array]):
+def _em_loop(x, init_stats: Optional[_Stats], cfg: GmmConfig, mode: str,
+             f2: Optional[jax.Array], state0: Optional["_FullState"] = None):
     """Shared EM driver. mode in {'full', 'diag', 'spherical', 'inv-em'}.
 
-    With cfg.axis_name set (under shard_map), x is the per-device shard; the
-    statistics all-reduce makes every device run the identical M-step."""
+    Either init_stats (fresh start: the first M-step builds parameters from
+    them) or state0 (resume: iterate straight from existing parameters) must
+    be given. With cfg.axis_name set (under shard_map), x is the per-device
+    shard; the statistics all-reduce makes every device run the identical
+    M-step."""
     n = x.shape[0]
     if cfg.axis_name is not None:
         n = n * jax.lax.axis_size(cfg.axis_name)
@@ -393,8 +396,9 @@ def _em_loop(x, init_stats: _Stats, cfg: GmmConfig, mode: str,
 
     # prev_lb = +inf so the first convergence check sees an infinite (not NaN)
     # change and the loop always runs at least one EM iteration.
-    state0 = params_from_stats(init_stats, None)._replace(
-        prev_lb=jnp.asarray(jnp.inf, jnp.float32))
+    if state0 is None:
+        state0 = params_from_stats(init_stats, None)
+    state0 = state0._replace(prev_lb=jnp.asarray(jnp.inf, jnp.float32))
     state = jax.lax.while_loop(cond, em_iter, state0)
     converged = jnp.abs(state.lower_bound - state.prev_lb) < cfg.tol
     return state, converged
@@ -500,21 +504,43 @@ def fit_resume(params: GmmParams, h: jax.Array, cfg: GmmConfig) -> GmmFitResult:
     checkpoint-restart path (SURVEY §5; the reference's sklearn `warm_start`
     plumbing exists but is never used, `gmm_cplx_bussgang.py:491`).
 
-    Only cov_type='full' state is resumable (all structured fits convert to
-    full post-fit, matching the reference's estimation-time invariant).
+    Resumable states: 'full' (all structured fits convert to full post-fit,
+    matching the reference's estimation-time invariant) and
+    'toeplitz'/'block-toeplitz' — the generating inv-em spectrum is
+    recovered from the checkpointed covariances by the frame Gram solve
+    (`linalg.spectrum_from_covariance`; the naive DFT diagonal is a
+    smoothed spectrum and regresses the lower bound). Besides checkpoint
+    restart, this segments long structured fits into several bounded
+    program executions (useful on remote runtimes that bound single
+    execution wall time).
     """
-    if cfg.cov_type != "full":
-        raise NotImplementedError("fit_resume supports cov_type='full' state")
+    if cfg.cov_type not in ("full", "toeplitz", "block-toeplitz"):
+        raise NotImplementedError(
+            "fit_resume supports 'full' and 'toeplitz'/'block-toeplitz' "
+            f"state (got {cfg.cov_type!r})")
     with jax.default_matmul_precision("highest"):
         d = h.shape[-1]
-        # one E-pass with the given params to produce equivalent sufficient
-        # statistics, then the standard loop continues from its M-step
-        xs_mask = _chunk(h, min(cfg.chunk_size, h.shape[0]))
-        stats = accumulate_stats(
-            h, xs_mask, jnp.log(params.weights),
-            lambda xc: log_prob_full(xc, params.means, params.prec_chol),
-            False, cfg.chunk_size, axis_name=cfg.axis_name)
-        state, converged = _em_loop(h, stats, cfg, "full", None)
+        if cfg.cov_type == "full":
+            # one E-pass with the given params to produce equivalent
+            # sufficient statistics, then the standard loop continues from
+            # its M-step
+            xs_mask = _chunk(h, min(cfg.chunk_size, h.shape[0]))
+            stats = accumulate_stats(
+                h, xs_mask, jnp.log(params.weights),
+                lambda xc: log_prob_full(xc, params.means, params.prec_chol),
+                False, cfg.chunk_size, axis_name=cfg.axis_name)
+            state, converged = _em_loop(h, stats, cfg, "full", None)
+        else:
+            f2 = _oversampled_dft_for(cfg, d, h.dtype)
+            sigma = linalg.spectrum_from_covariance(
+                params.covariances, f2, cfg.reg_covar)
+            state0 = _FullState(params.weights, params.means,
+                                params.covariances.astype(h.dtype), sigma,
+                                jnp.asarray(-jnp.inf, jnp.float32),
+                                jnp.asarray(jnp.inf, jnp.float32),
+                                jnp.zeros((), jnp.int32))
+            state, converged = _em_loop(h, None, cfg, "inv-em", f2,
+                                        state0=state0)
         covs = linalg.add_jitter(linalg.hermitize(state.covs), cfg.reg_covar)
         prec = linalg.robust_precision_cholesky(covs)
         out = GmmParams(state.weights, state.means, covs, prec)

@@ -300,14 +300,14 @@ def fit_resume(key: jax.Array, prev: QuantGmmFitResult, r: jax.Array,
     """Warm-start quantized EM from a previous fit result — checkpoint-based
     restart (SURVEY §5); the analog of `gmm.fit_resume`. The key seeds the
     per-iteration Gauss-Newton restarts only. For toeplitz/block-toeplitz
-    the inv-em spectrum is re-derived from the checkpointed channel
-    covariances (it is their exact DFT-domain representation)."""
+    the inv-em spectrum is recovered exactly from the checkpointed channel
+    covariances via the frame Gram solve
+    (`linalg.spectrum_from_covariance`)."""
     d, dtype, eye, pos_tau, inv_em, f2, chunks, mask = _prep(r, cfg, n_bits, q)
     k = prev.params.weights.shape[0]
     if inv_em:
-        sigma_spec = jnp.maximum(jnp.real(jnp.einsum(
-            "fd,kde,fe->kf", f2, prev.params.covariances, jnp.conj(f2))),
-            cfg.reg_covar)
+        sigma_spec = linalg.spectrum_from_covariance(
+            prev.params.covariances, f2, cfg.reg_covar)
     else:
         sigma_spec = jnp.zeros((k, 1), jnp.float32)
     state0 = _QState(prev.params.weights, prev.params.means,

@@ -194,3 +194,23 @@ def test_fit_resume_continues(rng, key):
     resumed = gmm.fit_resume(first.params, jnp.asarray(x),
                              cfg._replace(max_iter=10))
     assert float(resumed.lower_bound) >= float(first.lower_bound) - 1e-3
+
+
+def test_fit_resume_toeplitz_continues(rng, key):
+    """Structured (inv-em) fits resume from checkpointed covariances: the
+    circulant spectrum is re-derived from them, so segmented fits keep the
+    lower bound non-decreasing."""
+    x, _ = _synthetic_mixture(rng, 3000)
+    cfg = gmm.GmmConfig(n_components=2, cov_type="toeplitz", zero_mean=True,
+                        max_iter=3, tol=0.0, chunk_size=1024)
+    first = gmm.fit(key, jnp.asarray(x), cfg)
+    resumed = gmm.fit_resume(first.params, jnp.asarray(x),
+                             cfg._replace(max_iter=10))
+    assert float(resumed.lower_bound) >= float(first.lower_bound) - 1e-3
+    # A second segment may step back by O(reg_covar) at the boundary: the
+    # checkpointed covariances carry re-added jitter, so the restart model
+    # differs slightly from the in-loop one. Allow that; forbid real drift
+    # (the inexact spectrum recovery this test originally caught lost ~0.15).
+    again = gmm.fit_resume(resumed.params, jnp.asarray(x),
+                           cfg._replace(max_iter=5))
+    assert float(again.lower_bound) >= float(resumed.lower_bound) - 0.02
