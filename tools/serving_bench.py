@@ -1,0 +1,146 @@
+"""Serving latency/throughput benchmark for the EstimationService.
+
+Closed-loop load test of the continuous-batching front-end (serving.py):
+N client threads submit fixed-size estimation requests at a handful of
+SNRs as fast as responses return, for a fixed duration. Reports per-
+request latency percentiles (p50/p90/p99) and sustained throughput in
+estimates/s, as one JSON line.
+
+The service path is the production one — per-SNR prepared banks, padded
+power-of-two microbatches, the fused Pallas kernel on TPU ('all' mode) —
+and every latency sample includes the real host readback (asnumpy), per
+the honest-barrier rule. On this environment the TPU sits behind a remote
+tunnel whose RTT dominates small-batch latency and has multi-second
+outliers; p50 is the robust figure, p99 characterizes the tunnel.
+
+Bank statistical quality is irrelevant to serving speed, so the GMM
+parameters are synthetic random PSD covariances at the headline shape
+(K=64, D=64, 2-bit) — no training run needed.
+
+Usage: python tools/serving_bench.py [--duration 20] [--clients 8]
+       [--req-size 64] [--cpu]
+"""
+import argparse
+import json
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def synthetic_params(k: int, d: int, seed: int = 0):
+    """Random PSD-covariance GmmParams as HOST numpy arrays.
+
+    The axon TPU runtime has no complex buffer type at program boundaries;
+    params must enter device programs only through the service's cjit
+    packing, so everything here stays numpy (precision Cholesky included)."""
+    from quantized_channel_estimation_tpu.models.gmm import GmmParams
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((k, d, d)) + 1j * rng.standard_normal((k, d, d))
+    covs = (a @ a.conj().transpose(0, 2, 1) / d
+            + np.eye(d)[None]).astype(np.complex64)
+    weights = np.full((k,), 1.0 / k, np.float32)
+    means = np.zeros((k, d), np.complex64)
+    # P = (L^{-1})^H, upper triangular — the repo's precision-cholesky
+    # convention (linalg.prec_from_chol)
+    l = np.linalg.cholesky(covs)
+    linv = np.stack([np.linalg.solve(lk, np.eye(d)) for lk in l])
+    prec = np.ascontiguousarray(
+        linv.conj().transpose(0, 2, 1)).astype(np.complex64)
+    return GmmParams(weights, means, covs, prec)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=20.0)
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--req-size", type=int, default=64)
+    ap.add_argument("--n-antennas", type=int, default=64)
+    ap.add_argument("--n-components", type=int, default=64)
+    ap.add_argument("--n-bits", type=int, default=2)
+    ap.add_argument("--max-batch", type=int, default=1024)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from quantized_channel_estimation_tpu.serving import EstimationService
+
+    d = args.n_antennas
+    params = synthetic_params(args.n_components, d)
+    a = np.eye(d, dtype=np.complex64)
+    svc = EstimationService(params, a, args.n_bits,
+                            max_batch=args.max_batch)
+    snrs = [-5.0, 5.0, 15.0]
+    rng = np.random.default_rng(1)
+
+    def make_req():
+        x = (rng.standard_normal((args.req_size, d))
+             + 1j * rng.standard_normal((args.req_size, d)))
+        return x.astype(np.complex64)
+
+    # warm up every (snr, microbatch-size) program the load will hit:
+    # per-client requests of req_size coalesce up to clients*req_size
+    print("warmup (compiles)...", flush=True)
+    t0 = time.perf_counter()
+    for snr in snrs:
+        svc.submit(make_req(), snr, timeout=600.0)
+        # also the fully-coalesced padded size
+        svc.submit(np.concatenate(
+            [make_req() for _ in range(args.clients)], axis=0),
+            snr, timeout=600.0)
+    print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    latencies = []
+    counts = [0]
+    lat_lock = threading.Lock()
+    stop = threading.Event()
+
+    def client(i):
+        r = make_req()
+        j = 0
+        while not stop.is_set():
+            snr = snrs[(i + j) % len(snrs)]
+            t0 = time.perf_counter()
+            out = svc.submit(r, snr, timeout=120.0)
+            dt = time.perf_counter() - t0
+            assert out.shape == (args.req_size, d)
+            with lat_lock:
+                latencies.append(dt)
+                counts[0] += args.req_size
+            j += 1
+
+    threads = [threading.Thread(target=client, args=(i,), daemon=True)
+               for i in range(args.clients)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    time.sleep(args.duration)
+    stop.set()
+    for t in threads:
+        t.join(timeout=60)
+    elapsed = time.perf_counter() - t_start
+
+    lat = np.sort(np.asarray(latencies)) * 1000.0
+    result = {
+        "requests": int(len(lat)),
+        "estimates_per_s": round(counts[0] / elapsed, 1),
+        "p50_ms": round(float(np.percentile(lat, 50)), 2),
+        "p90_ms": round(float(np.percentile(lat, 90)), 2),
+        "p99_ms": round(float(np.percentile(lat, 99)), 2),
+        "clients": args.clients,
+        "req_size": args.req_size,
+        "backend": "cpu" if args.cpu else None,
+    }
+    import jax
+    result["backend"] = jax.default_backend()
+    svc.close()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
