@@ -45,10 +45,9 @@ cfg = gmm.GmmConfig(n_components=K, cov_type="toeplitz", zero_mean=True,
 start = lambda: gmm.fit(jax.random.PRNGKey(2), h_train, cfg)
 resume = lambda prev: gmm.fit_resume(prev.params, h_train, cfg)
 
-# restoring a checkpoint needs an example pytree of the right shapes —
-# a 1-iteration fit on a tiny slice is the cheapest way to build one
-example = gmm.fit(jax.random.PRNGKey(9), h_train[:512],
-                  cfg._replace(max_iter=1))
+# restoring a checkpoint needs an example pytree of matching
+# shapes/dtypes; jax.eval_shape builds one for free (no fit, no compile)
+example = jax.eval_shape(start)
 
 with TrainCheckpointer(CKPT_DIR) as ck:
     done = ck.latest_step()

@@ -80,6 +80,10 @@ def fit_segmented(start_fn: Callable[[], Any],
             result = checkpointer.restore(last, example_result)
             seg0 = last + 1
             total_iter = int(result.n_iter)
+            if bool(result.converged):
+                # the checkpointed run already converged; re-training the
+                # remaining segments would burn iterations on a done model
+                return result
 
     for seg in range(seg0, n_segments):
         result = start_fn() if result is None else resume_fn(result)

@@ -13,8 +13,8 @@ from quantized_channel_estimation_tpu.utils.checkpoint import TrainCheckpointer
 @pytest.fixture(scope="module")
 def channels():
     cfg = scm.ScmConfig(n_antennas=16)
-    h = scm.generate_channels(jax.random.PRNGKey(7), 2000, cfg)
-    return jnp.asarray(np.asarray(h).reshape(-1, 16), jnp.complex64)[:2000]
+    h, _ = scm.generate_channels(jax.random.PRNGKey(7), 2000, cfg)
+    return jnp.asarray(np.asarray(h), jnp.complex64)
 
 
 def test_segmented_matches_continuous_toeplitz(channels):
@@ -85,6 +85,35 @@ def test_segmented_checkpoint_resume(channels, tmp_path):
     uninterrupted = em_driver.fit_segmented(start, resume, n_segments=3)
     assert abs(float(final.lower_bound)
                - float(uninterrupted.lower_bound)) < 1e-4
+
+
+def test_segmented_restore_of_converged_run_is_a_noop(channels, tmp_path):
+    """Rerunning against a checkpoint of an already-converged run returns it
+    directly instead of re-training the remaining segments."""
+    cfg = gmm.GmmConfig(n_components=2, cov_type="full", zero_mean=True,
+                        max_iter=50, tol=1.0, chunk_size=1024)
+    start = lambda: gmm.fit(jax.random.PRNGKey(0), channels, cfg)
+    resume = lambda prev: gmm.fit_resume(prev.params, channels, cfg)
+    with TrainCheckpointer(str(tmp_path / "ck")) as ck:
+        done = em_driver.fit_segmented(start, resume, n_segments=5,
+                                       checkpointer=ck)
+        ck.wait()
+    assert bool(done.converged)
+
+    calls = {"n": 0}
+
+    def count(*a):
+        calls["n"] += 1
+        raise AssertionError("must not fit again")
+
+    with TrainCheckpointer(str(tmp_path / "ck")) as ck:
+        again = em_driver.fit_segmented(count, count, n_segments=5,
+                                        checkpointer=ck,
+                                        example_result=jax.eval_shape(start))
+    assert calls["n"] == 0
+    assert int(again.n_iter) == int(done.n_iter)
+    np.testing.assert_allclose(np.asarray(again.params.weights),
+                               np.asarray(done.params.weights))
 
 
 def test_segmented_quantized_family(channels):

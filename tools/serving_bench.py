@@ -83,16 +83,26 @@ def main():
              + 1j * rng.standard_normal((args.req_size, d)))
         return x.astype(np.complex64)
 
-    # warm up every (snr, microbatch-size) program the load will hit:
-    # per-client requests of req_size coalesce up to clients*req_size
+    # warm up every (snr, microbatch-size) program the load can hit: client
+    # requests coalesce to anything from one request up to clients*req_size,
+    # padded to powers of two — submit each padded size once per SNR so no
+    # compile lands inside the measured window (remote compiles can exceed
+    # the clients' submit timeout and would silently kill their threads)
     print("warmup (compiles)...", flush=True)
     t0 = time.perf_counter()
+    cap = 1 << max(4, args.max_batch.bit_length() - 1)
+    top = min(cap, args.clients * args.req_size)
+    sizes, s = [], 1 << max(4, (args.req_size - 1).bit_length())
+    while s <= top:
+        sizes.append(s)
+        s *= 2
     for snr in snrs:
-        svc.submit(make_req(), snr, timeout=600.0)
-        # also the fully-coalesced padded size
-        svc.submit(np.concatenate(
-            [make_req() for _ in range(args.clients)], axis=0),
-            snr, timeout=600.0)
+        for size in sizes:
+            x = (rng.standard_normal((size, d))
+                 + 1j * rng.standard_normal((size, d)))
+            svc.submit(x.astype(np.complex64), snr, timeout=600.0)
+            print(f"  warmed snr={snr} n={size} "
+                  f"({time.perf_counter() - t0:.1f}s)", flush=True)
     print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
 
     latencies = []
@@ -125,6 +135,11 @@ def main():
         t.join(timeout=60)
     elapsed = time.perf_counter() - t_start
 
+    svc.close()
+    if not latencies:
+        print(json.dumps({"error": "no request completed in the window",
+                          "clients": args.clients}))
+        sys.exit(1)
     lat = np.sort(np.asarray(latencies)) * 1000.0
     result = {
         "requests": int(len(lat)),
@@ -134,11 +149,8 @@ def main():
         "p99_ms": round(float(np.percentile(lat, 99)), 2),
         "clients": args.clients,
         "req_size": args.req_size,
-        "backend": "cpu" if args.cpu else None,
+        "backend": jax.default_backend(),
     }
-    import jax
-    result["backend"] = jax.default_backend()
-    svc.close()
     print(json.dumps(result))
 
 
