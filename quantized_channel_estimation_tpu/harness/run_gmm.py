@@ -21,7 +21,7 @@ import jax
 import numpy as np
 
 from quantized_channel_estimation_tpu.harness import stages
-from quantized_channel_estimation_tpu.models import gmm
+from quantized_channel_estimation_tpu.models import em_driver, gmm
 from quantized_channel_estimation_tpu.ops import scm
 from quantized_channel_estimation_tpu.ops import scm_mimo
 from quantized_channel_estimation_tpu.ops import quantizer as Q
@@ -64,6 +64,11 @@ class GmmBenchConfig:
     cache_dir: str = "results/saves"
     use_cache: bool = True
     gmm_max_iter: int = 100
+    # >1 splits the gmm_max_iter total budget into that many bounded program
+    # executions (em_driver.fit_segmented) — for runtimes that bound
+    # single-execution wall time at large D/K. Only cov types with
+    # resumable state (full / toeplitz / block-toeplitz) support it.
+    gmm_fit_segments: int = 1
 
 
 CHANNEL_MODELS = ("3gpp", "urban-macro", "mimo")
@@ -227,11 +232,19 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
         if cfg.use_cache and os.path.exists(gmm_path):
             params = stages.from_numpy(qio.load_gmm_params(gmm_path))
         else:
+            segs = max(1, cfg.gmm_fit_segments)
             gcfg = gmm.GmmConfig(
                 n_components=cfg.n_components, cov_type=cfg.cov_type,
                 blocks=cfg.blocks, zero_mean=cfg.zero_mean_gmm,
-                max_iter=cfg.gmm_max_iter)
-            fit = stages.gmm_fit(k_gmm, h_train, gcfg)
+                max_iter=-(-cfg.gmm_max_iter // segs))
+            if segs == 1:
+                fit = stages.gmm_fit(k_gmm, h_train, gcfg)
+            else:
+                fit = em_driver.fit_segmented(
+                    lambda: stages.gmm_fit(k_gmm, h_train, gcfg),
+                    lambda prev: stages.gmm_fit_resume(
+                        prev.params, h_train, gcfg),
+                    n_segments=segs)
             params = fit.params
             if verbose:
                 print(f"GMM fit: {int(fit.n_iter)} iters, "

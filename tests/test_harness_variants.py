@@ -42,6 +42,19 @@ def test_structured_covariance(tmp_path, cov_type, blocks):
     assert 0 < mse["blmmse_gmm"][-1] < 1.0
 
 
+def test_segmented_fit_matches_monolithic(tmp_path):
+    """gmm_fit_segments=3 must land at the same MSE as one 15-iter fit —
+    the segmented harness path is an execution-shape change, not a model
+    change (toeplitz exercises the structured resume)."""
+    mono, _, _ = run_gmm.run(_cfg(tmp_path, cov_type="toeplitz",
+                                  use_cache=False), verbose=False)
+    seg, _, _ = run_gmm.run(_cfg(tmp_path, cov_type="toeplitz",
+                                 use_cache=False, gmm_fit_segments=3),
+                            verbose=False)
+    np.testing.assert_allclose(seg["blmmse_gmm"], mono["blmmse_gmm"],
+                               rtol=0.05)
+
+
 @pytest.mark.parametrize("n_bits", [1, INF_BITS])
 def test_bit_extremes(tmp_path, n_bits):
     mse, _, _ = run_gmm.run(_cfg(tmp_path, n_bits=n_bits), verbose=False)
