@@ -12,7 +12,10 @@ reference's standard array):
   K=32 toeplitz:  gmm 0.0444 vs genie 0.0395 (1.12x) - structure is
   (kernel 2.25-3.4 M est/s = 2.3-3.1x einsum at this dimension)
 
-Usage: python tools/scale_bench_large_d.py [D] [K] [cov_type]
+Usage: python tools/scale_bench_large_d.py [D] [K] [cov_type] [segments]
+(segments > 1 runs the fit as that many bounded executions through
+em_driver.fit_segmented — needed at D=512, where a monolithic fit is one
+multi-minute program execution.)
 """
 import os
 import sys
@@ -20,7 +23,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax, jax.numpy as jnp
 from quantized_channel_estimation_tpu.estimators import blmmse, pallas_kernels as pk
-from quantized_channel_estimation_tpu.models import gmm, gmm_estimator
+from quantized_channel_estimation_tpu.models import em_driver, gmm, gmm_estimator
 from quantized_channel_estimation_tpu.ops import observation, pilots, scm
 from quantized_channel_estimation_tpu.ops import quantizer as Q
 from quantized_channel_estimation_tpu.harness import stages
@@ -29,6 +32,7 @@ from quantized_channel_estimation_tpu.ops.boundary import cjit
 D = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 COV = sys.argv[3] if len(sys.argv) > 3 else "toeplitz"
+SEGS = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 N_TRAIN, N_VAL, SNR, NB = 60_000, 2_000, 10.0, 2
 t0 = time.time()
 h, t = stages.generate_channels(jax.random.PRNGKey(0), N_TRAIN + N_VAL,
@@ -38,10 +42,17 @@ h_val = stages.tree_slice(h, N_TRAIN, N_TRAIN + N_VAL)
 t_val = stages.tree_slice(t, N_TRAIN, N_TRAIN + N_VAL)
 print(f"datagen {time.time()-t0:.1f}s", flush=True)
 
-cfg = gmm.GmmConfig(n_components=K, max_iter=30, chunk_size=4096, cov_type=COV)
+cfg = gmm.GmmConfig(n_components=K, max_iter=-(-30 // SEGS),
+                    chunk_size=4096, cov_type=COV)
 t0 = time.time()
-fit = stages.gmm_fit(jax.random.PRNGKey(1), h_train, cfg)
-print(f"fit {time.time()-t0:.1f}s: {int(fit.n_iter)} iters "
+if SEGS == 1:
+    fit = stages.gmm_fit(jax.random.PRNGKey(1), h_train, cfg)
+else:
+    fit = em_driver.fit_segmented(
+        lambda: stages.gmm_fit(jax.random.PRNGKey(1), h_train, cfg),
+        lambda prev: stages.gmm_fit_resume(prev.params, h_train, cfg),
+        n_segments=SEGS)
+print(f"fit {time.time()-t0:.1f}s ({SEGS} segments): {int(fit.n_iter)} iters "
       f"lb={float(fit.lower_bound):.3f}", flush=True)
 
 a = stages.pilot_matrix(D, 1, NB)
