@@ -12,6 +12,11 @@ reference's standard array):
   K=32 toeplitz:  gmm 0.0444 vs genie 0.0395 (1.12x) - structure is
   (kernel 2.25-3.4 M est/s = 2.3-3.1x einsum at this dimension)
 
+D=512 (8x), K=16 toeplitz, 6 segments (2026-08-19): gmm 0.0511 vs genie
+0.0402 (1.27x); fit 637 s / 30 iters incl. per-segment compiles;
+estimation 0.41 M est/s with fused(chunked) == einsum (HBM-bound, bank
+no longer VMEM-resident).
+
 Usage: python tools/scale_bench_large_d.py [D] [K] [cov_type] [segments]
 (segments > 1 runs the fit as that many bounded executions through
 em_driver.fit_segmented — needed at D=512, where a monolithic fit is one
