@@ -7,6 +7,16 @@ structure the reference implements (`mofa_cplx_bussgang.py`) but never
 exercises past D=64. This tool fits both at the same shape, compares fit
 time and Bussgang-estimation MSE vs the genie bound at 10 dB / 2-bit.
 
+Measured (v5e, 2026-08-19), D=256, K=16, 30 iters, latent 64:
+  MFA fit 7.5 s, mse 0.0605; GMM fit 9.1 s, mse 0.0510; genie 0.0395.
+The factored E-step buys only 1.21x fit time despite 4x fewer FLOPs —
+both fits are HBM-bound on the data scan (PARITY_NOTES.md flash-EM
+entry), so the FLOP saving barely shows; and the PPCA covariance loses
+~19% MSE to the full GMM at this shape. Conclusion recorded in
+BASELINE.md: at large D prefer the structured (toeplitz) GMM, which wins
+on BOTH axes; MFA remains the choice when a latent representation itself
+is wanted.
+
 Usage: python tools/scale_bench_mfa.py [D] [K] [iters]
 """
 import os
