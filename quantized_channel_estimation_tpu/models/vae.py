@@ -63,6 +63,21 @@ def _linspace_dims(a: int, b: int, n: int) -> Sequence[int]:
     return tuple(int(v) for v in np.linspace(a, b, n))
 
 
+# torch nn.Linear's default weight init (kaiming_uniform(a=sqrt(5)) =
+# U(+-sqrt(1/fan_in)), i.e. variance 1/(3 fan_in)) — the init the reference
+# trains under. flax's default lecun_normal starts smaller and measurably
+# converges slower: at the 40-epoch parity scale it left a systematic
+# +6-10% estimation-MSE gap (seed spread +-0.2%, so not noise) that this
+# init closes entirely (0.3066 vs reference 0.3078 @ 5 dB noisy mode;
+# PARITY_NOTES.md).
+_TORCH_LINEAR_INIT = nn.initializers.variance_scaling(1 / 3, "fan_in",
+                                                      "uniform")
+
+
+def _dense(d: int) -> nn.Dense:
+    return nn.Dense(d, kernel_init=_TORCH_LINEAR_INIT)
+
+
 class DnnVae(nn.Module):
     """Encoder/decoder MLPs with linearly interpolated widths
     (`vae.py:232-309`). Latent mean/log-std are the two halves of the last
@@ -74,12 +89,12 @@ class DnnVae(nn.Module):
         c = self.cfg
         enc_dims = _linspace_dims(2 * c.n_antennas, 2 * c.latent_dim,
                                   c.n_layers + 1)
-        self.enc_layers = [nn.Dense(d) for d in enc_dims[1:]]
+        self.enc_layers = [_dense(d) for d in enc_dims[1:]]
         out_dim = c.n_antennas if c.zeromean else 3 * c.n_antennas
         dec_dims = _linspace_dims(c.latent_dim, out_dim, c.n_layers + 1)
-        self.dec_layers = [nn.Dense(d) for d in dec_dims[1:]]
+        self.dec_layers = [_dense(d) for d in dec_dims[1:]]
         pilot_dims = _linspace_dims(c.n_pilots, 1, c.n_pilot_convs + 1)
-        self.pilot_layers = [nn.Dense(d) for d in pilot_dims[1:]]
+        self.pilot_layers = [_dense(d) for d in pilot_dims[1:]]
 
     def _pre_pilot(self, x):
         """1x1 conv stack collapsing the pilot axis (`vae.py:242-245`):
