@@ -279,8 +279,16 @@ def make_train_step(model: DnnVae, cfg: VaeConfig, a: Optional[jax.Array],
             # every device (global mean loss), keeping params replicated
             grads = jax.lax.pmean(grads, cfg.axis_name)
             loss = jax.lax.pmean(loss, cfg.axis_name)
-        # NaN/explosion guard: skip the update for bad batches (`vae.py:120-128`)
-        ok = jnp.isfinite(loss) & (loss < 1000.0)
+        # NaN/explosion guard: skip the update for bad batches
+        # (`vae.py:120-128`). Harder than the reference's loss-only check:
+        # the 'real'-mode likelihood's backward pass can spike to inf with a
+        # FINITE loss (the quantization-gain term differentiates with a 1/c^2
+        # factor), and one such batch permanently NaNs the parameters — seen
+        # once in 500-epoch full-scale training. Guard the gradients too.
+        grads_ok = jax.tree_util.tree_reduce(
+            lambda acc, g: acc & jnp.all(jnp.isfinite(g)), grads,
+            jnp.asarray(True))
+        ok = jnp.isfinite(loss) & (loss < 1000.0) & grads_ok
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         params = jax.tree_util.tree_map(
@@ -427,7 +435,12 @@ def estimate(model: DnnVae, params, cfg: VaeConfig, r: jax.Array,
         x = fft_stack(hc) if genie else obs_to_input(cfg, rc)
         mu_dec, log_prec = model.apply(params, x,
                                        method=DnnVae.forward_nosamp)
-        var = jnp.clip(jnp.exp(-log_prec), 1e-12, None)  # (B, N) FFT-domain
+        # clip BOTH ways: a degenerate decoder dim with very negative
+        # log-precision otherwise yields var ~ e^{+large}, and the Cy/Cr
+        # products overflow float32 / fail the Cholesky at high SNR even
+        # though training stayed finite (seen at full scale; channel powers
+        # are normalized O(1), so 1e2 is already "no information")
+        var = jnp.clip(jnp.exp(-log_prec), 1e-12, 1e2)  # (B, N) FFT-domain
         if cfg.zeromean or mu_dec is None:
             mu_h = jnp.zeros((rc.shape[0], n), rc.dtype)
         else:
@@ -441,7 +454,15 @@ def estimate(model: DnnVae, params, cfg: VaeConfig, r: jax.Array,
         a_eff = gains[..., :, None].astype(rc.dtype) * a
         mu_y = jnp.einsum("bmd,bd->bm", a_eff, mu_h)
         ch_aeff = jnp.einsum("bde,bme->bdm", ch, jnp.conj(a_eff))
-        x_sol = linalg.cho_solve_hermitian(cr, rc - mu_y, jitter=jitter)
+        # per-sample RELATIVE jitter: Cr's scale varies per sample with the
+        # decoder's conditional variances (unlike the prepared GMM banks),
+        # and an absolute 1e-6 is nothing against a degenerate sample's
+        # large-scale Cr — its f32 Cholesky NaNs
+        scale = jnp.mean(jnp.real(jnp.diagonal(cr, axis1=-2, axis2=-1)),
+                         axis=-1)
+        crj = cr + (jitter * scale)[:, None, None] * jnp.eye(
+            m, dtype=cr.dtype)
+        x_sol = linalg.cho_solve_hermitian(crj, rc - mu_y)
         return mu_h + jnp.einsum("bdm,bm->bd", ch_aeff, x_sol)
 
     n_samples = r.shape[0]
