@@ -233,18 +233,33 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
             params = stages.from_numpy(qio.load_gmm_params(gmm_path))
         else:
             segs = max(1, cfg.gmm_fit_segments)
+            if segs > 1 and cfg.cov_type not in (
+                    "full", "toeplitz", "block-toeplitz"):
+                # fail BEFORE the (potentially multi-minute) first segment:
+                # gmm.fit_resume would raise the same way only when the
+                # second segment traces
+                raise NotImplementedError(
+                    f"gmm_fit_segments>1 requires a resumable cov_type "
+                    f"('full', 'toeplitz', 'block-toeplitz'); got "
+                    f"{cfg.cov_type!r}")
+            per_seg = -(-cfg.gmm_max_iter // segs)
             gcfg = gmm.GmmConfig(
                 n_components=cfg.n_components, cov_type=cfg.cov_type,
                 blocks=cfg.blocks, zero_mean=cfg.zero_mean_gmm,
-                max_iter=-(-cfg.gmm_max_iter // segs))
+                max_iter=per_seg)
             if segs == 1:
                 fit = stages.gmm_fit(k_gmm, h_train, gcfg)
             else:
+                # prev.n_iter is the running TOTAL, so capping each resumed
+                # segment at the remaining budget keeps the segmented fit's
+                # total at exactly gmm_max_iter (ceil alone can overshoot
+                # when segs does not divide it)
                 fit = em_driver.fit_segmented(
                     lambda: stages.gmm_fit(k_gmm, h_train, gcfg),
                     lambda prev: stages.gmm_fit_resume(
-                        prev.params, h_train, gcfg),
-                    n_segments=segs)
+                        prev.params, h_train, gcfg._replace(max_iter=min(
+                            per_seg, cfg.gmm_max_iter - int(prev.n_iter)))),
+                    n_segments=-(-cfg.gmm_max_iter // per_seg))
             params = fit.params
             if verbose:
                 print(f"GMM fit: {int(fit.n_iter)} iters, "

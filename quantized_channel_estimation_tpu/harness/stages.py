@@ -135,6 +135,28 @@ def nmse(h_est, h) -> float:
     return float(_nmse(h_est, h))
 
 
+def chunked_genie_nmse(r, t_val, h_val, snr_db, a, n_bits, q,
+                       max_bytes: int = 1 << 28) -> float:
+    """Genie-BLMMSE NMSE evaluated in chunks.
+
+    The genie estimator builds a (batch, D, D) covariance stack per call —
+    at D=512 a 2000-sample batch is ~4 GB per live tensor — so the batch is
+    split into chunks whose covariance stack stays under `max_bytes`, and
+    the per-chunk NMSEs are sample-count weighted (exact, since
+    nmse = sum/size)."""
+    n_val = h_val.shape[0]
+    d = h_val.shape[-1]
+    chunk = max(1, min(n_val, max_bytes // (8 * d * d)))
+    total = 0.0
+    for i0 in range(0, n_val, chunk):
+        i1 = min(i0 + chunk, n_val)
+        h_gen = blmmse_genie(tree_slice(r, i0, i1),
+                             tree_slice(t_val, i0, i1),
+                             snr_db, a, n_bits, q)
+        total += nmse(h_gen, tree_slice(h_val, i0, i1)) * (i1 - i0) / n_val
+    return total
+
+
 def _rate(h_est, h, cov, snr_db, n_bits, q, norm_clip):
     b, cq = metrics.global_bussgang_stats(cov, snr_db, n_bits, q)
     return metrics.rate_lower_bound(h_est, h, b, cq, norm_clip)

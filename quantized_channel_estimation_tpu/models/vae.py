@@ -413,7 +413,8 @@ def estimate(model: DnnVae, params, cfg: VaeConfig, r: jax.Array,
              snr_db: float, a: jax.Array,
              q: Optional[ScalarQuantizer] = None,
              chunk_size: int = 512, jitter: float = 1e-6,
-             h_true: Optional[jax.Array] = None) -> jax.Array:
+             h_true: Optional[jax.Array] = None,
+             var_clip: float = 1e2) -> jax.Array:
     """Bussgang-LMMSE estimation from decoder outputs (`vae.py:157-228,
     376-431`): per-sample conditional covariance Ch = F^H diag(var) F, then
     the standard per-bit Cr machinery and one batched solve.
@@ -438,9 +439,14 @@ def estimate(model: DnnVae, params, cfg: VaeConfig, r: jax.Array,
         # clip BOTH ways: a degenerate decoder dim with very negative
         # log-precision otherwise yields var ~ e^{+large}, and the Cy/Cr
         # products overflow float32 / fail the Cholesky at high SNR even
-        # though training stayed finite (seen at full scale; channel powers
-        # are normalized O(1), so 1e2 is already "no information")
-        var = jnp.clip(jnp.exp(-log_prec), 1e-12, 1e2)  # (B, N) FFT-domain
+        # though training stayed finite (seen at full scale). The default
+        # var_clip=1e2 assumes the framework's unit-channel-power
+        # convention (the quantizer step design `uniform_quantizer.py:44`
+        # bakes in the same assumption), where 1e2 per FFT bin is already
+        # "no information"; pass a larger var_clip for data deliberately
+        # scaled to power >> 1.
+        var = jnp.clip(jnp.exp(-log_prec), 1e-12 * var_clip,
+                       var_clip)  # (B, N) FFT-domain
         if cfg.zeromean or mu_dec is None:
             mu_h = jnp.zeros((rc.shape[0], n), rc.dtype)
         else:

@@ -14,6 +14,7 @@ estimator, not bit equality.
 Run on CPU: python tools/parity_vae_modes.py [noisy|real|both]
 """
 import os
+import statistics
 import sys
 import time
 
@@ -105,7 +106,7 @@ def run_mode(mode: str, data) -> bool:
         ours_all = sorted(
             float(nmse(vae.estimate(m, s.params, cfg, r, snr, a, q), h_val))
             for m, s in trained)
-        ours = ours_all[len(ours_all) // 2]
+        ours = statistics.median(ours_all)
         r_np = np.asarray(r, np.complex128)
         refm, _, _ = ref.eval(h_val_np.copy(), r_np, snr, h_np[:N_TRAIN])
         rel = (ours - refm) / refm

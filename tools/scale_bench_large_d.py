@@ -47,16 +47,22 @@ h_val = stages.tree_slice(h, N_TRAIN, N_TRAIN + N_VAL)
 t_val = stages.tree_slice(t, N_TRAIN, N_TRAIN + N_VAL)
 print(f"datagen {time.time()-t0:.1f}s", flush=True)
 
-cfg = gmm.GmmConfig(n_components=K, max_iter=-(-30 // SEGS),
+TOTAL_ITERS = 30
+PER_SEG = -(-TOTAL_ITERS // SEGS)
+cfg = gmm.GmmConfig(n_components=K, max_iter=PER_SEG,
                     chunk_size=4096, cov_type=COV)
 t0 = time.time()
 if SEGS == 1:
     fit = stages.gmm_fit(jax.random.PRNGKey(1), h_train, cfg)
 else:
+    # cap each resumed segment at the remaining budget so the total stays
+    # exactly TOTAL_ITERS when SEGS does not divide it
     fit = em_driver.fit_segmented(
         lambda: stages.gmm_fit(jax.random.PRNGKey(1), h_train, cfg),
-        lambda prev: stages.gmm_fit_resume(prev.params, h_train, cfg),
-        n_segments=SEGS)
+        lambda prev: stages.gmm_fit_resume(
+            prev.params, h_train, cfg._replace(max_iter=min(
+                PER_SEG, TOTAL_ITERS - int(prev.n_iter)))),
+        n_segments=-(-TOTAL_ITERS // PER_SEG))
 print(f"fit {time.time()-t0:.1f}s ({SEGS} segments): {int(fit.n_iter)} iters "
       f"lb={float(fit.lower_bound):.3f}", flush=True)
 
@@ -66,17 +72,7 @@ r = stages.observe(jax.random.PRNGKey(2), h_val, SNR, a, NB, q)
 bank = stages.prepare_bank(fit.params, SNR, a, NB, q)
 h_gmm = stages.estimate_auto(bank, r, "all")
 mse_gmm = stages.nmse(h_gmm, h_val)
-# genie builds (chunk, D, D) covariance stacks; at D=512 the full 2000-sample
-# batch is ~4 GB per live tensor -> chunk the evaluation
-gen_chunk = max(1, min(N_VAL, (1 << 28) // (8 * D * D)))
-mse_gen = 0.0
-for i0 in range(0, N_VAL, gen_chunk):
-    i1 = min(i0 + gen_chunk, N_VAL)
-    h_gen_c = stages.blmmse_genie(stages.tree_slice(r, i0, i1),
-                                  stages.tree_slice(t_val, i0, i1),
-                                  SNR, a, NB, q)
-    mse_gen += stages.nmse(h_gen_c, stages.tree_slice(h_val, i0, i1)) \
-        * (i1 - i0) / N_VAL
+mse_gen = stages.chunked_genie_nmse(r, t_val, h_val, SNR, a, NB, q)
 print(f"D={D} K={K} {COV} @10dB 2-bit: gmm={mse_gmm:.4f} genie={mse_gen:.4f} "
       f"(ratio {mse_gmm/mse_gen:.3f})", flush=True)
 

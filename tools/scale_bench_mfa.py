@@ -76,15 +76,7 @@ print(f"GMM  fit {dt_gmm:6.1f}s ({int(gfit.n_iter)} iters) "
       f"mse={results['gmm'][1]:.4f}", flush=True)
 
 # --- genie bound (chunked at large D) ----------------------------------
-gen_chunk = max(1, min(N_VAL, (1 << 28) // (8 * D * D)))
-mse_gen = 0.0
-for i0 in range(0, N_VAL, gen_chunk):
-    i1 = min(i0 + gen_chunk, N_VAL)
-    h_gen = stages.blmmse_genie(stages.tree_slice(r, i0, i1),
-                                stages.tree_slice(t_val, i0, i1),
-                                SNR, a, NB, q)
-    mse_gen += stages.nmse(h_gen, stages.tree_slice(h_val, i0, i1)) \
-        * (i1 - i0) / N_VAL
+mse_gen = stages.chunked_genie_nmse(r, t_val, h_val, SNR, a, NB, q)
 
 print(f"D={D} K={K} @10dB {NB}-bit: "
       f"mfa={results['mfa'][1]:.4f} ({results['mfa'][0]:.1f}s) "
