@@ -49,6 +49,10 @@ class VaeBenchConfig:
     results_dir: str = "results"
     cache_dir: str = "results/saves"
     use_cache: bool = True
+    # hyperparameter random search (`Bussgang_VAE.py:54-82`): with
+    # n_trials > 1, `run_search` redraws lr/batch_size per trial; the fixed
+    # lr/batch_size above are then ignored
+    n_trials: int = 1
 
 
 def run(cfg: VaeBenchConfig, verbose: bool = True):
@@ -80,10 +84,13 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
         batch_size=cfg.batch_size, epochs=cfg.epochs)
     # checkpoint/resume like the reference's per-epoch torch.save into
     # results/vae/saves (`vae.py:76-79,148-153`), at block granularity
+    # lr/batch_size are in the key so random-search trials (which share the
+    # seed) never resume each other's checkpoints
     ckpt_dir = os.path.join(
         cfg.cache_dir,
         f"vae_ckpt_{cfg.vae_mode}_ant={cfg.n_antennas}_bits={cfg.n_bits}"
-        f"_train={cfg.n_train}_seed={cfg.seed}") if cfg.use_cache else None
+        f"_train={cfg.n_train}_seed={cfg.seed}_lr={cfg.lr:g}"
+        f"_bs={cfg.batch_size}") if cfg.use_cache else None
     t0 = time.time()
     model, state, losses = vae.train(k_fit, vcfg, h_train, a, cfg.snrs,
                                      quantizers, verbose=verbose,
@@ -134,12 +141,67 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
                                  "total": time.time() - t_start}
 
 
+def run_search(cfg: VaeBenchConfig, verbose: bool = True):
+    """Hyperparameter random search (`Bussgang_VAE.py:54-82`): per trial,
+    lr ~ rand_exp(1e-5, 1e-3) (`:70`) and batch_size ~ U{100..299} (`:71`);
+    the other searchable knobs are fixed in the reference (n_layers=4,
+    latent_dim=N//4, zeromean/fft_pre True, `:72-75`) and stay at cfg's
+    values. The reference realizes one trial per script invocation and dumps
+    the drawn params to CSV (`:174-182`); here `n_trials` loops that, each
+    trial writes its own result/params/loss artifacts via `run`, and a
+    summary CSV ranks trials by mean MSE over the sweep.
+
+    Returns (best_trial_dict, all_trials list).
+    """
+    from quantized_channel_estimation_tpu.utils.misc import rand_exp
+
+    trials = []
+    for trial in range(cfg.n_trials):
+        rng = np.random.default_rng([cfg.seed, trial])
+        lr = float(rand_exp(1e-5, 1e-3, seed=rng)[0])
+        batch_size = int(rng.integers(100, 300))
+        tcfg = dataclasses.replace(cfg, lr=lr, batch_size=batch_size)
+        if verbose:
+            print(f"trial {trial + 1}/{cfg.n_trials}: lr={lr:.3e} "
+                  f"batch_size={batch_size}")
+        mse_cols, rate_cols, times = run(tcfg, verbose=verbose)
+        mses = mse_cols[f"vae_{cfg.vae_mode}"]
+        trials.append({"trial": trial, "lr": lr, "batch_size": batch_size,
+                       "mean_mse": float(np.mean(mses)), "mse": mses,
+                       "rate": rate_cols.get(f"vae_{cfg.vae_mode}_rstat"),
+                       "train_time": times["train"]})
+    best = min(trials, key=lambda t: t["mean_mse"])
+    if verbose:
+        print(f"best trial {best['trial']}: lr={best['lr']:.3e} "
+              f"batch_size={best['batch_size']} mean_mse={best['mean_mse']:.5f}")
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    out = os.path.join(cfg.results_dir, "vae",
+                       f"{stamp}_vae{cfg.vae_mode}_search_summary.csv")
+    cols = {"lr": [t["lr"] for t in trials],
+            "batch_size": [t["batch_size"] for t in trials],
+            "mean_mse": [t["mean_mse"] for t in trials],
+            "best": [int(t is best) for t in trials]}
+    for i, snr in enumerate(cfg.snrs):
+        cols[f"mse_snr={snr:g}"] = [t["mse"][i] for t in trials]
+    qio.write_result_csv(out, [t["trial"] for t in trials], cols,
+                         index_name="trial")
+    return best, trials
+
+
 if __name__ == "__main__":
     import argparse
     p = argparse.ArgumentParser()
     p.add_argument("--vae", "-v", type=int, default=0,
                    help="0=genie 1=noisy 2=real (`Bussgang_VAE.py:21-28`)")
     p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--trials", type=int, default=1,
+                   help=">1 runs the reference's lr/batch_size random "
+                        "search (`Bussgang_VAE.py:54-82`)")
     args = p.parse_args()
     mode = ["genie", "noisy", "real"][args.vae]
-    run(VaeBenchConfig(vae_mode=mode, epochs=args.epochs))
+    cfg = VaeBenchConfig(vae_mode=mode, epochs=args.epochs,
+                         n_trials=args.trials)
+    if args.trials > 1:
+        run_search(cfg)
+    else:
+        run(cfg)

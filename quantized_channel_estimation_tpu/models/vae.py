@@ -34,6 +34,7 @@ import optax
 from quantized_channel_estimation_tpu.ops import linalg, observation
 from quantized_channel_estimation_tpu.ops.bussgang import bank_gains_and_cov
 from quantized_channel_estimation_tpu.ops.cplx import cplx2real, real2cplx
+from quantized_channel_estimation_tpu.ops.precision import highest_precision
 from quantized_channel_estimation_tpu.ops.quantizer import (
     ScalarQuantizer, is_inf_bits)
 
@@ -431,6 +432,18 @@ def estimate(model: DnnVae, params, cfg: VaeConfig, r: jax.Array,
         raise ValueError("genie-mode estimation needs h_true (the reference's"
                          " genie VAE encoder sees the true channel at eval)")
 
+    # full-f32 matmul precision for the whole per-chunk eval: the decoder's
+    # per-sample Cy = A Ch A^H + s2 I is built by einsums, and under the
+    # TPU's default bf16 multiplies the rounding noise on Cy entries of
+    # scale ~diag(var) exceeds sigma2 at high SNR (20 dB: s2 = 0.01 against
+    # conditional variances up to ~30), pushing the n-bit Cr OFF the PSD
+    # cone — the Cholesky NaNs and the whole sweep point reads back NaN.
+    # This was the round-1 "real-mode VAE fails at 20 dB" bug: the same
+    # checkpoint evaluates finite (MSE 0.092, paper-ordered) on CPU f32,
+    # and on TPU once pinned. Lower SNRs survive only because their larger
+    # sigma2 dominates the bf16 noise. (CLAUDE.md TPU gotcha #4; the GMM
+    # bank preparation pins the same algebra.)
+    @highest_precision
     def chunk_fn(args):
         rc, hc = args
         x = fft_stack(hc) if genie else obs_to_input(cfg, rc)

@@ -62,11 +62,20 @@ class TrainCheckpointer:
 
     def restore(self, step: Optional[int], example: Any) -> Any:
         """Restore the pytree saved at `step` (or `example` unchanged if
-        step is None). `example` provides structure/dtypes/shapes."""
+        step is None). `example` provides structure/dtypes/shapes — and
+        shardings: each leaf restores onto the example leaf's own sharding
+        (falling back to the default device), NOT the sharding recorded in
+        the checkpoint, so a checkpoint written on one topology (e.g. the
+        TPU) restores on another (e.g. CPU debugging, a resized mesh)."""
         if step is None:
             return example
-        abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), example)
+        default = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+        def _abstract(x):
+            sharding = getattr(x, "sharding", None) or default
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+
+        abstract = jax.tree_util.tree_map(_abstract, example)
         return self._mngr.restore(
             step, args=self._ocp.args.StandardRestore(abstract))
 

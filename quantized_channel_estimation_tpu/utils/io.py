@@ -16,10 +16,11 @@ import numpy as np
 
 
 def write_result_csv(path: str, snrs: Sequence[float],
-                     columns: Dict[str, Sequence[float]]) -> None:
-    """Write a transposed result table: first column SNR, then one column per
-    estimator, matching the reference layout."""
-    rows: List[list] = [["SNR"] + [str(s) for s in snrs]]
+                     columns: Dict[str, Sequence[float]],
+                     index_name: str = "SNR") -> None:
+    """Write a transposed result table: first column SNR (or `index_name`),
+    then one column per estimator, matching the reference layout."""
+    rows: List[list] = [[index_name] + [str(s) for s in snrs]]
     for name, vals in columns.items():
         rows.append([name] + [repr(float(v)) for v in vals])
     rows = [list(r) for r in zip(*rows)]

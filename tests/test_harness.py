@@ -72,6 +72,32 @@ def test_run_vae_end_to_end(tmp_results):
     assert len(csvs) == 3  # results + loss curve + params
 
 
+def test_run_vae_random_search(tmp_results):
+    """Reference hyperparameter random search (`Bussgang_VAE.py:54-82`):
+    n_trials draws of lr/batch_size, per-trial artifacts, summary CSV."""
+    results_dir, cache_dir = tmp_results
+    cfg = run_vae.VaeBenchConfig(
+        n_antennas=16, latent_dim=4, n_layers=3, epochs=2, n_train=5000,
+        n_val=500, snrs=(0.0, 10.0), results_dir=results_dir,
+        cache_dir=cache_dir, n_trials=2)
+    best, trials = run_vae.run_search(cfg, verbose=False)
+    assert len(trials) == 2
+    # distinct draws, within the reference's search ranges
+    assert trials[0]["lr"] != trials[1]["lr"]
+    for t in trials:
+        assert 1e-5 <= t["lr"] <= 1e-3
+        assert 100 <= t["batch_size"] < 300
+        assert np.isfinite(t["mean_mse"])
+    assert best["mean_mse"] == min(t["mean_mse"] for t in trials)
+    # per-trial results/params/loss CSVs plus the search summary
+    summary = glob.glob(os.path.join(results_dir, "vae", "*search_summary.csv"))
+    assert len(summary) == 1
+    with open(summary[0]) as f:
+        header = f.readline().strip().split(",")
+    assert header[0] == "trial" and "lr" in header and "best" in header
+    assert len(glob.glob(os.path.join(results_dir, "vae", "*_params.csv"))) == 2
+
+
 def test_run_cov_recovery_end_to_end(tmp_results):
     results_dir, _ = tmp_results
     cfg = run_cov_recovery.CovRecoveryConfig(

@@ -81,6 +81,71 @@ def test_estimation_beats_trivial(data, mode):
     assert np.isfinite(m) and m < 1.0, (mode, m)
 
 
+def test_estimate_covariance_algebra_is_precision_pinned():
+    """Regression: the round-1 'real-mode VAE NaNs at 20 dB' bug. The eval
+    path builds Cy = A Ch A^H + s2 I per sample; under the TPU's default
+    bf16 matmul precision the rounding noise on Cy exceeds sigma2 at high
+    SNR and pushes Cr off the PSD cone (Cholesky NaN). The fix pins the
+    whole chunk eval to full-f32 precision (models/vae.py chunk_fn); this
+    test asserts every dot in the traced estimate program carries HIGHEST
+    precision, so removing the decorator fails loudly on CPU rather than
+    silently NaN-ing only on hardware."""
+    cfg = _cfg("real")
+    a = pilots.pilot_matrix(N_ANT, 1, cfg.n_bits)
+    q = Q.design_quantizer(20.0, cfg.n_bits)
+    model, state = vae.init_vae(jax.random.PRNGKey(0), cfg)
+    r = jnp.zeros((8, N_ANT), jnp.complex64)
+
+    jaxpr = jax.make_jaxpr(
+        lambda p, rr: vae.estimate(model, p, cfg, rr, 20.0, a, q))(
+            state.params, r)
+
+    dots = []
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name in ("dot_general", "conv_general_dilated"):
+                dots.append(eqn.params.get("precision"))
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):  # ClosedJaxpr sub-programs
+                    walk(v.jaxpr)
+                elif isinstance(v, (list, tuple)):
+                    for u in v:
+                        if hasattr(u, "jaxpr"):
+                            walk(u.jaxpr)
+
+    walk(jaxpr.jaxpr)
+    assert dots, "no dots found — tracing layout changed, update the test"
+    for prec in dots:
+        assert prec is not None and all(
+            p == jax.lax.Precision.HIGHEST for p in prec), (
+            f"unpinned dot precision {prec} in vae.estimate")
+
+
+def test_estimate_finite_with_degenerate_decoder_variances():
+    """The failing 20 dB profile at reduced D: conditional variances
+    spanning the full clip range [1e-10, 1e2] against sigma2 = 0.01. The
+    eval must stay finite (relative jitter + two-sided var clip)."""
+    cfg = _cfg("real")
+    a = pilots.pilot_matrix(N_ANT, 1, cfg.n_bits)
+    q = Q.design_quantizer(20.0, cfg.n_bits)
+    model, state = vae.init_vae(jax.random.PRNGKey(0), cfg)
+    # force the decoder's final layer to emit extreme log-precisions:
+    # bias spanning [-log(1e2), -log(1e-10)], weights zero
+    params = jax.tree_util.tree_map(lambda x: x, state.params)
+    dec_last = params["params"]["dec_layers_2"]
+    n = dec_last["bias"].shape[-1]
+    params["params"]["dec_layers_2"] = {
+        "kernel": jnp.zeros_like(dec_last["kernel"]),
+        "bias": jnp.linspace(-jnp.log(1e2), -jnp.log(1e-10), n),
+    }
+    key = jax.random.PRNGKey(3)
+    h = jax.random.normal(key, (32, N_ANT), jnp.complex64) / jnp.sqrt(2.0)
+    r = observation.observe(key, h, 20.0, a, cfg.n_bits, q)
+    est = vae.estimate(model, params, cfg, r, 20.0, a, q)
+    assert bool(jnp.all(jnp.isfinite(est.real) & jnp.isfinite(est.imag)))
+
+
 def test_real_mode_lloyd_raises(data):
     """The quantization-aware real-mode ELBO only has the uniform closed
     form; the reference raises NotImplementedError for lloyd
