@@ -242,6 +242,12 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
                     f"gmm_fit_segments>1 requires a resumable cov_type "
                     f"('full', 'toeplitz', 'block-toeplitz'); got "
                     f"{cfg.cov_type!r}")
+            if segs > 1 and cfg.gmm_max_iter < 1:
+                # per_seg would be 0 and the segment count below divides
+                # by it; a 0-iteration segmented fit is meaningless anyway
+                raise ValueError(
+                    f"gmm_fit_segments={segs} requires gmm_max_iter >= 1 "
+                    f"(got {cfg.gmm_max_iter})")
             per_seg = -(-cfg.gmm_max_iter // segs)
             gcfg = gmm.GmmConfig(
                 n_components=cfg.n_components, cov_type=cfg.cov_type,

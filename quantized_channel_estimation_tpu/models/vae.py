@@ -458,7 +458,10 @@ def estimate(model: DnnVae, params, cfg: VaeConfig, r: jax.Array,
         # bakes in the same assumption), where 1e2 per FFT bin is already
         # "no information"; pass a larger var_clip for data deliberately
         # scaled to power >> 1.
-        var = jnp.clip(jnp.exp(-log_prec), 1e-12 * var_clip,
+        # fixed 1e-12 floor (the reference's `convert_dec_outputs` clip,
+        # `vae.py:408`) — deliberately NOT scaled by var_clip, which only
+        # bounds the ceiling (ADVICE round 1)
+        var = jnp.clip(jnp.exp(-log_prec), 1e-12,
                        var_clip)  # (B, N) FFT-domain
         if cfg.zeromean or mu_dec is None:
             mu_h = jnp.zeros((rc.shape[0], n), rc.dtype)

@@ -15,8 +15,9 @@ from __future__ import annotations
 
 import threading
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -25,6 +26,12 @@ from quantized_channel_estimation_tpu.models.gmm import GmmParams
 from quantized_channel_estimation_tpu.models.gmm_estimator import PreparedBank
 from quantized_channel_estimation_tpu.ops import quantizer as Q
 from quantized_channel_estimation_tpu.ops.boundary import asnumpy, cjit
+
+
+class ServiceOverloadedError(RuntimeError):
+    """Raised by submit() when the pending-sample queue exceeds its
+    high-water mark — explicit load shedding instead of unbounded memory
+    growth and blind latency."""
 
 
 @dataclass
@@ -45,7 +52,18 @@ class EstimationService:
 
     def __init__(self, params: GmmParams, a, n_bits, quantizer_type="uniform",
                  max_batch: int = 4096, max_delay_ms: float = 5.0,
-                 use_pallas: Optional[bool] = None, mode="all"):
+                 use_pallas: Optional[bool] = None, mode="all",
+                 max_banks: int = 64, snr_step_db: Optional[float] = 0.1,
+                 max_queue: int = 262_144):
+        """max_banks: LRU cap on cached per-SNR PreparedBanks (each is
+        K*M^2 complex + K*D*M plus a per-shape compiled-program set — a
+        client sweeping arbitrary float SNRs must not grow memory without
+        bound). snr_step_db: submitted SNRs snap to this grid before bank
+        lookup, so nearby floats (10.0 vs 10.0001) share one bank; a
+        sub-0.1 dB bank mismatch is far below model error. None disables.
+        max_queue: high-water mark on total pending SAMPLES across SNRs;
+        submit() raises ServiceOverloadedError beyond it (explicit
+        backpressure instead of unbounded queue growth)."""
         if use_pallas is None:
             # auto: the fused kernel serves 'all'-mode requests on TPU;
             # selection modes and kernel-less backends take the einsum path
@@ -60,8 +78,13 @@ class EstimationService:
         self.max_delay = max_delay_ms / 1000.0
         self.mode = mode
         self.use_pallas = use_pallas
-        self._banks: Dict[float, PreparedBank] = {}
-        self._queues: Dict[float, List[Tuple[float, _Request]]] = {}
+        self.max_banks = max_banks
+        self.snr_step = snr_step_db
+        self.max_queue = max_queue
+        self._banks: "OrderedDict[float, PreparedBank]" = OrderedDict()
+        self._queues: "OrderedDict[float, List[Tuple[float, _Request]]]" = (
+            OrderedDict())
+        self._pending = 0  # total queued samples, guarded by _lock
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._prepare = cjit(gmm_estimator.prepare_bank, static_argnums=(3,))
@@ -85,12 +108,24 @@ class EstimationService:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
+    def _snap(self, snr: float) -> float:
+        if self.snr_step is None:
+            return float(snr)
+        return round(float(snr) / self.snr_step) * self.snr_step
+
     def _bank(self, snr: float) -> PreparedBank:
-        if snr not in self._banks:
-            q = Q.design_quantizer(snr, self.n_bits, self.quantizer_type)
-            self._banks[snr] = self._prepare(self.params, snr, self.a,
-                                             self.n_bits, q)
-        return self._banks[snr]
+        """LRU-cached prepared bank for a (snapped) SNR. Only the serving
+        thread touches the cache, so no lock; the cap bounds memory against
+        clients sweeping many distinct SNRs."""
+        if snr in self._banks:
+            self._banks.move_to_end(snr)
+            return self._banks[snr]
+        q = Q.design_quantizer(snr, self.n_bits, self.quantizer_type)
+        bank = self._prepare(self.params, snr, self.a, self.n_bits, q)
+        self._banks[snr] = bank
+        while len(self._banks) > self.max_banks:
+            self._banks.popitem(last=False)
+        return bank
 
     def submit(self, r: np.ndarray, snr: float,
                timeout: Optional[float] = 30.0) -> np.ndarray:
@@ -104,8 +139,16 @@ class EstimationService:
             raise ValueError(f"observations must have shape (n, {m}); "
                              f"got {r.shape} (a 1-D vector would be "
                              "misread as per-row requests)")
+        snr = self._snap(snr)
         req = _Request(r)
         with self._lock:
+            if self._pending + r.shape[0] > self.max_queue:
+                raise ServiceOverloadedError(
+                    f"pending queue at {self._pending} samples; request of "
+                    f"{r.shape[0]} exceeds the max_queue={self.max_queue} "
+                    "high-water mark — retry with backoff or shrink the "
+                    "request")
+            self._pending += r.shape[0]
             self._queues.setdefault(snr, []).append((time.monotonic(), req))
         if not req.event.wait(timeout):
             raise TimeoutError("estimation request timed out")
@@ -173,6 +216,7 @@ class EstimationService:
                             else:
                                 keep.append(item)
                         self._queues[snr] = keep
+                        self._pending -= acc
                         work.append((snr, take))
             for snr, batch in work:
                 self._flush(snr, batch)

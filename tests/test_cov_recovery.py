@@ -127,6 +127,48 @@ class TestQuantGmm:
         # trained WITHOUT CSI: allow some slack vs the CSI-trained global filter
         assert m < 2.0 * m_glob + 0.05, (m, m_glob)
 
+    def test_quant_em_lloyd_quantizer(self, setup):
+        """Quantized training with a Lloyd-Max quantizer — the reference's
+        `Gmm_quant.fit(quant_type='lloyd')` path (`gmm_cplx_quant.py:
+        103-106`, thresholds drive both binning and the bin-occupancy
+        recovery). Covers both the plain SNR-matched design and
+        `design_lloyd_from_gmm` (the mixture-marginal design the reference
+        builds via `pk_gmm`, `lloyd_max_quantizer.py:24-31`)."""
+        h_train, h_val, t_val = setup
+        snr, n_bits = 5.0, 3
+        sigma2 = 10 ** (-snr / 10)
+        a = pilots.pilot_matrix(self.N_ANT, 1, n_bits)
+        cov_sample = jnp.einsum("nd,ne->de", h_train,
+                                jnp.conj(h_train)) / h_train.shape[0]
+        # mixture design from a quick clean pre-fit, like the reference's
+        # gmm-matched lloyd quantizer
+        pre = gmm.fit(jax.random.PRNGKey(11), h_train[:8000],
+                      gmm.GmmConfig(n_components=4, zero_mean=True,
+                                    max_iter=10, chunk_size=4096))
+        var_k = jnp.mean(jnp.real(jnp.diagonal(
+            pre.params.covariances, axis1=-2, axis2=-1)), axis=-1)
+        for q in (Q.design_quantizer(snr, n_bits, "lloyd"),
+                  Q.design_lloyd_from_gmm(pre.params.weights, var_k,
+                                          snr, n_bits)):
+            r_train = observation.observe(jax.random.PRNGKey(12),
+                                          h_train, snr, a, n_bits, q)
+            fit = gmm_quant.fit(jax.random.PRNGKey(13), r_train,
+                                gmm.GmmConfig(n_components=8, zero_mean=True,
+                                              max_iter=15, chunk_size=4096),
+                                n_bits, sigma2, q, quantizer_type="lloyd")
+            assert np.isfinite(float(fit.lower_bound))
+            for c in np.asarray(fit.params.covariances):
+                assert np.linalg.eigvalsh(c).min() > 0
+            r_val = observation.observe(jax.random.PRNGKey(14), h_val, snr,
+                                        a, n_bits, q)
+            bank = gmm_estimator.prepare_bank(fit.params, snr, a, n_bits, q)
+            m = float(nmse(gmm_estimator.estimate(bank, r_val, "all"), h_val))
+            m_glob = float(nmse(blmmse.estimate_global(
+                r_val, cov_sample, snr, a, n_bits, q), h_val))
+            # CSI-free training must stay in the CSI-trained global filter's
+            # ballpark at 3 bits
+            assert m < 1.5 * m_glob + 0.05, (m, m_glob)
+
     def test_quant_em_toeplitz_inf_bits_consistent(self, setup):
         """inf-bit + toeplitz: the E-step covariance must be resynthesized
         from the PROJECTED channel covariance (Cy = C + sigma2 I, the

@@ -40,6 +40,68 @@ def test_single_request_matches_direct(service_setup):
         svc.close()
 
 
+def test_bank_cache_lru_bounded(service_setup):
+    """A client sweeping many distinct SNRs must not grow bank memory
+    without bound: the per-SNR cache is LRU-capped at max_banks, and
+    nearby float SNRs snap to one grid point (serving.py VERDICT item 6)."""
+    params, a, h_val = service_setup
+    q = Q.design_quantizer(5.0, 2)
+    r = np.asarray(observation.observe(jax.random.PRNGKey(65), h_val[:8],
+                                       5.0, a, 2, q))
+    svc = serving.EstimationService(params, a, 2, max_delay_ms=0.5,
+                                    max_banks=3, snr_step_db=0.1)
+    try:
+        for snr in (0.0, 2.0, 4.0, 6.0, 8.0, 10.0):
+            svc.submit(r, snr)
+        assert len(svc._banks) == 3
+        # most-recent SNRs survive, oldest evicted
+        assert 10.0 in svc._banks and 0.0 not in svc._banks
+        # snapping: 5.97/6.03 dB share the 6.0 bank (no new entry)
+        n_before = len(svc._banks)
+        keys_before = set(svc._banks)
+        svc.submit(r, 6.03)
+        svc.submit(r, 5.97)
+        assert len(svc._banks) == n_before
+        assert set(svc._banks) == keys_before
+    finally:
+        svc.close()
+
+
+def test_queue_backpressure_sheds_load(service_setup):
+    """Past the max_queue high-water mark submit() raises
+    ServiceOverloadedError instead of queueing unboundedly."""
+    params, a, h_val = service_setup
+    q = Q.design_quantizer(5.0, 2)
+    r = np.asarray(observation.observe(jax.random.PRNGKey(66), h_val[:64],
+                                       5.0, a, 2, q))
+    # long delay + tiny queue: the loop holds requests while we overfill
+    svc = serving.EstimationService(params, a, 2, max_delay_ms=10_000.0,
+                                    max_batch=1 << 20, max_queue=100)
+    try:
+        svc_errors = []
+        threads = [threading.Thread(
+            target=lambda: svc.submit(r, 5.0, timeout=30.0))
+            for _ in range(1)]
+        for t in threads:
+            t.start()
+        # first 64 samples queued; the next 64 would exceed 100
+        import time as _time
+        _time.sleep(0.05)
+        with pytest.raises(serving.ServiceOverloadedError):
+            svc.submit(r, 5.0)
+        # drain: shrink the delay so the pending request completes and the
+        # queue frees up again
+        svc.max_delay = 0.001
+        for t in threads:
+            t.join(timeout=30)
+        _time.sleep(0.05)
+        got = svc.submit(r, 5.0)  # accepted again after the drain
+        assert got.shape == (64, N_ANT)
+        assert not svc_errors
+    finally:
+        svc.close()
+
+
 def test_pallas_path_matches_direct(service_setup):
     """use_pallas=True routes through the fused kernel (interpret on CPU)."""
     params, a, h_val = service_setup

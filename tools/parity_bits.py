@@ -1,0 +1,148 @@
+"""Per-bit-width and Lloyd-Max parity vs the reference (VERDICT round-1
+missing item 4): classical and GMM estimation MSE compared on identical
+channels and identical quantized observations for n_bits in {1, 3, 4, inf}
+(uniform) and {2, 3} (Lloyd-Max). tools/parity_check.py covers 2-bit
+uniform; the GMM is clean-trained (bit-independent), so both sides fit ONCE
+and the prepared banks sweep the bit-widths, exactly like the reference's
+config sweep (`Bussgang_GMM.py:48`).
+
+Run on CPU: python tools/parity_bits.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, "/root/reference")
+
+import numpy as np  # noqa: E402
+
+for alias in ("infty", "Inf"):
+    if not hasattr(np, alias):
+        setattr(np, alias, np.inf)
+
+N_ANT = int(os.environ.get("PARITY_N_ANT", 16))
+K_COMP = int(os.environ.get("PARITY_K", 8))
+N_TRAIN = int(os.environ.get("PARITY_NTRAIN", 20_000))
+N_VAL = int(os.environ.get("PARITY_NVAL", 2_000))
+MAX_ITER = int(os.environ.get("PARITY_MAXITER", 60))
+SNRS = [0.0, 10.0]
+# (n_bits, quantizer_type); 2-bit uniform lives in tools/parity_check.py
+SWEEP = [(1, "uniform"), (3, "uniform"), (4, "uniform"), (np.inf, "uniform"),
+         (2, "lloyd"), (3, "lloyd")]
+
+
+def _shim_sklearn():
+    from sklearn.mixture import GaussianMixture
+    if not hasattr(GaussianMixture, "_check_n_features"):
+        GaussianMixture._check_n_features = lambda self, X, reset=True: None
+    GaussianMixture._print_verbose_msg_init_end = lambda self, *a, **k: None
+    GaussianMixture._print_verbose_msg_init_beg = lambda self, *a, **k: None
+    GaussianMixture._print_verbose_msg_iter_end = lambda self, *a, **k: None
+
+
+def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from quantized_channel_estimation_tpu.estimators import blmmse
+    from quantized_channel_estimation_tpu.models import gmm, gmm_estimator
+    from quantized_channel_estimation_tpu.ops import observation, pilots, scm
+    from quantized_channel_estimation_tpu.ops import quantizer as Q
+    from quantized_channel_estimation_tpu.utils.metrics import nmse
+
+    _shim_sklearn()
+    import modules.utils as ref_ut
+    from estimators.blmmse import BLMMSE as RefBLMMSE
+    from modules.gmm_cplx_bussgang import Gmm_nbit as RefGmm
+
+    key = jax.random.PRNGKey(2024)
+    h, t = scm.generate_channels_chunked(key, N_TRAIN + N_VAL,
+                                         scm.ScmConfig(N_ANT, 1))
+    h_np = np.asarray(h, np.complex128)
+    h_train, h_val = h[:N_TRAIN], h[N_TRAIN:]
+    h_val_np = h_np[N_TRAIN:]
+    cov = jnp.einsum("nd,ne->de", h_train, jnp.conj(h_train)) / N_TRAIN
+    cov_np = np.asarray(cov, np.complex128)
+
+    # clean-trained GMMs: one fit per side, banks swept over bit-widths
+    t0 = time.time()
+    fit = gmm.fit(jax.random.PRNGKey(7), h_train,
+                  gmm.GmmConfig(n_components=K_COMP, zero_mean=True,
+                                max_iter=MAX_ITER))
+    print(f"our GMM fit: {time.time() - t0:.1f}s ({int(fit.n_iter)} iters)")
+    t0 = time.time()
+    ref_gmm = RefGmm(n_components=K_COMP, covariance_type="full",
+                     max_iter=MAX_ITER)
+    ref_gmm.fit(h=h_np[:N_TRAIN], zero_mean=True)
+    print(f"reference GMM fit: {time.time() - t0:.1f}s")
+
+    all_ok = True
+
+    def compare(name, ours, refs, tol, one_sided=False):
+        nonlocal all_ok
+        rel = (ours - refs) / max(abs(refs), 1e-12)
+        ok = rel < tol if one_sided else abs(rel) < tol
+        all_ok &= ok
+        print(f"{name:34s} ours={ours:.6f} ref={refs:.6f} "
+              f"rel={rel:+.2e} {'OK' if ok else 'MISMATCH'}")
+
+    for n_bits, qtype in SWEEP:
+        bits_tag = "inf" if n_bits == np.inf else int(n_bits)
+        a = pilots.pilot_matrix(N_ANT, 1, n_bits)
+        a_np = np.asarray(a, np.complex128)
+        ref_quant = ref_ut.get_quantizer(SNRS, n_bits, quantizer_type=qtype)
+        for snr in SNRS:
+            q = (Q.design_quantizer(snr, n_bits, qtype)
+                 if n_bits != np.inf else None)
+            # Lloyd designs differ slightly (closed-form truncated-Gaussian
+            # moments vs scipy.integrate.quad, PARITY_NOTES.md): feed the
+            # REFERENCE's thresholds/labels to BOTH sides so the comparison
+            # isolates the estimation math, then also report our own design
+            if qtype == "lloyd":
+                q = Q.ScalarQuantizer(
+                    jnp.asarray(ref_quant[snr][0], jnp.float64),
+                    jnp.asarray(ref_quant[snr][1], jnp.float64),
+                    jnp.asarray(ref_quant[snr][2] or 0.0, jnp.float64))
+            r = observation.observe(jax.random.fold_in(key, int(snr) + 7),
+                                    h_val, snr, a, n_bits, q)
+            r_np = np.asarray(r, np.complex128)
+
+            ours = float(nmse(blmmse.estimate_global(r, cov, snr, a,
+                                                     n_bits, q), h_val))
+            ref = RefBLMMSE(snr).estimate_global(r_np, cov_np, a_np, n_bits,
+                                                 qtype, ref_quant[snr])
+            refm = np.sum(np.abs(ref - h_val_np) ** 2) / h_val_np.size
+            compare(f"blmmse_glob bits={bits_tag} {qtype} snr={snr:g}",
+                    ours, refm, 2e-2)
+
+            bank = gmm_estimator.prepare_bank(fit.params, snr, a, n_bits, q)
+            ours = float(nmse(gmm_estimator.estimate(bank, r, "all"), h_val))
+            from copy import deepcopy
+            g = deepcopy(ref_gmm)
+            est = g.estimate_from_y(r_np, snr, N_ANT, a_np, "all", n_bits,
+                                    qtype, ref_quant[snr])
+            refm = np.sum(np.abs(est - h_val_np) ** 2) / h_val_np.size
+            compare(f"blmmse_gmm  bits={bits_tag} {qtype} snr={snr:g}",
+                    ours, refm, 5e-2, one_sided=True)
+
+            if qtype == "lloyd":
+                # our own Lloyd design end-to-end (design differences shift
+                # the operating point slightly; one-sided vs the reference)
+                q_own = Q.design_quantizer(snr, n_bits, "lloyd")
+                r_own = observation.observe(
+                    jax.random.fold_in(key, int(snr) + 7), h_val, snr, a,
+                    n_bits, q_own)
+                bank = gmm_estimator.prepare_bank(fit.params, snr, a,
+                                                  n_bits, q_own)
+                ours_own = float(nmse(gmm_estimator.estimate(bank, r_own,
+                                                             "all"), h_val))
+                compare(f"gmm own-lloyd bits={bits_tag} snr={snr:g}",
+                        ours_own, refm, 5e-2, one_sided=True)
+
+    print("BIT-WIDTH PARITY:", "PASS" if all_ok else "FAIL")
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

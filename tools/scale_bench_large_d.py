@@ -57,13 +57,15 @@ if SEGS == 1:
 else:
     # cap each resumed segment at the remaining budget so the total stays
     # exactly TOTAL_ITERS when SEGS does not divide it
+    n_segments = -(-TOTAL_ITERS // PER_SEG)  # can be < SEGS (ceil rounding)
     fit = em_driver.fit_segmented(
         lambda: stages.gmm_fit(jax.random.PRNGKey(1), h_train, cfg),
         lambda prev: stages.gmm_fit_resume(
             prev.params, h_train, cfg._replace(max_iter=min(
                 PER_SEG, TOTAL_ITERS - int(prev.n_iter)))),
-        n_segments=-(-TOTAL_ITERS // PER_SEG))
-print(f"fit {time.time()-t0:.1f}s ({SEGS} segments): {int(fit.n_iter)} iters "
+        n_segments=n_segments)
+print(f"fit {time.time()-t0:.1f}s "
+      f"({n_segments if SEGS > 1 else 1} segments): {int(fit.n_iter)} iters "
       f"lb={float(fit.lower_bound):.3f}", flush=True)
 
 a = stages.pilot_matrix(D, 1, NB)
