@@ -61,6 +61,12 @@ class GmmConfig(NamedTuple):
     axis_name: Optional[str] = None  # data-parallel axis under shard_map:
     # sufficient statistics are psum'd over it (EM's gradient-all-reduce
     # analog); requires init='random' for a globally consistent start
+    psum_segments: int = 1  # >1 pipelines the statistics all-reduce: the
+    # chunk scan splits into S segments whose partial stats are psum'd as
+    # each segment finishes, so segment i's collective can overlap segment
+    # i+1's compute (the EM analog of gradient-bucket overlap) instead of
+    # one blocking O(K D^2) barrier per iteration. Exact up to f32
+    # summation order. No effect without axis_name.
 
 
 class GmmParams(NamedTuple):
@@ -173,15 +179,53 @@ def _update_stats(stats: _Stats, resp, xc, diag: bool,
     return _Stats(nk, sx, sxx, stats.log_norm + log_norm_inc)
 
 
+def segmented_psum_scan(body, init, xs, mask, axis_name,
+                        segments: int = 1):
+    """Scan `body` over the chunk stream (carry = additive statistics
+    pytree), all-reducing over `axis_name`.
+
+    segments <= 1 (or no axis_name): one scan, then one psum — a blocking
+    barrier per call. segments = S > 1: the chunk stream splits into S
+    sub-scans whose partial statistics are psum'd as each finishes; the S
+    collectives are mutually independent of the later segments' compute,
+    so XLA's async collectives can overlap communication with the
+    remaining scan work (the EM analog of gradient-bucket overlap in DDP).
+    The total is the sum of the psum'd partials — identical to
+    psum-of-total up to f32 summation order.
+
+    `init` seeds the first segment only (zeros of the same pytree seed the
+    rest), which matches the unsegmented path exactly.
+    """
+    n_chunks = xs.shape[0]
+    segs = 1 if axis_name is None else max(1, min(segments, n_chunks))
+    if segs <= 1:
+        stats, _ = jax.lax.scan(body, init, (xs, mask))
+        if axis_name is not None:
+            stats = jax.lax.psum(stats, axis_name)
+        return stats
+    bounds = [round(i * n_chunks / segs) for i in range(segs + 1)]
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, init)
+    total = None
+    for i in range(segs):
+        lo, hi = bounds[i], bounds[i + 1]
+        part, _ = jax.lax.scan(body, init if i == 0 else zeros,
+                               (xs[lo:hi], mask[lo:hi]))
+        part = jax.lax.psum(part, axis_name)
+        total = part if total is None else jax.tree_util.tree_map(
+            jnp.add, total, part)
+    return total
+
+
 def accumulate_stats(x: jax.Array, mask_x, log_weights: jax.Array,
                      log_prob_fn, diag: bool, chunk: int,
-                     axis_name=None) -> _Stats:
+                     axis_name=None, psum_segments: int = 1) -> _Stats:
     """One scan over the data computing responsibilities chunk-by-chunk and
     accumulating (Nk, sum r.x, sum r.xx^H, sum log-norm).
 
     Under shard_map with `axis_name`, the statistics are psum'd over the data
     axis — one all-reduce of O(K D^2) per EM iteration, the EM analog of
-    gradient all-reduce."""
+    gradient all-reduce; `psum_segments` > 1 pipelines it (see
+    `segmented_psum_scan`)."""
     xs, mask = mask_x if mask_x is not None else _chunk(x, chunk)
     k = log_weights.shape[0]
     d = xs.shape[-1]
@@ -192,10 +236,8 @@ def accumulate_stats(x: jax.Array, mask_x, log_weights: jax.Array,
         resp, ln = _resp_chunk(xc, mc, log_weights, log_prob_fn)
         return _update_stats(stats, resp, xc, diag, ln), None
 
-    stats, _ = jax.lax.scan(body, init, (xs, mask))
-    if axis_name is not None:
-        stats = jax.lax.psum(stats, axis_name)
-    return stats
+    return segmented_psum_scan(body, init, xs, mask, axis_name,
+                               psum_segments)
 
 
 # ---------------------------------------------------------------------------
@@ -384,7 +426,8 @@ def _em_loop(x, init_stats: Optional[_Stats], cfg: GmmConfig, mode: str,
     def em_iter(state: _FullState) -> _FullState:
         stats = accumulate_stats(x, xs_mask, jnp.log(state.weights),
                                  log_prob_fn(state), diag,
-                                 cfg.chunk_size, axis_name=cfg.axis_name)
+                                 cfg.chunk_size, axis_name=cfg.axis_name,
+                                 psum_segments=cfg.psum_segments)
         new = params_from_stats(stats, state)
         lb = stats.log_norm / n
         return new._replace(lower_bound=lb, prev_lb=state.lower_bound,
@@ -528,7 +571,8 @@ def fit_resume(params: GmmParams, h: jax.Array, cfg: GmmConfig) -> GmmFitResult:
             stats = accumulate_stats(
                 h, xs_mask, jnp.log(params.weights),
                 lambda xc: log_prob_full(xc, params.means, params.prec_chol),
-                False, cfg.chunk_size, axis_name=cfg.axis_name)
+                False, cfg.chunk_size, axis_name=cfg.axis_name,
+                psum_segments=cfg.psum_segments)
             state, converged = _em_loop(h, stats, cfg, "full", None)
         else:
             f2 = _oversampled_dft_for(cfg, d, h.dtype)

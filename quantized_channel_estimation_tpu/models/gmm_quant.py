@@ -15,10 +15,13 @@ M-step covariance recovery by bit-width (`gmm_cplx_quant.py:773-853`):
           as B Cy B^H with the exact quantized variance on the diagonal
   inf:    C = sample cov - sigma^2 I, PSD-clipped; Cq = C + sigma^2 I
 
-Supported covariance types: 'full' and 'toeplitz'/'block-toeplitz' (recovery
-+ Barton-Fuhrmann spectrum projection). The reference's 'diag'/'circulant'
-paths are broken upstream (their covariance updater returns one array where
-the caller unpacks two, `gmm_cplx_quant.py:763-767`) and are not reproduced.
+Supported covariance types: 'full', 'toeplitz'/'block-toeplitz' (recovery +
+Barton-Fuhrmann spectrum projection), 'diag' (per-dim bin-occupancy variance
+recovery, O(NKD) statistics — n_bits >= 2), and 'circulant' (full recovery +
+closed-form DFT-diagonal projection). The reference INTENDS diag and
+circulant quantized training but both crash upstream (the covariance updater
+returns one array where the caller unpacks two, `gmm_cplx_quant.py:763-767`);
+'diag' and 'circulant' here are working designs that exceed the reference.
 
 Estimation from quantized pilots reuses `gmm_estimator.prepare_bank` — the
 prepared-bank math is identical to the clean-trained GMM
@@ -72,7 +75,7 @@ class _QStats(NamedTuple):
 
 
 def _accumulate(r_chunks, mask, log_weights, means, prec_chol_q, pos_tau,
-                n_bits, axis_name=None):
+                n_bits, axis_name=None, psum_segments: int = 1):
     """Fused E-step + sufficient-statistics pass over chunked quantized data.
 
     Under shard_map with `axis_name`, the statistics (moments + covariance-
@@ -109,10 +112,127 @@ def _accumulate(r_chunks, mask, log_weights, means, prec_chol_q, pos_tau,
             below = stats.below + qs.below
         return _QStats(nk, sx, sxx, corr, below, base.log_norm), None
 
-    stats, _ = jax.lax.scan(body, init, (r_chunks, mask))
-    if axis_name is not None:
-        stats = jax.lax.psum(stats, axis_name)
-    return stats
+    # pipelined segment psums like the plain EM (gmm.segmented_psum_scan);
+    # the quantized stats add two more O(K D^2) fields to the payload, so
+    # overlapping the reduce matters even more here
+    return gmm_mod.segmented_psum_scan(body, init, r_chunks, mask,
+                                       axis_name, psum_segments)
+
+
+class _QStatsDiag(NamedTuple):
+    nk: jax.Array
+    sx: jax.Array
+    sxx: jax.Array           # (K, D) real per-dim quantized second moment
+    below: jax.Array         # threshold bin-occupancy stats (K, D, B, 2)
+    log_norm: jax.Array
+
+
+class _QStateDiag(NamedTuple):
+    weights: jax.Array
+    means: jax.Array         # (K, D) quantized-domain means (0 if zero_mean)
+    var: jax.Array           # (K, D) recovered channel variances
+    var_quant: jax.Array     # (K, D) quantized-observation variances
+    lower_bound: jax.Array
+    prev_lb: jax.Array
+    n_iter: jax.Array
+
+
+def _accumulate_diag(r_chunks, mask, log_weights, means, var_quant, pos_tau,
+                     n_bits, axis_name=None, psum_segments: int = 1):
+    """Diagonal-model E-step + statistics: per-dim moments and bin-occupancy
+    counts only — no (K, D, D) Grams at all, so the quantized-EM iteration
+    drops from O(N K D^2) to O(N K D) HBM traffic (this is the scalable
+    path the reference's broken 'diag' mode was reaching for)."""
+    k = log_weights.shape[0]
+    d = r_chunks.shape[-1]
+    n_tau = pos_tau.shape[0] if pos_tau is not None else 0
+    init = _QStatsDiag(
+        jnp.zeros((k,), jnp.float32),
+        jnp.zeros((k, d), r_chunks.dtype),
+        jnp.zeros((k, d), jnp.float32),
+        jnp.zeros((k, d, n_tau, 2), jnp.float32),
+        jnp.zeros((), jnp.float32),
+    )
+
+    def body(stats, inputs):
+        xc, mc = inputs
+        lp_fn = lambda x: gmm_mod.log_prob_diag(x, means, var_quant)
+        resp, ln = _resp_chunk(xc, mc, log_weights, lp_fn)
+        base = gmm_mod._update_stats(
+            gmm_mod._Stats(stats.nk, stats.sx, stats.sxx, stats.log_norm),
+            resp, xc, diag=True, log_norm_inc=ln)
+        below = stats.below
+        if not is_inf_bits(n_bits):
+            pos = pos_tau
+            below_re = jnp.abs(jnp.real(xc))[:, :, None] < pos
+            below_im = jnp.abs(jnp.imag(xc))[:, :, None] < pos
+            below = below + jnp.stack([
+                jnp.einsum("nk,ndb->kdb", resp, below_re.astype(resp.dtype)),
+                jnp.einsum("nk,ndb->kdb", resp, below_im.astype(resp.dtype)),
+            ], axis=-1)
+        return _QStatsDiag(base.nk, base.sx, base.sxx, below,
+                           base.log_norm), None
+
+    return gmm_mod.segmented_psum_scan(body, init, r_chunks, mask,
+                                       axis_name, psum_segments)
+
+
+def _run_quant_em_diag(state0: _QStateDiag, chunks, mask, n: int,
+                       cfg: GmmConfig, n_bits, sigma2, q, pos_tau,
+                       k_gn) -> QuantGmmFitResult:
+    """Diagonal quantized EM: per-dim variance recovery from bin occupancy
+    (n-bit) or the sample moment (inf), exact quantized-variance
+    resynthesis for the E-step. The reference intends this mode but its
+    implementation crashes (`gmm_cplx_quant.py:763-767`); 1-bit is
+    rejected in `_prep` (no amplitude information without correlations)."""
+    if cfg.axis_name is not None:
+        n = n * jax.lax.axis_size(cfg.axis_name)
+
+    def em_iter(state: _QStateDiag) -> _QStateDiag:
+        stats = _accumulate_diag(chunks, mask, jnp.log(state.weights),
+                                 state.means, state.var_quant, pos_tau,
+                                 n_bits, axis_name=cfg.axis_name,
+                                 psum_segments=cfg.psum_segments)
+        nk = stats.nk + 10.0 * jnp.finfo(jnp.float32).eps
+        means = (jnp.zeros_like(state.means) if cfg.zero_mean
+                 else stats.sx / nk[:, None].astype(state.means.dtype))
+        if is_inf_bits(n_bits):
+            y_var = stats.sxx / nk[:, None]
+        else:
+            gn_key = jax.random.fold_in(k_gn, state.n_iter)
+            y_var = cov_recovery.recover_variances(
+                stats.nk, stats.below, pos_tau, state.var_quant, gn_key)
+        var = jnp.maximum(y_var - sigma2, cfg.reg_covar)
+        valid = (stats.nk >= 2.0)[:, None]
+        var = jnp.where(valid, var, 1.0)  # empty-component guard (see
+        # _recover_covs): park at unit power, ~zero weight keeps it inert
+        if is_inf_bits(n_bits):
+            var_quant = var + sigma2
+        else:
+            var_quant = quantized_variance(var + sigma2, q)
+        weights = nk / jnp.sum(nk)
+        return _QStateDiag(weights, means, var, var_quant,
+                           stats.log_norm / n, state.lower_bound,
+                           state.n_iter + 1)
+
+    def cond(state: _QStateDiag):
+        return jnp.logical_and(
+            state.n_iter < cfg.max_iter,
+            jnp.abs(state.lower_bound - state.prev_lb) >= cfg.tol)
+
+    state = jax.lax.while_loop(cond, em_iter, state0)
+    converged = jnp.abs(state.lower_bound - state.prev_lb) < cfg.tol
+    # densify to the universal post-fit GmmParams (like the clean EM's
+    # structured types, which convert to full after fit)
+    d = state.var.shape[-1]
+    dtype = state.means.dtype
+    eye = jnp.eye(d, dtype=dtype)
+    covs = state.var[:, :, None].astype(dtype) * eye
+    prec_chol = (1.0 / jnp.sqrt(state.var))[:, :, None].astype(dtype) * eye
+    params = GmmParams(state.weights, state.means, covs, prec_chol)
+    cov_quant = state.var_quant[:, :, None].astype(dtype) * eye
+    return QuantGmmFitResult(params, cov_quant, state.lower_bound,
+                             state.n_iter, converged)
 
 
 def _recover_covs(stats: _QStats, cfg: GmmConfig, n_bits, sigma2,
@@ -163,22 +283,42 @@ def _recover_covs(stats: _QStats, cfg: GmmConfig, n_bits, sigma2,
 
 def _prep(r: jax.Array, cfg: GmmConfig, n_bits, q):
     """Shared fit/fit_resume preparation: thresholds, cov-structure flags,
-    data chunks."""
+    data chunks.
+
+    Covariance types: 'full', 'toeplitz'/'block-toeplitz' (Barton-Fuhrmann
+    inverse-EM spectrum projection), 'diag' (per-dim bin-occupancy variance
+    recovery only — no correlation statistics at all), and 'circulant'
+    (full recovery + closed-form projection onto the circulant cone via the
+    DFT diagonal). The reference INTENDS diag and circulant quantized
+    training but both crash upstream (its covariance updater returns one
+    array where the caller unpacks two, `gmm_cplx_quant.py:763-767`); these
+    are working designs, not reproductions.
+    """
     d = r.shape[-1]
     dtype = r.dtype
     eye = jnp.eye(d, dtype=dtype)
     pos_tau = (cov_recovery.positive_thresholds(q)
                if (q is not None and not is_inf_bits(n_bits) and n_bits != 1)
                else None)
+    if cfg.cov_type not in ("full", "toeplitz", "block-toeplitz", "diag",
+                            "circulant"):
+        raise NotImplementedError(
+            f"Gmm_quant covariance_type={cfg.cov_type!r}: supported are "
+            "'full', 'toeplitz', 'block-toeplitz', 'diag', 'circulant'")
+    if cfg.cov_type == "diag" and n_bits == 1:
+        # |Q_1bit(y)|^2 == 1 for every sample: a 1-bit quantizer carries no
+        # per-dim amplitude information, so a correlation-free diag model
+        # is unidentifiable (the full path survives on the arcsine
+        # CORRELATION, which diag ignores)
+        raise NotImplementedError(
+            "cov_type='diag' quantized training is unidentifiable at "
+            "n_bits=1 (bin occupancy carries no amplitude information)")
     inv_em = cfg.cov_type in ("toeplitz", "block-toeplitz")
     f2 = None
     if inv_em:
         f2 = gmm_mod._oversampled_dft_for(cfg, d, dtype)
-    elif cfg.cov_type != "full":
-        raise NotImplementedError(
-            f"Gmm_quant covariance_type={cfg.cov_type!r}: only 'full', "
-            "'toeplitz', 'block-toeplitz' are supported (the reference's "
-            "diag/circulant paths are broken upstream)")
+    elif cfg.cov_type == "circulant":
+        f2 = linalg.unitary_dft(d, dtype)
     chunks, mask = _chunk(r, min(cfg.chunk_size, r.shape[0]))
     return d, dtype, eye, pos_tau, inv_em, f2, chunks, mask
 
@@ -195,6 +335,23 @@ def fit(key: jax.Array, r: jax.Array, cfg: GmmConfig, n_bits, sigma2,
     n = r.shape[0]
     k_init, k_gn = jax.random.split(key)
 
+    if cfg.cov_type == "diag":
+        init_stats = _init_resp_stats(k_init, r, cfg, diag=True,
+                                      chunk=cfg.chunk_size)
+        if cfg.axis_name is not None:
+            init_stats = jax.lax.psum(init_stats, cfg.axis_name)
+        nk0 = init_stats.nk + 10.0 * jnp.finfo(jnp.float32).eps
+        means0 = (jnp.zeros((cfg.n_components, d), dtype) if cfg.zero_mean
+                  else init_stats.sx / nk0[:, None].astype(dtype))
+        var_quant0 = init_stats.sxx / nk0[:, None] + cfg.reg_covar
+        state0 = _QStateDiag(nk0 / jnp.sum(nk0), means0, var_quant0,
+                             var_quant0,
+                             jnp.asarray(-jnp.inf, jnp.float32),
+                             jnp.asarray(jnp.inf, jnp.float32),
+                             jnp.zeros((), jnp.int32))
+        return _run_quant_em_diag(state0, chunks, mask, n, cfg, n_bits,
+                                  sigma2, q, pos_tau, k_gn)
+
     # ----- initialization: kmeans hard assignment, plain sample covs as the
     # initial quantized covs; channel covs start from the same recovery -----
     init_stats0 = _init_resp_stats(k_init, r, cfg, diag=False,
@@ -209,8 +366,10 @@ def fit(key: jax.Array, r: jax.Array, cfg: GmmConfig, n_bits, sigma2,
     covs_quant0 = init_stats0.sxx / nk0[:, None, None].astype(dtype) \
         + cfg.reg_covar * eye
     weights0 = nk0 / jnp.sum(nk0)
-    sigma_spec0 = (jnp.zeros((cfg.n_components, 2 * d), jnp.float32) if inv_em
-                   else jnp.zeros((cfg.n_components, 1), jnp.float32))
+    sigma_spec0 = jnp.zeros(
+        (cfg.n_components,
+         2 * d if inv_em else d if cfg.cov_type == "circulant" else 1),
+        jnp.float32)
     state0 = _QState(weights0, means0, covs_quant0, covs_quant0, sigma_spec0,
                      jnp.asarray(-jnp.inf, jnp.float32),
                      jnp.asarray(jnp.inf, jnp.float32),
@@ -238,7 +397,8 @@ def _run_quant_em(state0: _QState, chunks, mask, n: int, cfg: GmmConfig,
         prec_q = linalg.robust_precision_cholesky(state.covs_quant)
         stats = _accumulate(chunks, mask, jnp.log(state.weights), state.means,
                             prec_q, pos_tau, n_bits,
-                            axis_name=cfg.axis_name)
+                            axis_name=cfg.axis_name,
+                            psum_segments=cfg.psum_segments)
         nk = stats.nk + 10.0 * jnp.finfo(jnp.float32).eps
         means = (jnp.zeros_like(state.means) if cfg.zero_mean
                  else stats.sx / nk[:, None].astype(dtype))
@@ -266,6 +426,25 @@ def _run_quant_em(state0: _QState, chunks, mask, n: int, cfg: GmmConfig,
                 # covariance and EM optimizes a mismatched objective
                 covs_quant = covs + sigma2 * eye
             elif n_bits != 1:
+                _, covs_quant = bank_gains_and_cov(covs + sigma2 * eye,
+                                                   n_bits, q, exact_diag=True)
+        elif cfg.cov_type == "circulant":
+            # closed-form projection of the recovered covariance onto the
+            # circulant cone: C_circ = F^H diag(sigma) F with sigma the DFT
+            # diagonal (the Frobenius-nearest circulant; the clean-EM analog
+            # diagonalizes the data instead, `gmm_cplx_bussgang.py:104-119`,
+            # which quantized data cannot do — quantization is per-antenna)
+            sigma_spec = jnp.maximum(jnp.real(jnp.einsum(
+                "fd,kde,fe->kf", f2, covs, jnp.conj(f2))), cfg.reg_covar)
+            covs = jnp.einsum("fd,kf,fe->kde", jnp.conj(f2),
+                              sigma_spec.astype(dtype), f2) \
+                + cfg.reg_covar * eye
+            if is_inf_bits(n_bits):
+                covs_quant = covs + sigma2 * eye
+            elif n_bits == 1:
+                # arcsine law of the projected Cy (shared Cr model)
+                _, covs_quant = bank_gains_and_cov(covs + sigma2 * eye, 1, q)
+            else:
                 _, covs_quant = bank_gains_and_cov(covs + sigma2 * eye,
                                                    n_bits, q, exact_diag=True)
         else:
@@ -305,9 +484,25 @@ def fit_resume(key: jax.Array, prev: QuantGmmFitResult, r: jax.Array,
     (`linalg.spectrum_from_covariance`)."""
     d, dtype, eye, pos_tau, inv_em, f2, chunks, mask = _prep(r, cfg, n_bits, q)
     k = prev.params.weights.shape[0]
+    if cfg.cov_type == "diag":
+        var = jnp.real(jnp.diagonal(prev.params.covariances,
+                                    axis1=-2, axis2=-1))
+        var_quant = jnp.real(jnp.diagonal(prev.cov_quant,
+                                          axis1=-2, axis2=-1))
+        state0 = _QStateDiag(prev.params.weights, prev.params.means,
+                             var, var_quant,
+                             jnp.asarray(-jnp.inf, jnp.float32),
+                             jnp.asarray(jnp.inf, jnp.float32),
+                             jnp.zeros((), jnp.int32))
+        return _run_quant_em_diag(state0, chunks, mask, r.shape[0], cfg,
+                                  n_bits, sigma2, q, pos_tau, key)
     if inv_em:
         sigma_spec = linalg.spectrum_from_covariance(
             prev.params.covariances, f2, cfg.reg_covar)
+    elif cfg.cov_type == "circulant":
+        # recomputed fresh each iteration (closed-form projection, not a
+        # fixed point) — only the carry shape matters
+        sigma_spec = jnp.zeros((k, prev.params.means.shape[-1]), jnp.float32)
     else:
         sigma_spec = jnp.zeros((k, 1), jnp.float32)
     state0 = _QState(prev.params.weights, prev.params.means,

@@ -66,6 +66,9 @@ class MfaConfig(NamedTuple):
     axis_name: Optional[str] = None  # data-parallel axis under shard_map:
     # the GMM-shaped sufficient statistics are psum'd over it (requires
     # zero_mean=True — per-shard k-means means would be inconsistent)
+    psum_segments: int = 1  # >1 pipelines the statistics all-reduce
+    # (gmm.segmented_psum_scan): segment psums overlap later segments'
+    # compute instead of one blocking barrier per EM iteration
 
 
 class MfaParams(NamedTuple):
@@ -178,7 +181,8 @@ def _run_em(params0: MfaParams, x: jax.Array,
 
         stats = gmm_mod.accumulate_stats(x, xs_mask, jnp.log(p.weights),
                                          log_prob_fn, False, cfg.chunk_size,
-                                         axis_name=cfg.axis_name)
+                                         axis_name=cfg.axis_name,
+                                         psum_segments=cfg.psum_segments)
         if cfg.rs_clip > 0.0:
             # reference `mofa_cplx_bussgang.py:338`: a component whose total
             # responsibility mass drops below rs_clip gets resp == rs_clip

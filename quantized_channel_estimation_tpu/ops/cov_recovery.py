@@ -76,6 +76,28 @@ def accumulate_quant_stats(r: jax.Array, resp: jax.Array,
     return QuantStats(nk, corr, below)
 
 
+def recover_variances(nk: jax.Array, below: jax.Array, pos_tau: jax.Array,
+                      x0: jax.Array, key: jax.Array) -> jax.Array:
+    """Per-dimension unquantized variances (K, D) from bin-occupancy
+    statistics: fit the real-component std s to erf(tau/(sqrt(2) s)) = p by
+    Gauss-Newton, variance = 2 s^2 (`cov_est_quant.py:56-85`). Serves both
+    the full recovery (scale part) and the diagonal quantized-EM (which
+    needs no correlation at all)."""
+    nk_d = nk[:, None, None, None]
+    # occupancy clip bounds [1/Nk, (Nk-1)/Nk] invert for Nk < 2; order them
+    # so jnp.clip stays well-defined (callers must still mask such
+    # components out — gmm_quant requires Nk >= 2)
+    lo, hi = 1.0 / nk_d, (nk_d - 1.0) / nk_d
+    probs = jnp.clip(below / nk_d, jnp.minimum(lo, hi), jnp.maximum(lo, hi))
+    k, d, b, _ = probs.shape
+    # stack (re, im) residuals per (component, dim): 2B residuals, same tau
+    probs_flat = jnp.moveaxis(probs, -1, -2).reshape(k, d, 2 * b)
+    tau_flat = jnp.concatenate([pos_tau, pos_tau])
+    s = solve_erf_scale(tau_flat, probs_flat, jnp.real(x0), key)
+    sigma2 = jnp.clip(2.0 * s ** 2, 0.0, None)
+    return jnp.where(jnp.isnan(sigma2), 1.0, sigma2)  # NaN guard (`:83-84`)
+
+
 def recover_covariance(stats: QuantStats, pos_tau: jax.Array,
                        x0: jax.Array, key: jax.Array) -> jax.Array:
     """Recover the unquantized covariance bank (K, D, D) from quantized-data
@@ -86,20 +108,7 @@ def recover_covariance(stats: QuantStats, pos_tau: jax.Array,
     """
     nk = stats.nk[:, None, None]
     corr = arcsine_correlation(stats.corr_1bit / nk.astype(stats.corr_1bit.dtype))
-    nk_d = stats.nk[:, None, None, None]
-    # occupancy clip bounds [1/Nk, (Nk-1)/Nk] invert for Nk < 2; order them
-    # so jnp.clip stays well-defined (callers must still mask such
-    # components out — gmm_quant requires Nk >= 2)
-    lo, hi = 1.0 / nk_d, (nk_d - 1.0) / nk_d
-    probs = jnp.clip(stats.below / nk_d, jnp.minimum(lo, hi),
-                     jnp.maximum(lo, hi))
-    k, d, b, _ = probs.shape
-    # stack (re, im) residuals per (component, dim): 2B residuals, same tau
-    probs_flat = jnp.moveaxis(probs, -1, -2).reshape(k, d, 2 * b)
-    tau_flat = jnp.concatenate([pos_tau, pos_tau])
-    s = solve_erf_scale(tau_flat, probs_flat, jnp.real(x0), key)
-    sigma2 = jnp.clip(2.0 * s ** 2, 0.0, None)
-    sigma2 = jnp.where(jnp.isnan(sigma2), 1.0, sigma2)  # NaN guard (`:83-84`)
+    sigma2 = recover_variances(stats.nk, stats.below, pos_tau, x0, key)
     scale = jnp.sqrt(sigma2).astype(corr.dtype)
     return scale[:, :, None] * corr * scale[:, None, :]
 

@@ -108,6 +108,31 @@ def generate_channels(key: jax.Array, n_batches: int, cfg: ScmConfig,
     return h, t
 
 
+def flatten_coherence(h: jax.Array, t: jax.Array = None):
+    """Flatten multi-snapshot channels (B, n_coherence, N) -> (B*n_coh, N)
+    for the single-snapshot observation/estimation pipeline.
+
+    Snapshots within a coherence block are INDEPENDENT channel draws
+    sharing one angular PSD (`SCMMulti.py:30` returns (h, t) with a single
+    Toeplitz row per block; `chan_from_spectrum` colors fresh noise per
+    snapshot) — so each snapshot is a full-rank observation and the
+    per-block genie covariance row t broadcasts across its snapshots,
+    which is what this returns as the second element. The reference's
+    scripts only ever run n_coherence=1; this is the natural extension for
+    its estimators, all of which condition on a covariance, not a
+    channel realization.
+    """
+    if h.ndim == 2:  # already single-snapshot
+        return (h, t) if t is not None else h
+    b, n_coh, n = h.shape
+    h_flat = h.reshape(b * n_coh, n)
+    if t is None:
+        return h_flat
+    t_flat = jnp.broadcast_to(t[:, None, :], (b, n_coh, t.shape[-1])).reshape(
+        b * n_coh, -1)
+    return h_flat, t_flat
+
+
 class UrbanMacroConfig(NamedTuple):
     """3GPP urban-macro 15-degree parameterization.
 

@@ -169,6 +169,84 @@ class TestQuantGmm:
             # ballpark at 3 bits
             assert m < 1.5 * m_glob + 0.05, (m, m_glob)
 
+    @pytest.mark.parametrize("n_bits", [2, Q.INF_BITS])
+    def test_quant_em_diag(self, setup, n_bits):
+        """Diagonal quantized EM — the mode the reference intends but
+        crashes on (`gmm_cplx_quant.py:763-767`): per-dim variance recovery
+        from bin occupancy (n-bit) / sample moments (inf). Recovered
+        variances must be positive, the fit finite, estimation sane, and
+        the densified covariances exactly diagonal."""
+        h_train, h_val, _ = setup
+        snr = 5.0
+        sigma2 = 10 ** (-snr / 10)
+        a = pilots.pilot_matrix(self.N_ANT, 1, n_bits)
+        q = Q.design_quantizer(snr, n_bits)
+        r_train = observation.observe(jax.random.PRNGKey(20), h_train, snr,
+                                      a, n_bits, q)
+        cfg = gmm.GmmConfig(n_components=8, cov_type="diag", zero_mean=True,
+                            max_iter=20, chunk_size=4096)
+        fit = gmm_quant.fit(jax.random.PRNGKey(21), r_train, cfg, n_bits,
+                            sigma2, q)
+        assert np.isfinite(float(fit.lower_bound))
+        covs = np.asarray(fit.params.covariances)
+        off = covs * (1 - np.eye(self.N_ANT))
+        assert np.abs(off).max() == 0.0  # exactly diagonal
+        assert np.real(covs[:, np.arange(self.N_ANT),
+                            np.arange(self.N_ANT)]).min() > 0
+        r_val = observation.observe(jax.random.PRNGKey(22), h_val, snr, a,
+                                    n_bits, q)
+        bank = gmm_estimator.prepare_bank(fit.params, snr, a, n_bits, q)
+        m = float(nmse(gmm_estimator.estimate(bank, r_val, "all"), h_val))
+        assert 0 < m < 1.0
+        # resume continues from the checkpointed state without blowing up
+        fit2 = gmm_quant.fit_resume(jax.random.PRNGKey(23), fit, r_train,
+                                    cfg._replace(max_iter=5), n_bits,
+                                    sigma2, q)
+        assert np.isfinite(float(fit2.lower_bound))
+        assert float(fit2.lower_bound) >= float(fit.lower_bound) - 0.05
+
+    def test_quant_em_diag_one_bit_rejected(self, setup):
+        h_train, _, _ = setup
+        q = Q.design_quantizer(5.0, 1)
+        r = observation.observe(jax.random.PRNGKey(24), h_train[:4000], 5.0,
+                                pilots.pilot_matrix(self.N_ANT, 1, 1), 1, q)
+        with pytest.raises(NotImplementedError, match="unidentifiable"):
+            gmm_quant.fit(jax.random.PRNGKey(25), r,
+                          gmm.GmmConfig(n_components=4, cov_type="diag",
+                                        zero_mean=True, max_iter=3),
+                          1, 10 ** -0.5, q)
+
+    def test_quant_em_circulant(self, setup):
+        """Circulant quantized EM (also broken upstream): full recovery +
+        closed-form DFT-diagonal projection. Covariances must be (nearly)
+        circulant and estimation sane; full-cov fit should be at least as
+        good (structure is a constraint), circulant cheaper to estimate."""
+        h_train, h_val, _ = setup
+        snr, n_bits = 5.0, 2
+        sigma2 = 10 ** (-snr / 10)
+        a = pilots.pilot_matrix(self.N_ANT, 1, n_bits)
+        q = Q.design_quantizer(snr, n_bits)
+        r_train = observation.observe(jax.random.PRNGKey(26), h_train, snr,
+                                      a, n_bits, q)
+        cfg = gmm.GmmConfig(n_components=8, cov_type="circulant",
+                            zero_mean=True, max_iter=15, chunk_size=4096)
+        fit = gmm_quant.fit(jax.random.PRNGKey(27), r_train, cfg, n_bits,
+                            sigma2, q)
+        assert np.isfinite(float(fit.lower_bound))
+        covs = np.asarray(fit.params.covariances)
+        # circulant up to the final reg_covar jitter: F C F^H diagonal
+        f = np.fft.fft(np.eye(self.N_ANT)) / np.sqrt(self.N_ANT)
+        fcf = np.einsum("fd,kde,ge->kfg", f, covs, np.conj(f))
+        offdiag = np.abs(fcf * (1 - np.eye(self.N_ANT))).max()
+        ondiag = np.abs(np.real(fcf[:, np.arange(self.N_ANT),
+                                    np.arange(self.N_ANT)])).max()
+        assert offdiag < 1e-4 * ondiag
+        r_val = observation.observe(jax.random.PRNGKey(28), h_val, snr, a,
+                                    n_bits, q)
+        bank = gmm_estimator.prepare_bank(fit.params, snr, a, n_bits, q)
+        m = float(nmse(gmm_estimator.estimate(bank, r_val, "all"), h_val))
+        assert 0 < m < 1.0
+
     def test_quant_em_toeplitz_inf_bits_consistent(self, setup):
         """inf-bit + toeplitz: the E-step covariance must be resynthesized
         from the PROJECTED channel covariance (Cy = C + sigma2 I, the

@@ -47,6 +47,48 @@ def test_shard_map_em_matches_single_device(data):
                                atol=5e-3)
 
 
+def test_pipelined_psum_matches_blocking(data):
+    """psum_segments > 1 (segment-level pipelined statistics all-reduce,
+    gmm.segmented_psum_scan) must reproduce the blocking single-psum DP fit
+    up to f32 summation order, for plain AND quantized EM."""
+    key = jax.random.PRNGKey(73)
+    m = pmesh.make_mesh(8, 1)
+    base = gmm.GmmConfig(n_components=4, zero_mean=True, max_iter=10,
+                         init="random", chunk_size=500)  # 4 chunks/device
+    fit_block = pmesh.fit_gmm_shard_map(m, key, data, base)
+    fit_pipe = pmesh.fit_gmm_shard_map(
+        m, key, data, base._replace(psum_segments=4))
+    np.testing.assert_allclose(float(fit_pipe.lower_bound),
+                               float(fit_block.lower_bound), rtol=1e-4)
+    # partial-sum-then-add vs add-then-psum: same math, different f32
+    # summation order, compounding over the 10 EM iterations (the existing
+    # single-vs-distributed test tolerates 5e-3 for the same reason)
+    np.testing.assert_allclose(np.asarray(fit_pipe.params.covariances),
+                               np.asarray(fit_block.params.covariances),
+                               atol=1e-3)
+    # quantized EM (extra recovery statistics in the psum payload)
+    snr, n_bits = 5.0, 2
+    q = Q.design_quantizer(snr, n_bits)
+    a = pilots.pilot_matrix(8, 1, n_bits)
+    r = observation.observe(jax.random.PRNGKey(74), data, snr, a, n_bits, q)
+    from quantized_channel_estimation_tpu.models import gmm_quant
+    qcfg = base._replace(max_iter=5)
+    f_block = pmesh.fit_gmm_quant_shard_map(m, key, r, qcfg, n_bits,
+                                            10 ** (-snr / 10), q)
+    f_pipe = pmesh.fit_gmm_quant_shard_map(
+        m, key, r, qcfg._replace(psum_segments=4), n_bits,
+        10 ** (-snr / 10), q)
+    np.testing.assert_allclose(np.asarray(f_pipe.params.covariances),
+                               np.asarray(f_block.params.covariances),
+                               atol=2e-4)
+    # single-device: psum_segments must be a silent no-op (no axis_name)
+    fit_seg = gmm.fit(key, data, base._replace(psum_segments=4,
+                                               axis_name=None))
+    fit_one = gmm.fit(key, data, base._replace(axis_name=None))
+    np.testing.assert_allclose(np.asarray(fit_seg.params.covariances),
+                               np.asarray(fit_one.params.covariances))
+
+
 def test_sharded_estimation_matches(data):
     cfg = gmm.GmmConfig(n_components=4, zero_mean=True, max_iter=10,
                         chunk_size=2000)

@@ -119,3 +119,50 @@ def test_urban_macro_genie_cov_matches_samples(key):
     t0 = np.asarray(t)[:, 0].real
     emp = np.mean(np.abs(h) ** 2, axis=(1, 2))
     np.testing.assert_allclose(emp, t0, rtol=0.08)
+
+
+def test_multi_snapshot_coherence_pipeline(key):
+    """n_coherence > 1 (reference signature `SCMMulti.py:30`): snapshots are
+    independent draws sharing one angular PSD; flatten_coherence broadcasts
+    the per-block genie Toeplitz row so the single-snapshot estimators run
+    unchanged, and genie-BLMMSE quality matches the n_coherence=1 pipeline."""
+    import numpy as np
+    from quantized_channel_estimation_tpu.estimators import blmmse
+    from quantized_channel_estimation_tpu.ops import observation, pilots
+    from quantized_channel_estimation_tpu.ops import quantizer as Q
+    from quantized_channel_estimation_tpu.utils.metrics import nmse
+
+    n_ant, n_coh, n_blocks = 16, 4, 500
+    h, t = scm.generate_channels(key, n_blocks,
+                                 scm.ScmConfig(n_ant, 2, n_coherence=n_coh))
+    assert h.shape == (n_blocks, n_coh, n_ant)
+    h_flat, t_flat = scm.flatten_coherence(h, t)
+    assert h_flat.shape == (n_blocks * n_coh, n_ant)
+    assert t_flat.shape == (n_blocks * n_coh, n_ant)
+    # the genie row repeats within each block
+    np.testing.assert_array_equal(np.asarray(t_flat[:n_coh]),
+                                  np.tile(np.asarray(t[:1]), (n_coh, 1)))
+    # snapshots share second-order statistics: per-block sample covariance
+    # diag approaches the genie diag (coarse at n_coh=4, so pool blocks)
+    e_diag = float(jnp.mean(jnp.abs(h_flat) ** 2))
+    g_diag = float(jnp.mean(jnp.real(t_flat[:, 0])))
+    assert abs(e_diag - g_diag) / g_diag < 0.1
+
+    snr, n_bits = 10.0, 2
+    a = pilots.pilot_matrix(n_ant, 1, n_bits)
+    q = Q.design_quantizer(snr, n_bits)
+    r = observation.observe(jax.random.fold_in(key, 1), h_flat, snr, a,
+                            n_bits, q)
+    m_multi = float(nmse(blmmse.estimate_genie(r, t_flat, snr, a, n_bits, q),
+                         h_flat))
+    # single-snapshot pipeline at matched sample count
+    h1, t1 = scm.generate_channels(jax.random.fold_in(key, 2),
+                                   n_blocks * n_coh,
+                                   scm.ScmConfig(n_ant, 2, n_coherence=1))
+    r1 = observation.observe(jax.random.fold_in(key, 3), h1, snr, a,
+                             n_bits, q)
+    m_single = float(nmse(blmmse.estimate_genie(r1, t1, snr, a, n_bits, q),
+                          h1))
+    assert abs(m_multi - m_single) / m_single < 0.15, (m_multi, m_single)
+    # 2-D input passes through unchanged
+    assert scm.flatten_coherence(h1).shape == h1.shape
