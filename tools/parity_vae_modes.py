@@ -27,11 +27,11 @@ for alias in ("infty", "Inf"):
     if not hasattr(np, alias):
         setattr(np, alias, np.inf)
 
-N_ANT = 16
-LATENT = 4
-N_LAYERS = 3
-N_TRAIN = 8_000
-N_VAL = 2_000
+N_ANT = int(os.environ.get("PARITY_N_ANT", 16))
+LATENT = int(os.environ.get("PARITY_LATENT", max(4, N_ANT // 4)))
+N_LAYERS = int(os.environ.get("PARITY_LAYERS", 3 if N_ANT <= 16 else 4))
+N_TRAIN = int(os.environ.get("PARITY_NTRAIN", 8_000))
+N_VAL = int(os.environ.get("PARITY_NVAL", 2_000))
 EPOCHS = int(os.environ.get("PARITY_EPOCHS", 40))
 BATCH = 200
 LR = 5e-4
