@@ -60,3 +60,19 @@ print(f"CSI-free GMM NMSE @ {SNR_EVAL:.0f} dB: "
       f"{float(metrics.nmse(h_est, h_val)):.4f}")
 print(f"genie bound       @ {SNR_EVAL:.0f} dB: "
       f"{float(metrics.nmse(h_genie, h_val)):.4f}")
+
+# Structured CSI-free variants — both of these CRASH in the reference
+# (`gmm_cplx_quant.py:763-767`); here they are working designs:
+#   diag:      per-dim variance recovery from quantization-bin occupancy,
+#              O(NKD) statistics (needs n_bits >= 2)
+#   circulant: full recovery projected onto the circulant cone via the
+#              DFT diagonal (Frobenius-nearest circulant)
+for cov_type in ("diag", "circulant"):
+    fit_s = gmm_quant.fit(jax.random.PRNGKey(5), r_train,
+                          cfg._replace(cov_type=cov_type), N_BITS, sigma2,
+                          q_train)
+    bank_s = gmm_estimator.prepare_bank(fit_s.params, SNR_EVAL, a, N_BITS,
+                                        q_eval)
+    h_s = gmm_estimator.estimate(bank_s, r_val, "all")
+    print(f"CSI-free {cov_type:9s} NMSE @ {SNR_EVAL:.0f} dB: "
+          f"{float(metrics.nmse(h_s, h_val)):.4f}")
