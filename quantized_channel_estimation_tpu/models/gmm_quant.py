@@ -16,12 +16,16 @@ M-step covariance recovery by bit-width (`gmm_cplx_quant.py:773-853`):
   inf:    C = sample cov - sigma^2 I, PSD-clipped; Cq = C + sigma^2 I
 
 Supported covariance types: 'full', 'toeplitz'/'block-toeplitz' (recovery +
-Barton-Fuhrmann spectrum projection), 'diag' (per-dim bin-occupancy variance
-recovery, O(NKD) statistics — n_bits >= 2), and 'circulant' (full recovery +
-closed-form DFT-diagonal projection). The reference INTENDS diag and
-circulant quantized training but both crash upstream (the covariance updater
-returns one array where the caller unpacks two, `gmm_cplx_quant.py:763-767`);
-'diag' and 'circulant' here are working designs that exceed the reference.
+Barton-Fuhrmann spectrum projection), 'diag'/'spherical' (per-dim
+bin-occupancy variance recovery, O(NKD) statistics — n_bits >= 2; spherical
+ties the variance across dims), and 'circulant' (full recovery +
+closed-form DFT-diagonal projection). The reference INTENDS diag, spherical
+and circulant quantized training but all three crash upstream (the
+covariance updaters return one array where the caller unpacks two,
+`gmm_cplx_quant.py:763-767,855-878,966` — and even then they compute plain
+sample covariances of the QUANTIZED data with no Bussgang/occupancy
+recovery of the channel covariance); the modes here are working designs
+that exceed the reference.
 
 Estimation from quantized pilots reuses `gmm_estimator.prepare_bank` — the
 prepared-bank math is identical to the clean-trained GMM
@@ -203,6 +207,12 @@ def _run_quant_em_diag(state0: _QStateDiag, chunks, mask, n: int,
             y_var = cov_recovery.recover_variances(
                 stats.nk, stats.below, pos_tau, state.var_quant, gn_key)
         var = jnp.maximum(y_var - sigma2, cfg.reg_covar)
+        if cfg.cov_type == "spherical":
+            # tie the recovered variance across dimensions (the reference's
+            # spherical updater is `diag(...).mean(1)`,
+            # `gmm_cplx_quant.py:966` — also unreachable there)
+            var = jnp.broadcast_to(jnp.mean(var, axis=-1, keepdims=True),
+                                   var.shape)
         valid = (stats.nk >= 2.0)[:, None]
         var = jnp.where(valid, var, 1.0)  # empty-component guard (see
         # _recover_covs): park at unit power, ~zero weight keeps it inert
@@ -301,18 +311,20 @@ def _prep(r: jax.Array, cfg: GmmConfig, n_bits, q):
                if (q is not None and not is_inf_bits(n_bits) and n_bits != 1)
                else None)
     if cfg.cov_type not in ("full", "toeplitz", "block-toeplitz", "diag",
-                            "circulant"):
+                            "spherical", "circulant"):
         raise NotImplementedError(
             f"Gmm_quant covariance_type={cfg.cov_type!r}: supported are "
-            "'full', 'toeplitz', 'block-toeplitz', 'diag', 'circulant'")
-    if cfg.cov_type == "diag" and n_bits == 1:
+            "'full', 'toeplitz', 'block-toeplitz', 'diag', 'spherical', "
+            "'circulant'")
+    if cfg.cov_type in ("diag", "spherical") and n_bits == 1:
         # |Q_1bit(y)|^2 == 1 for every sample: a 1-bit quantizer carries no
         # per-dim amplitude information, so a correlation-free diag model
         # is unidentifiable (the full path survives on the arcsine
         # CORRELATION, which diag ignores)
         raise NotImplementedError(
-            "cov_type='diag' quantized training is unidentifiable at "
-            "n_bits=1 (bin occupancy carries no amplitude information)")
+            f"cov_type={cfg.cov_type!r} quantized training is "
+            "unidentifiable at n_bits=1 (bin occupancy carries no "
+            "amplitude information)")
     inv_em = cfg.cov_type in ("toeplitz", "block-toeplitz")
     f2 = None
     if inv_em:
@@ -335,7 +347,7 @@ def fit(key: jax.Array, r: jax.Array, cfg: GmmConfig, n_bits, sigma2,
     n = r.shape[0]
     k_init, k_gn = jax.random.split(key)
 
-    if cfg.cov_type == "diag":
+    if cfg.cov_type in ("diag", "spherical"):
         init_stats = _init_resp_stats(k_init, r, cfg, diag=True,
                                       chunk=cfg.chunk_size)
         if cfg.axis_name is not None:
@@ -484,7 +496,7 @@ def fit_resume(key: jax.Array, prev: QuantGmmFitResult, r: jax.Array,
     (`linalg.spectrum_from_covariance`)."""
     d, dtype, eye, pos_tau, inv_em, f2, chunks, mask = _prep(r, cfg, n_bits, q)
     k = prev.params.weights.shape[0]
-    if cfg.cov_type == "diag":
+    if cfg.cov_type in ("diag", "spherical"):
         var = jnp.real(jnp.diagonal(prev.params.covariances,
                                     axis1=-2, axis2=-1))
         var_quant = jnp.real(jnp.diagonal(prev.cov_quant,

@@ -205,6 +205,30 @@ class TestQuantGmm:
         assert np.isfinite(float(fit2.lower_bound))
         assert float(fit2.lower_bound) >= float(fit.lower_bound) - 0.05
 
+    def test_quant_em_spherical(self, setup):
+        """Spherical = diag with the recovered variance tied across dims
+        (the reference's `diag(...).mean(1)`, `gmm_cplx_quant.py:966`,
+        equally unreachable there)."""
+        h_train, h_val, _ = setup
+        snr, n_bits = 5.0, 2
+        a = pilots.pilot_matrix(self.N_ANT, 1, n_bits)
+        q = Q.design_quantizer(snr, n_bits)
+        r_train = observation.observe(jax.random.PRNGKey(30), h_train, snr,
+                                      a, n_bits, q)
+        fit = gmm_quant.fit(jax.random.PRNGKey(31), r_train,
+                            gmm.GmmConfig(n_components=8,
+                                          cov_type="spherical",
+                                          zero_mean=True, max_iter=15,
+                                          chunk_size=4096),
+                            n_bits, 10 ** (-snr / 10), q)
+        assert np.isfinite(float(fit.lower_bound))
+        diag = np.real(np.asarray(fit.params.covariances)[
+            :, np.arange(self.N_ANT), np.arange(self.N_ANT)])
+        # per-component constant diagonal, positive
+        assert diag.min() > 0
+        np.testing.assert_allclose(
+            diag, np.broadcast_to(diag[:, :1], diag.shape), rtol=1e-6)
+
     def test_quant_em_diag_one_bit_rejected(self, setup):
         h_train, _, _ = setup
         q = Q.design_quantizer(5.0, 1)
