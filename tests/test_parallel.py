@@ -81,6 +81,19 @@ def test_pipelined_psum_matches_blocking(data):
     np.testing.assert_allclose(np.asarray(f_pipe.params.covariances),
                                np.asarray(f_block.params.covariances),
                                atol=2e-4)
+    # diag quantized EM (O(NKD) statistics path) under the same DP mesh:
+    # pipelined == blocking == structure preserved
+    dcfg = qcfg._replace(cov_type="diag")
+    d_block = pmesh.fit_gmm_quant_shard_map(m, key, r, dcfg, n_bits,
+                                            10 ** (-snr / 10), q)
+    d_pipe = pmesh.fit_gmm_quant_shard_map(
+        m, key, r, dcfg._replace(psum_segments=4), n_bits,
+        10 ** (-snr / 10), q)
+    np.testing.assert_allclose(np.asarray(d_pipe.params.covariances),
+                               np.asarray(d_block.params.covariances),
+                               atol=2e-4)
+    covs = np.asarray(d_block.params.covariances)
+    assert np.abs(covs * (1 - np.eye(covs.shape[-1]))).max() == 0.0
     # single-device: psum_segments must be a silent no-op (no axis_name)
     fit_seg = gmm.fit(key, data, base._replace(psum_segments=4,
                                                axis_name=None))
