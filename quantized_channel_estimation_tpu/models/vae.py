@@ -230,6 +230,15 @@ class VaeTrainState(NamedTuple):
 
 
 def init_vae(key, cfg: VaeConfig):
+    if cfg.vae_mode == "real" and cfg.n_pilots > 1:
+        # single-pilot only, like the reference: its real mode feeds the
+        # FULL flat observation (2NP reals) to an encoder declared with
+        # in_features=2N (`vae.py:100-101,238-241`) and evaluates an N-dim
+        # decoder likelihood against the 2NP-dim observation
+        # (`vae.py:322-343`) — both shape-inconsistent for P > 1
+        raise NotImplementedError(
+            "vae_mode='real' supports n_pilots=1 only (the reference's "
+            "real-mode architecture and likelihood are single-pilot)")
     model = DnnVae(cfg)
     if cfg.vae_mode == "genie":
         dummy = jnp.zeros((2, 2 * cfg.n_antennas), jnp.float32)

@@ -81,6 +81,40 @@ def test_estimation_beats_trivial(data, mode):
     assert np.isfinite(m) and m < 1.0, (mode, m)
 
 
+def test_multi_pilot_real_mode_rejected(data):
+    """The reference's real mode is single-pilot only (its encoder's fixed
+    in_features=2N and its N-dim likelihood are both shape-inconsistent
+    against a 2NP observation for P > 1); ours raises explicitly."""
+    cfg = _cfg("real")._replace(n_pilots=2, n_pilot_convs=1)
+    with pytest.raises(NotImplementedError, match="n_pilots=1 only"):
+        vae.init_vae(jax.random.PRNGKey(7), cfg)
+
+
+@pytest.mark.parametrize("mode", ["noisy"])
+def test_multi_pilot_pre_pilot_conv_path(data, mode):
+    """n_pilots=2 with one pre_pilot 1x1 conv layer (`vae.py:242-245`,
+    `Bussgang_VAE.py:78` sets n_pilot_convs = n_pilots//2): training steps
+    finite, estimation finite and beats the trivial estimator."""
+    h_train, h_val = data
+    cfg = _cfg(mode)._replace(n_pilots=2, n_pilot_convs=1)
+    a = pilots.pilot_matrix(N_ANT, 2, cfg.n_bits)
+    quantizers = [Q.design_quantizer(s, cfg.n_bits) for s in SNRS]
+    model, state = vae.init_vae(jax.random.PRNGKey(7), cfg)
+    step = vae.make_train_step(model, cfg, a, jnp.asarray(SNRS, jnp.float32),
+                               quantizers)
+    for i in range(60):
+        state, loss = step(state, h_train, jax.random.PRNGKey(i))
+        assert np.isfinite(float(loss))
+    snr = 10.0
+    q = Q.design_quantizer(snr, cfg.n_bits)
+    r = observation.observe(jax.random.PRNGKey(8), h_val, snr, a,
+                            cfg.n_bits, q)
+    assert r.shape == (h_val.shape[0], 2 * N_ANT)
+    h_est = vae.estimate(model, state.params, cfg, r, snr, a, q)
+    m = float(nmse(h_est, h_val))
+    assert np.isfinite(m) and m < 1.0, (mode, m)
+
+
 def test_estimate_covariance_algebra_is_precision_pinned():
     """Regression: the round-1 'real-mode VAE NaNs at 20 dB' bug. The eval
     path builds Cy = A Ch A^H + s2 I per sample; under the TPU's default
