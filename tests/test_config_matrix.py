@@ -84,7 +84,8 @@ def test_pilot_types(data, ptype, n_pilots):
     assert est.shape == h_val.shape
 
 
-@pytest.mark.parametrize("cov_type", ["full", "toeplitz"])
+@pytest.mark.parametrize("cov_type", ["full", "toeplitz", "diag",
+                                      "spherical", "circulant"])
 @pytest.mark.parametrize("n_bits", [1, 2, Q.INF_BITS])
 def test_quant_gmm_matrix(data, cov_type, n_bits):
     h_train, _ = data
@@ -94,6 +95,11 @@ def test_quant_gmm_matrix(data, cov_type, n_bits):
     r = observation.observe(jax.random.PRNGKey(2), h_train, snr, a, n_bits, q)
     cfg = gmm.GmmConfig(n_components=2, cov_type=cov_type, zero_mean=True,
                         max_iter=2, chunk_size=256)
+    if cov_type in ("diag", "spherical") and n_bits == 1:
+        with pytest.raises(NotImplementedError, match="unidentifiable"):
+            gmm_quant.fit(jax.random.PRNGKey(3), r, cfg, n_bits,
+                          10 ** (-snr / 10), q)
+        return
     fit = gmm_quant.fit(jax.random.PRNGKey(3), r, cfg, n_bits,
                         10 ** (-snr / 10), q)
     covs = np.asarray(fit.params.covariances)
