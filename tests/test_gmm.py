@@ -184,6 +184,49 @@ class TestGmmEstimation:
             w = gmm_estimator._selection_weights(proba, mode)
             np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, rtol=1e-5)
 
+    def test_coherent_reduces_to_estimate_at_t1(self, setup):
+        """estimate_coherent on (B, 1, M) blocks must equal `estimate` —
+        one snapshot contributes one log-likelihood, so the block posterior
+        IS the per-sample posterior."""
+        _, h_val, _, params, _ = setup
+        snr, n_bits = 5.0, 2
+        a = pilots.pilot_matrix(self.N_ANT, 1, n_bits)
+        q = Q.design_quantizer(snr, n_bits)
+        r = observation.observe(jax.random.PRNGKey(11), h_val, snr, a,
+                                n_bits, q)
+        bank = gmm_estimator.prepare_bank(params, snr, a, n_bits, q)
+        flat = gmm_estimator.estimate(bank, r, "all")
+        blk = gmm_estimator.estimate_coherent(bank, r[:, None, :], "all")
+        np.testing.assert_allclose(np.asarray(blk[:, 0]), np.asarray(flat),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_coherent_beats_independent(self, setup):
+        """Joint component selection over a coherence block (snapshots share
+        one angular PSD -> one generating component) must beat independent
+        per-snapshot estimation — the capability the reference lacks
+        (`SCMMulti.py:30` emits blocks but everything downstream is
+        single-snapshot)."""
+        _, _, _, params, _ = setup
+        key = jax.random.PRNGKey(12)
+        n_coh, n_blocks = 8, 1500
+        cfg = scm.ScmConfig(n_antennas=self.N_ANT, n_path=1,
+                            n_coherence=n_coh)
+        h, _ = scm.generate_channels(key, n_blocks, cfg)  # (B, T, N)
+        snr, n_bits = 0.0, 2
+        a = pilots.pilot_matrix(self.N_ANT, 1, n_bits)
+        q = Q.design_quantizer(snr, n_bits)
+        r = observation.observe(jax.random.fold_in(key, 1), h, snr, a,
+                                n_bits, q)  # (B, T, M)
+        bank = gmm_estimator.prepare_bank(params, snr, a, n_bits, q)
+        h_flat = h.reshape(-1, self.N_ANT)
+        m_indep = float(nmse(
+            gmm_estimator.estimate(bank, r.reshape(h_flat.shape[0], -1),
+                                   "all"), h_flat))
+        m_joint = float(nmse(
+            gmm_estimator.estimate_coherent(bank, r, "all").reshape(
+                -1, self.N_ANT), h_flat))
+        assert m_joint < m_indep, (m_joint, m_indep)
+
 
 def test_fit_resume_continues(rng, key):
     """Resuming EM from checkpointed params must not degrade the lower bound
