@@ -40,8 +40,11 @@ COV = sys.argv[3] if len(sys.argv) > 3 else "toeplitz"
 SEGS = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 N_TRAIN, N_VAL, SNR, NB = 60_000, 2_000, 10.0, 2
 t0 = time.time()
+# datagen memory scales with the 100x-oversampled PSD lattice (chunk, 100 D):
+# keep the per-chunk footprint ~constant across D (4096 rows at D<=256)
+GEN_CHUNK = max(512, (4096 * 256) // D)
 h, t = stages.generate_channels(jax.random.PRNGKey(0), N_TRAIN + N_VAL,
-                                scm.ScmConfig(D, 1), chunk=4096)
+                                scm.ScmConfig(D, 1), chunk=GEN_CHUNK)
 h_train = stages.tree_slice(h, 0, N_TRAIN)
 h_val = stages.tree_slice(h, N_TRAIN, N_TRAIN + N_VAL)
 t_val = stages.tree_slice(t, N_TRAIN, N_TRAIN + N_VAL)
