@@ -194,9 +194,16 @@ def estimate_sharded(mesh: Mesh, bank: PreparedBank, r: jax.Array,
     sharded over 'component'. The weighted combine contracts over K, which
     XLA lowers to a psum over the component axis. GSPMD auto-sharding of the
     einsum estimator — supports every selection mode; for kernel-speed
-    'all'-mode tensor parallelism use `estimate_sharded_kernel`."""
+    'all'-mode tensor parallelism use `estimate_sharded_kernel`.
+
+    r of rank 3 is treated as (B, T, M) coherence blocks and routed through
+    `gmm_estimator.estimate_coherent` (blocks sharded over 'data'; the
+    block-pooled posterior's K-contractions psum over 'component' the same
+    way)."""
     r = shard_data(mesh, r)
     bank = shard_bank(mesh, bank)
+    if r.ndim == 3:
+        return gmm_estimator.estimate_coherent(bank, r, mode, chunk_size)
     return gmm_estimator.estimate(bank, r, mode, chunk_size)
 
 

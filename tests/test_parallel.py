@@ -118,6 +118,16 @@ def test_sharded_estimation_matches(data):
     got = pmesh.estimate_sharded(m, bank, r, "all", chunk_size=200)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
+    # coherence blocks (rank-3 r) route through estimate_coherent and must
+    # match the unsharded block path on every mesh factorization
+    rb = r.reshape(200, 4, -1)
+    want_b = gmm_estimator.estimate_coherent(bank, rb, "all")
+    for nd, nk in ((4, 2), (2, 4), (8, 1)):
+        mb = pmesh.make_mesh(nd, nk)
+        got_b = pmesh.estimate_sharded(mb, bank, rb, "all", chunk_size=50)
+        np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                                   atol=1e-5)
+
 
 def test_random_init_fit_quality(data):
     """Random init must converge to a usable model (possibly needing a few
