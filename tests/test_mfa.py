@@ -97,6 +97,37 @@ class TestMfaEstimation:
         assert np.isfinite(m_mfa) and m_mfa < 1.0
         assert m_mfa <= m_glob * 1.1, (m_mfa, m_glob)
 
+    def test_mfa_bank_coherent_estimation(self):
+        """estimate_coherent is model-agnostic over PreparedBank: an
+        MFA-derived bank pools block posteriors the same way — joint must
+        not lose to independent snapshots at low SNR (blocks share one
+        angular PSD)."""
+        key = jax.random.PRNGKey(21)
+        h_train, _ = scm.generate_channels(key, 20000,
+                                           scm.ScmConfig(self.N_ANT, 3))
+        cfg = mfa.MfaConfig(n_components=8, latent_dim=self.N_ANT // 4,
+                            ppca=True, zero_mean=True, max_iter=30,
+                            chunk_size=4096)
+        res = mfa.fit(jax.random.PRNGKey(22), h_train, cfg)
+        params = mfa.to_gmm_params(res.params, reg=1e-6)
+
+        n_coh = 8
+        hb, _ = scm.generate_channels(
+            jax.random.PRNGKey(23), 1500,
+            scm.ScmConfig(self.N_ANT, 3, n_coherence=n_coh))
+        snr, n_bits = 0.0, 2
+        a = pilots.pilot_matrix(self.N_ANT, 1, n_bits)
+        q = Q.design_quantizer(snr, n_bits)
+        r = observation.observe(jax.random.PRNGKey(24), hb, snr, a,
+                                n_bits, q)
+        bank = gmm_estimator.prepare_bank(params, snr, a, n_bits, q)
+        h_flat = hb.reshape(-1, self.N_ANT)
+        m_indep = float(nmse(gmm_estimator.estimate(
+            bank, r.reshape(h_flat.shape[0], -1), "all"), h_flat))
+        m_joint = float(nmse(gmm_estimator.estimate_coherent(
+            bank, r, "all").reshape(-1, self.N_ANT), h_flat))
+        assert m_joint <= m_indep * 1.01, (m_joint, m_indep)
+
 
 def test_rs_clip_fires_exact_reference_semantics():
     """When a component's responsibility mass falls below rs_clip, every
