@@ -265,7 +265,10 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
                     lambda prev: stages.gmm_fit_resume(
                         prev.params, h_train, gcfg._replace(max_iter=min(
                             per_seg, cfg.gmm_max_iter - int(prev.n_iter)))),
-                    n_segments=-(-cfg.gmm_max_iter // per_seg))
+                    n_segments=-(-cfg.gmm_max_iter // per_seg),
+                    # segmented fits exist for big programs on remote
+                    # runtimes, which transiently drop compiles — retry
+                    max_retries=1)
             params = fit.params
             if verbose:
                 print(f"GMM fit: {int(fit.n_iter)} iters, "

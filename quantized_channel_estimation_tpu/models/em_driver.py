@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["fit_segmented"]
@@ -42,7 +43,8 @@ def fit_segmented(start_fn: Callable[[], Any],
                   resume_fn: Callable[[Any], Any],
                   n_segments: int,
                   checkpointer: Optional[Any] = None,
-                  example_result: Optional[Any] = None):
+                  example_result: Optional[Any] = None,
+                  max_retries: int = 0):
     """Run EM as up to `n_segments` bounded executions; stop on convergence.
 
     start_fn() runs the first segment; resume_fn(prev_result) each later
@@ -61,6 +63,13 @@ def fit_segmented(start_fn: Callable[[], Any],
     structure/shapes/dtypes (e.g. a 1-iteration fit on a small slice, or
     ShapeDtypeStructs) — and raises if one is needed but not given, rather
     than silently refitting from scratch.
+
+    `max_retries` > 0 re-runs a segment that died with a
+    `jax.errors.JaxRuntimeError` (remote TPU runtimes drop compiles and
+    executions transiently — observed: "remote_compile: read body:
+    response body closed" killing a D=1024 resume compile). Segments are
+    pure functions of the previous result, so a retry is exact; programming
+    errors (TypeError/ValueError/...) are never retried.
 
     Returns the final result with `n_iter` replaced by the TOTAL iteration
     count across all segments run in this process and any restored ones
@@ -86,7 +95,14 @@ def fit_segmented(start_fn: Callable[[], Any],
                 return result
 
     for seg in range(seg0, n_segments):
-        result = start_fn() if result is None else resume_fn(result)
+        for attempt in range(max_retries + 1):
+            try:
+                step = start_fn() if result is None else resume_fn(result)
+                break
+            except jax.errors.JaxRuntimeError:
+                if attempt == max_retries:
+                    raise
+        result = step
         total_iter += int(result.n_iter)
         result = result._replace(n_iter=_as_scalar(result, total_iter))
         if checkpointer is not None:

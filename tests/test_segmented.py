@@ -49,6 +49,59 @@ def test_segmented_stops_on_convergence(channels):
     assert calls["resume"] == 0
 
 
+def test_segmented_retries_transient_runtime_errors(channels):
+    """max_retries re-runs a segment killed by a JaxRuntimeError (the remote
+    runtime drops compiles transiently); programming errors never retry."""
+    cfg = gmm.GmmConfig(n_components=2, cov_type="full", zero_mean=True,
+                        max_iter=3, tol=0.0, chunk_size=1024)
+    calls = {"start": 0, "resume": 0}
+
+    def flaky_start():
+        calls["start"] += 1
+        if calls["start"] == 1:
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: remote_compile: read body: response body closed")
+        return gmm.fit(jax.random.PRNGKey(0), channels, cfg)
+
+    def flaky_resume(prev):
+        calls["resume"] += 1
+        if calls["resume"] == 1:
+            raise jax.errors.JaxRuntimeError("INTERNAL: execution dropped")
+        return gmm.fit_resume(prev.params, channels, cfg)
+
+    res = em_driver.fit_segmented(flaky_start, flaky_resume, n_segments=2,
+                                  max_retries=1)
+    assert calls == {"start": 2, "resume": 2}
+    assert int(res.n_iter) == 6
+
+    # exactness: retried run == clean run (segments are pure)
+    clean = em_driver.fit_segmented(
+        lambda: gmm.fit(jax.random.PRNGKey(0), channels, cfg),
+        lambda prev: gmm.fit_resume(prev.params, channels, cfg),
+        n_segments=2)
+    np.testing.assert_allclose(np.asarray(res.params.covariances),
+                               np.asarray(clean.params.covariances))
+
+    # exhausted retries re-raise
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        em_driver.fit_segmented(
+            lambda: (_ for _ in ()).throw(
+                jax.errors.JaxRuntimeError("INTERNAL: down")),
+            flaky_resume, n_segments=1, max_retries=1)
+
+    # non-runtime errors propagate immediately, no retry
+    boom = {"n": 0}
+
+    def bad_start():
+        boom["n"] += 1
+        raise ValueError("config error")
+
+    with pytest.raises(ValueError):
+        em_driver.fit_segmented(bad_start, flaky_resume, n_segments=1,
+                                max_retries=3)
+    assert boom["n"] == 1
+
+
 def test_segmented_checkpoint_resume(channels, tmp_path):
     """Kill after 2 segments; a rerun restores segment 2's result and runs
     only the remaining segment, landing where an uninterrupted run does."""

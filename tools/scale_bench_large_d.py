@@ -66,7 +66,8 @@ else:
         lambda prev: stages.gmm_fit_resume(
             prev.params, h_train, cfg._replace(max_iter=min(
                 PER_SEG, TOTAL_ITERS - int(prev.n_iter)))),
-        n_segments=n_segments)
+        n_segments=n_segments,
+        max_retries=2)  # the remote compile service drops large programs
 print(f"fit {time.time()-t0:.1f}s "
       f"({n_segments if SEGS > 1 else 1} segments): {int(fit.n_iter)} iters "
       f"lb={float(fit.lower_bound):.3f}", flush=True)
