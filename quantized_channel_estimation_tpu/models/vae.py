@@ -424,7 +424,7 @@ def estimate(model: DnnVae, params, cfg: VaeConfig, r: jax.Array,
              q: Optional[ScalarQuantizer] = None,
              chunk_size: int = 512, jitter: float = 1e-6,
              h_true: Optional[jax.Array] = None,
-             var_clip: float = 1e2) -> jax.Array:
+             var_clip: float = 1e2, coherence: int = 1) -> jax.Array:
     """Bussgang-LMMSE estimation from decoder outputs (`vae.py:157-228,
     376-431`): per-sample conditional covariance Ch = F^H diag(var) F, then
     the standard per-bit Cr machinery and one batched solve.
@@ -432,6 +432,15 @@ def estimate(model: DnnVae, params, cfg: VaeConfig, r: jax.Array,
     Genie mode is genie-AIDED at evaluation: the encoder sees the true
     channel (`vae.py:203-204`), so pass `h_true`; the LMMSE combine still
     uses the quantized observation r. Other modes ignore `h_true`.
+
+    `coherence=T > 1` treats r as T-snapshot coherence blocks laid out
+    contiguously (rows t·T..t·T+T-1 share one angular PSD —
+    `scm.ScmConfig(n_coherence)`); the decoder's predicted FFT-domain
+    variances are POOLED (averaged) over each block before the LMMSE, a
+    T-fold variance reduction of the shared-PSD estimate. Per-snapshot
+    conditional means are NOT pooled (each snapshot is an independent
+    channel draw). No reference analog (new design, like
+    `gmm_estimator.estimate_coherent`).
     """
     n = cfg.n_antennas
     sigma2 = 10.0 ** (-snr_db / 10.0)
@@ -472,6 +481,14 @@ def estimate(model: DnnVae, params, cfg: VaeConfig, r: jax.Array,
         # bounds the ceiling (ADVICE round 1)
         var = jnp.clip(jnp.exp(-log_prec), 1e-12,
                        var_clip)  # (B, N) FFT-domain
+        if coherence > 1:
+            # chunk boundaries are block-aligned (asserted below), so the
+            # reshape groups exactly the T snapshots of each block
+            var = jnp.broadcast_to(
+                jnp.mean(var.reshape(-1, coherence, n), axis=1,
+                         keepdims=True),
+                (var.shape[0] // coherence, coherence, n)
+            ).reshape(var.shape)
         if cfg.zeromean or mu_dec is None:
             mu_h = jnp.zeros((rc.shape[0], n), rc.dtype)
         else:
@@ -497,6 +514,14 @@ def estimate(model: DnnVae, params, cfg: VaeConfig, r: jax.Array,
         return mu_h + jnp.einsum("bdm,bm->bd", ch_aeff, x_sol)
 
     n_samples = r.shape[0]
+    if coherence > 1:
+        if n_samples % coherence:
+            raise ValueError(f"coherence={coherence} needs row count "
+                             f"{n_samples} to be a multiple of it (blocks "
+                             f"laid out contiguously)")
+        # align chunk boundaries to blocks so pooling never mixes blocks
+        # (padding rows then also form whole all-zero blocks)
+        chunk_size = max(coherence, chunk_size - chunk_size % coherence)
     n_chunks = -(-n_samples // chunk_size)
     pad = n_chunks * chunk_size - n_samples
     rp = jnp.pad(r, ((0, pad), (0, 0))).reshape(n_chunks, chunk_size, -1)

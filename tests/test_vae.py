@@ -90,6 +90,43 @@ def test_multi_pilot_real_mode_rejected(data):
         vae.init_vae(jax.random.PRNGKey(7), cfg)
 
 
+def test_estimate_coherence_pooling(data):
+    """coherence=T pools ONLY the decoder's predicted FFT-domain variances
+    per block. Invariance check: blocks of T identical snapshots give
+    identical pooled and per-snapshot estimates; distinct snapshots give a
+    finite, sane pooled estimate; non-multiple row counts are rejected."""
+    h_train, h_val = data
+    cfg, a, quantizers = _setup("noisy")
+    model, state, _ = vae.train(
+        jax.random.PRNGKey(5), cfg, h_train, a, SNRS, quantizers,
+        verbose=False)
+    snr, t = 10.0, 4
+    q = Q.design_quantizer(snr, cfg.n_bits)
+    r = observation.observe(jax.random.PRNGKey(6), h_val[:200], snr, a,
+                            cfg.n_bits, q)
+    # identical-snapshot blocks: pooling must be a no-op
+    r_rep = jnp.repeat(r, t, axis=0)
+    h_rep = vae.estimate(model, state.params, cfg, r_rep, snr, a, q)
+    h_pool = vae.estimate(model, state.params, cfg, r_rep, snr, a, q,
+                          coherence=t)
+    np.testing.assert_allclose(np.asarray(h_pool), np.asarray(h_rep),
+                               rtol=2e-4, atol=2e-5)
+    # real blocks: finite and in the per-snapshot path's ballpark
+    hb, _ = scm.generate_channels(jax.random.PRNGKey(7), 250,
+                                  scm.ScmConfig(N_ANT, 1, n_coherence=t))
+    hf = hb.reshape(-1, N_ANT)
+    rb = observation.observe(jax.random.PRNGKey(8), hb, snr, a,
+                             cfg.n_bits, q).reshape(hf.shape[0], -1)
+    m1 = float(nmse(vae.estimate(model, state.params, cfg, rb, snr, a, q),
+                    hf))
+    mt = float(nmse(vae.estimate(model, state.params, cfg, rb, snr, a, q,
+                                 coherence=t), hf))
+    assert np.isfinite(mt) and mt <= m1 * 1.05, (mt, m1)
+    with pytest.raises(ValueError, match="multiple"):
+        vae.estimate(model, state.params, cfg, rb[:-1], snr, a, q,
+                     coherence=t)
+
+
 @pytest.mark.parametrize("mode", ["noisy"])
 def test_multi_pilot_pre_pilot_conv_path(data, mode):
     """n_pilots=2 with one pre_pilot 1x1 conv layer (`vae.py:242-245`,
