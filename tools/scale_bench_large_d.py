@@ -17,6 +17,13 @@ D=512 (8x), K=16 toeplitz, 6 segments (2026-08-19): gmm 0.0511 vs genie
 estimation 0.41 M est/s with fused(chunked) == einsum (HBM-bound, bank
 no longer VMEM-resident).
 
+D=1024 (16x), K=8 toeplitz, 6 segments (2026-08-20): gmm 0.0591 vs genie
+0.0400 (1.48x); datagen 11 s, fit 422 s / 30 iters; estimation
+0.24 M est/s (einsum == chunked; ~134 MFLOP/estimate = ~32 TFLOP/s,
+~90% of the f32 ceiling — fully compute-bound). The first attempt died in
+the RESUME program's remote compile ("response body closed"), which is
+why the segmented fit here passes max_retries=2.
+
 Usage: python tools/scale_bench_large_d.py [D] [K] [cov_type] [segments]
 (segments > 1 runs the fit as that many bounded executions through
 em_driver.fit_segmented — needed at D=512, where a monolithic fit is one
