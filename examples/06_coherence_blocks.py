@@ -51,18 +51,13 @@ for snr_db in (-10.0, 0.0, 10.0):
     bank = stages.prepare_bank(fit.params, snr_db, a, N_BITS, q)
 
     # independent per-snapshot estimation (what flattening gives you)
-    b, t = r.re.shape[0], r.re.shape[1]
-    r_flat = stages.tree_slice(r, 0, b)  # same tree; reshape leafwise below
-    r_flat = jax.tree_util.tree_map(
-        lambda x: x.reshape(b * t, -1), r_flat)
-    h_flat = jax.tree_util.tree_map(
-        lambda x: x.reshape(b * t, -1), h_val)
+    r_flat = stages.flatten_coherence(r)
+    h_flat = stages.flatten_coherence(h_val)
     m_indep = stages.nmse(stages.estimate(bank, r_flat, "all"), h_flat)
 
     # joint estimation over each block
-    h_joint = stages.estimate_coherent(bank, r, "all")
-    h_joint = jax.tree_util.tree_map(
-        lambda x: x.reshape(b * t, -1), h_joint)
+    h_joint = stages.flatten_coherence(
+        stages.estimate_coherent(bank, r, "all"))
     m_joint = stages.nmse(h_joint, h_flat)
     print(f"SNR {snr_db:+5.1f} dB: independent {m_indep:.4f}  "
           f"joint {m_joint:.4f}  ({100 * (m_joint - m_indep) / m_indep:+.1f}%)")

@@ -94,6 +94,11 @@ def pilot_matrix(n_antennas, n_pilots, n_bits, pilot_type="angle_amp",
 sample_cov = cjit(lambda h: jnp.einsum("nd,ne->de", h, jnp.conj(h))
                   / h.shape[0])
 
+# (B, T, N) coherence blocks -> (B*T, N) rows (+ per-block genie rows
+# broadcast across snapshots when t is given) — the ONE place that owns the
+# block-major snapshot-ordering contract (ops/scm.py:flatten_coherence)
+flatten_coherence = cjit(scm.flatten_coherence)
+
 observe = cjit(observation.observe, static_argnums=(4,))
 
 blmmse_global = cjit(blmmse.estimate_global, static_argnums=(4,))

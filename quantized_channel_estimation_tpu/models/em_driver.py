@@ -98,12 +98,17 @@ def fit_segmented(start_fn: Callable[[], Any],
         for attempt in range(max_retries + 1):
             try:
                 step = start_fn() if result is None else resume_fn(result)
+                # force a scalar readback INSIDE the guard: under async
+                # dispatch a dropped execution raises at first readback,
+                # not at dispatch (remote runtimes surface failures only
+                # here) — without this the error would escape the retry
+                step_iters = int(step.n_iter)
                 break
             except jax.errors.JaxRuntimeError:
                 if attempt == max_retries:
                     raise
         result = step
-        total_iter += int(result.n_iter)
+        total_iter += step_iters
         result = result._replace(n_iter=_as_scalar(result, total_iter))
         if checkpointer is not None:
             checkpointer.save(seg, result)

@@ -38,24 +38,21 @@ fit = stages.gmm_fit(jax.random.PRNGKey(2), h_train,
 print(f"fit {time.time()-t0:.1f}s ({int(fit.n_iter)} iters)", flush=True)
 
 a = stages.pilot_matrix(D, 1, NB)
-flatten = lambda packed: jax.tree_util.tree_map(
-    lambda x: x.reshape(N_BLOCKS * T, -1), packed)
-h_flat = flatten(h_val)
-t_flat = jax.tree_util.tree_map(
-    lambda x: x.repeat(T, axis=0) if x.shape[0] == N_BLOCKS else x, t_val)
+h_flat, t_flat = stages.flatten_coherence(h_val, t_val)
 
 for snr in (-10.0, 0.0, 10.0):
     q = Q.design_quantizer(snr, NB)
     r = stages.observe(jax.random.PRNGKey(3), h_val, snr, a, NB, q)
     bank = stages.prepare_bank(fit.params, snr, a, NB, q)
-    r_flat = flatten(r)
+    r_flat = stages.flatten_coherence(r)
 
     t0 = time.time()
     m_indep = stages.nmse(stages.estimate(bank, r_flat, "all"), h_flat)
     t_indep = time.time() - t0
     t0 = time.time()
-    m_joint = stages.nmse(flatten(stages.estimate_coherent(bank, r, "all")),
-                          h_flat)
+    m_joint = stages.nmse(
+        stages.flatten_coherence(stages.estimate_coherent(bank, r, "all")),
+        h_flat)
     t_joint = time.time() - t0
     m_genie = stages.chunked_genie_nmse(r_flat, t_flat, h_flat, snr, a, NB, q)
     print(f"snr={snr:+6.1f}  genie={m_genie:.5f}  indep={m_indep:.5f} "

@@ -48,8 +48,9 @@ SEGS = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 N_TRAIN, N_VAL, SNR, NB = 60_000, 2_000, 10.0, 2
 t0 = time.time()
 # datagen memory scales with the 100x-oversampled PSD lattice (chunk, 100 D):
-# keep the per-chunk footprint ~constant across D (4096 rows at D<=256)
-GEN_CHUNK = max(512, (4096 * 256) // D)
+# 4096 rows up to D=256 (the long-standing footprint), shrinking
+# proportionally beyond so the per-chunk lattice bytes stay ~constant
+GEN_CHUNK = min(4096, max(512, (4096 * 256) // D))
 h, t = stages.generate_channels(jax.random.PRNGKey(0), N_TRAIN + N_VAL,
                                 scm.ScmConfig(D, 1), chunk=GEN_CHUNK)
 h_train = stages.tree_slice(h, 0, N_TRAIN)
