@@ -109,6 +109,7 @@ ls_global = cjit(ls.estimate_global, static_argnums=(4,))
 gmm_fit = cjit(gmm.fit, static_argnums=(2,))
 gmm_fit_resume = cjit(gmm.fit_resume, static_argnums=(2,))
 gmm_quant_fit = cjit(gmm_quant.fit, static_argnums=(2, 3, 6))
+gmm_quant_fit_resume = cjit(gmm_quant.fit_resume, static_argnums=(3, 4))
 mfa_fit = cjit(mfa.fit, static_argnums=(2,))
 mfa_to_gmm = cjit(mfa.to_gmm_params, static_argnums=(1,))
 
