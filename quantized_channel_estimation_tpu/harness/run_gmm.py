@@ -43,6 +43,14 @@ class GmmBenchConfig:
     channel_model: str = "3gpp"
     n_antennas_ms: int = 1
     n_path: int = 1
+    # >1: validation channels arrive as T-snapshot coherence blocks sharing
+    # one angular PSD (`SCMMulti.py:30`); classical estimators and the GMM
+    # run per-snapshot on the flattened stream, and an extra
+    # 'blmmse_gmm_coh' column evaluates block-pooled joint estimation
+    # (`gmm_estimator.estimate_coherent` — new design, no reference
+    # analog). n_train/n_val still count SNAPSHOTS and must divide by it.
+    # '3gpp' channel model only.
+    n_coherence: int = 1
     n_pilots: int = 1
     n_bits: Union[int, float] = 2
     cov_type: str = "full"
@@ -90,6 +98,8 @@ def _model_tag(cfg: GmmBenchConfig) -> str:
     collide on one cache file."""
     if cfg.channel_model == "mimo":
         return f"mimo{cfg.n_antennas}x{cfg.n_antennas_ms}"
+    if cfg.n_coherence > 1:  # block-shaped dataset: distinct cache key
+        return f"{cfg.channel_model}-coh{cfg.n_coherence}"
     return cfg.channel_model
 
 
@@ -129,8 +139,10 @@ def _get_data(cfg: GmmBenchConfig, key):
         macro_cfg = scm.UrbanMacroConfig(cfg.n_antennas, n_paths=cfg.n_path)
         h, t = stages.generate_channels_macro(key, n_channels, macro_cfg)
     else:
-        scm_cfg = scm.ScmConfig(cfg.n_antennas, cfg.n_path, cfg.path_sigma)
-        h, t = stages.generate_channels(key, n_channels, scm_cfg)
+        scm_cfg = scm.ScmConfig(cfg.n_antennas, cfg.n_path, cfg.path_sigma,
+                                n_coherence=cfg.n_coherence)
+        n_gen = n_channels // max(1, cfg.n_coherence)  # blocks, not rows
+        h, t = stages.generate_channels(key, n_gen, scm_cfg)
     if cfg.use_cache:
         qio.save_channels(path, stages.to_numpy(h), stages.to_numpy(t))
     return h, t
@@ -142,10 +154,32 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
     key = jax.random.PRNGKey(cfg.seed)
     k_data, k_gmm, k_obs = jax.random.split(key, 3)
 
+    t_coh = max(1, cfg.n_coherence)
+    if t_coh > 1:
+        if cfg.channel_model != "3gpp":
+            raise NotImplementedError(
+                "n_coherence > 1 is wired for channel_model='3gpp' only")
+        if cfg.n_train % t_coh or cfg.n_val % t_coh:
+            raise ValueError(
+                f"n_train={cfg.n_train} and n_val={cfg.n_val} must be "
+                f"multiples of n_coherence={t_coh} (they count snapshots)")
+
     channels, toep = _get_data(cfg, k_data)
-    h_train = stages.tree_slice(channels, 0, cfg.n_train)
-    h_val = stages.tree_slice(channels, cfg.n_train, cfg.n_train + cfg.n_val)
-    toep_val = stages.tree_slice(toep, cfg.n_train, cfg.n_train + cfg.n_val)
+    if t_coh > 1:
+        nb_train, nb_val = cfg.n_train // t_coh, cfg.n_val // t_coh
+        h_train = stages.flatten_coherence(
+            stages.tree_slice(channels, 0, nb_train))
+        h_val_blocks = stages.tree_slice(channels, nb_train,
+                                         nb_train + nb_val)
+        h_val, toep_val = stages.flatten_coherence(
+            h_val_blocks, stages.tree_slice(toep, nb_train,
+                                            nb_train + nb_val))
+    else:
+        h_train = stages.tree_slice(channels, 0, cfg.n_train)
+        h_val = stages.tree_slice(channels, cfg.n_train,
+                                  cfg.n_train + cfg.n_val)
+        toep_val = stages.tree_slice(toep, cfg.n_train,
+                                     cfg.n_train + cfg.n_val)
 
     dim = channel_dim(cfg)
     a = stages.pilot_matrix(dim, cfg.n_pilots, cfg.n_bits,
@@ -162,9 +196,19 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
 
     obs_keys = {snr: jax.random.fold_in(k_obs, i)
                 for i, snr in enumerate(cfg.snrs)}
-    r_by_snr = {snr: stages.observe(obs_keys[snr], h_val, snr, a, cfg.n_bits,
-                                    quantizers[snr])
-                for snr in cfg.snrs}
+    if t_coh > 1:
+        # observe block-shaped so the coherent column sees real blocks;
+        # every per-snapshot estimator consumes the flattened stream
+        r_blocks_by_snr = {
+            snr: stages.observe(obs_keys[snr], h_val_blocks, snr, a,
+                                cfg.n_bits, quantizers[snr])
+            for snr in cfg.snrs}
+        r_by_snr = {snr: stages.flatten_coherence(r)
+                    for snr, r in r_blocks_by_snr.items()}
+    else:
+        r_by_snr = {snr: stages.observe(obs_keys[snr], h_val, snr, a,
+                                        cfg.n_bits, quantizers[snr])
+                    for snr in cfg.snrs}
 
     def eval_algo(name, rate_name, est_fn, norm_clip=None):
         t0 = time.time()
@@ -285,10 +329,23 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
 
         eval_algo("blmmse_gmm", "gmm_rstat", gmm_est, norm_clip=0.1)
 
+        if t_coh > 1:
+            # block-pooled joint estimation over each coherence block —
+            # the column the reference cannot produce
+            def gmm_coh_est(snr, r):
+                del r  # uses the block-shaped observations
+                bank = stages.prepare_bank(params, snr, a, cfg.n_bits,
+                                           quantizers[snr])
+                return stages.flatten_coherence(stages.estimate_coherent(
+                    bank, r_blocks_by_snr[snr], cfg.n_summands_or_proba))
+
+            eval_algo("blmmse_gmm_coh", "gmm_coh_rstat", gmm_coh_est,
+                      norm_clip=0.1)
+
     timings["total"] = time.time() - t_start
 
     stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
-    model_tag = ("" if cfg.channel_model == "3gpp"
+    model_tag = ("" if _model_tag(cfg) == "3gpp"
                  else f"_model={_model_tag(cfg)}")
     base = (f"{stamp}_ant={dim}{model_tag}_path={cfg.n_path}"
             f"_ntrain={cfg.n_train}_comp={cfg.n_components}"

@@ -42,6 +42,23 @@ def test_structured_covariance(tmp_path, cov_type, blocks):
     assert 0 < mse["blmmse_gmm"][-1] < 1.0
 
 
+def test_coherence_blocks_column(tmp_path):
+    """n_coherence > 1 adds the block-pooled 'blmmse_gmm_coh' column, which
+    must beat (or tie) independent per-snapshot estimation at low SNR; both
+    rate columns are produced; snapshot counts must divide by T."""
+    mse, rate, _ = run_gmm.run(
+        _cfg(tmp_path, n_coherence=4, snrs=(-10, 0), use_cache=False),
+        verbose=False)
+    assert "blmmse_gmm_coh" in mse and "gmm_coh_rstat" in rate
+    assert mse["blmmse_gmm_coh"][0] <= mse["blmmse_gmm"][0] * 1.02, mse
+    assert all(np.isfinite(v) for v in mse["blmmse_gmm_coh"])
+    with pytest.raises(ValueError, match="multiples of n_coherence"):
+        run_gmm.run(_cfg(tmp_path, n_coherence=3), verbose=False)
+    with pytest.raises(NotImplementedError, match="3gpp"):
+        run_gmm.run(_cfg(tmp_path, n_coherence=4, channel_model="mimo",
+                         n_antennas_ms=2), verbose=False)
+
+
 def test_segmented_fit_matches_monolithic(tmp_path):
     """gmm_fit_segments=3 must land at the same MSE as one 15-iter fit —
     the segmented harness path is an execution-shape change, not a model
