@@ -27,6 +27,9 @@ class MfaBenchConfig:
     n_components: int = 64
     n_summands_or_proba: Union[str, int, float] = "all"
     n_path: int = 3
+    # >1: block-shaped validation + the block-pooled 'blmmse_mfa_coh'
+    # column (see run_gmm.GmmBenchConfig.n_coherence)
+    n_coherence: int = 1
     n_pilots: int = 1
     n_bits: int = 2
     pilot_type: str = "angle_amp"
@@ -52,13 +55,27 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
     key = jax.random.PRNGKey(cfg.seed)
     k_data, k_fit, k_obs = jax.random.split(key, 3)
 
+    t_coh = max(1, cfg.n_coherence)
+    if t_coh > 1 and (cfg.n_train % t_coh or cfg.n_val % t_coh):
+        raise ValueError(
+            f"n_train={cfg.n_train} and n_val={cfg.n_val} must be "
+            f"multiples of n_coherence={t_coh} (they count snapshots)")
     base = GmmBenchConfig(n_antennas=cfg.n_antennas, n_path=cfg.n_path,
                           n_train=cfg.n_train, n_val=cfg.n_val,
                           path_sigma=cfg.path_sigma, cache_dir=cfg.cache_dir,
-                          use_cache=cfg.use_cache)
+                          use_cache=cfg.use_cache, n_coherence=t_coh)
     channels, _ = _get_data(base, k_data)
-    h_train = stages.tree_slice(channels, 0, cfg.n_train)
-    h_val = stages.tree_slice(channels, cfg.n_train, cfg.n_train + cfg.n_val)
+    if t_coh > 1:
+        nb_train, nb_val = cfg.n_train // t_coh, cfg.n_val // t_coh
+        h_train = stages.flatten_coherence(
+            stages.tree_slice(channels, 0, nb_train))
+        h_val_blocks = stages.tree_slice(channels, nb_train,
+                                         nb_train + nb_val)
+        h_val = stages.flatten_coherence(h_val_blocks)
+    else:
+        h_train = stages.tree_slice(channels, 0, cfg.n_train)
+        h_val = stages.tree_slice(channels, cfg.n_train,
+                                  cfg.n_train + cfg.n_val)
 
     a = stages.pilot_matrix(cfg.n_antennas, cfg.n_pilots, cfg.n_bits,
                             cfg.pilot_type)
@@ -83,10 +100,26 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
 
     mse_cols = {"blmmse_mfa": []}
     rate_cols = {"mfa_rstat": []}
+    if t_coh > 1:
+        mse_cols["blmmse_mfa_coh"] = []
+        rate_cols["mfa_coh_rstat"] = []
     for i, snr in enumerate(cfg.snrs):
-        r_val = stages.observe(jax.random.fold_in(k_obs, i), h_val, snr,
-                               a, cfg.n_bits, quantizers[snr])
+        k_snr = jax.random.fold_in(k_obs, i)
         bank = stages.prepare_bank(params, snr, a, cfg.n_bits,
+                                   quantizers[snr])
+        if t_coh > 1:
+            r_blocks = stages.observe(k_snr, h_val_blocks, snr, a,
+                                      cfg.n_bits, quantizers[snr])
+            r_val = stages.flatten_coherence(r_blocks)
+            res_coh = stages.flatten_coherence(stages.estimate_coherent(
+                bank, r_blocks, cfg.n_summands_or_proba))
+            mse_cols["blmmse_mfa_coh"].append(stages.nmse(res_coh, h_val))
+            if cfg.eval_rate:
+                rate_cols["mfa_coh_rstat"].append(
+                    stages.rate(res_coh, h_val, cov, snr, cfg.n_bits,
+                                quantizers[snr]))
+        else:
+            r_val = stages.observe(k_snr, h_val, snr, a, cfg.n_bits,
                                    quantizers[snr])
         res = stages.estimate_auto(bank, r_val, cfg.n_summands_or_proba)
         mse_cols["blmmse_mfa"].append(stages.nmse(res, h_val))
@@ -96,10 +129,13 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
                             quantizers[snr]))
     if verbose:
         print(f"blmmse_mfa: mse={mse_cols['blmmse_mfa']}")
+        if t_coh > 1:
+            print(f"blmmse_mfa_coh: mse={mse_cols['blmmse_mfa_coh']}")
 
     stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     out_dir = os.path.join(cfg.results_dir, "3gpp")
-    name = (f"{stamp}_ant={cfg.n_antennas}_path={cfg.n_path}"
+    coh_tag = f"_coh={t_coh}" if t_coh > 1 else ""
+    name = (f"{stamp}_ant={cfg.n_antennas}_path={cfg.n_path}{coh_tag}"
             f"_train={cfg.n_train}_comp={cfg.n_components}"
             f"_pil={cfg.n_pilots}_bits={cfg.n_bits}"
             f"_sums={cfg.n_summands_or_proba}_L={cfg.latent_dim}"

@@ -1,6 +1,7 @@
 """Harness integration tests: each benchmark runner end-to-end on small
 configs (the CSV-producing user surface), checking the reference's scientific
 invariants (estimator ordering, SNR monotonicity) rather than fixed numbers."""
+import dataclasses
 import glob
 import os
 
@@ -58,6 +59,19 @@ def test_run_mfa_end_to_end(tmp_results):
     mse, rate, _ = run_mfa.run(cfg, verbose=False)
     assert mse["blmmse_mfa"][0] > mse["blmmse_mfa"][1]
     assert mse["blmmse_mfa"][1] < 1.0
+
+
+def test_run_mfa_coherence_column(tmp_results):
+    results_dir, cache_dir = tmp_results
+    cfg = run_mfa.MfaBenchConfig(
+        n_antennas=16, n_components=8, latent_dim=4, n_train=10000,
+        n_val=1000, max_iter=20, snrs=(-10, 0), n_coherence=4,
+        results_dir=results_dir, cache_dir=cache_dir)
+    mse, rate, _ = run_mfa.run(cfg, verbose=False)
+    assert "blmmse_mfa_coh" in mse and "mfa_coh_rstat" in rate
+    assert mse["blmmse_mfa_coh"][0] <= mse["blmmse_mfa"][0] * 1.02, mse
+    with pytest.raises(ValueError, match="multiples of n_coherence"):
+        run_mfa.run(dataclasses.replace(cfg, n_coherence=3), verbose=False)
 
 
 def test_run_vae_end_to_end(tmp_results):
