@@ -30,6 +30,11 @@ class QuantGmmBenchConfig:
     n_components: int = 64
     n_summands_or_proba: Union[str, int, float] = "all"
     n_path: int = 1
+    # >1: block-shaped validation + the block-pooled 'blmmse_gmm_quant_coh'
+    # column (see run_gmm.GmmBenchConfig.n_coherence); the CSI-free
+    # TRAINING stream stays flattened (block pooling in the EM is a
+    # measured no-op — PARITY_NOTES.md)
+    n_coherence: int = 1
     n_pilots: int = 1
     n_bits: int = 2
     cov_type: str = "full"
@@ -55,13 +60,27 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
     key = jax.random.PRNGKey(cfg.seed)
     k_data, k_fit, k_obs = jax.random.split(key, 3)
 
+    t_coh = max(1, cfg.n_coherence)
+    if t_coh > 1 and (cfg.n_train % t_coh or cfg.n_val % t_coh):
+        raise ValueError(
+            f"n_train={cfg.n_train} and n_val={cfg.n_val} must be "
+            f"multiples of n_coherence={t_coh} (they count snapshots)")
     base_cfg = GmmBenchConfig(
         n_antennas=cfg.n_antennas, n_path=cfg.n_path, n_train=cfg.n_train,
         n_val=cfg.n_val, path_sigma=cfg.path_sigma, cache_dir=cfg.cache_dir,
-        use_cache=cfg.use_cache)
+        use_cache=cfg.use_cache, n_coherence=t_coh)
     channels, _ = _get_data(base_cfg, k_data)
-    h_train = stages.tree_slice(channels, 0, cfg.n_train)
-    h_val = stages.tree_slice(channels, cfg.n_train, cfg.n_train + cfg.n_val)
+    if t_coh > 1:
+        nb_train, nb_val = cfg.n_train // t_coh, cfg.n_val // t_coh
+        h_train = stages.flatten_coherence(
+            stages.tree_slice(channels, 0, nb_train))
+        h_val_blocks = stages.tree_slice(channels, nb_train,
+                                         nb_train + nb_val)
+        h_val = stages.flatten_coherence(h_val_blocks)
+    else:
+        h_train = stages.tree_slice(channels, 0, cfg.n_train)
+        h_val = stages.tree_slice(channels, cfg.n_train,
+                                  cfg.n_train + cfg.n_val)
 
     a = stages.pilot_matrix(cfg.n_antennas, cfg.n_pilots, cfg.n_bits,
                             cfg.pilot_type)
@@ -87,10 +106,27 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
 
     mse_cols = {"blmmse_gmm_quant": []}
     rate_cols = {"blmmse_gmm_quant_rstat": []}
+    if t_coh > 1:
+        mse_cols["blmmse_gmm_quant_coh"] = []
+        rate_cols["blmmse_gmm_quant_coh_rstat"] = []
     for i, snr in enumerate(cfg.snrs):
-        r_val = stages.observe(jax.random.fold_in(k_obs, i), h_val, snr,
-                               a, cfg.n_bits, quantizers[snr])
+        k_snr = jax.random.fold_in(k_obs, i)
         bank = stages.prepare_bank(fit.params, snr, a, cfg.n_bits,
+                                   quantizers[snr])
+        if t_coh > 1:
+            r_blocks = stages.observe(k_snr, h_val_blocks, snr, a,
+                                      cfg.n_bits, quantizers[snr])
+            r_val = stages.flatten_coherence(r_blocks)
+            res_coh = stages.flatten_coherence(stages.estimate_coherent(
+                bank, r_blocks, cfg.n_summands_or_proba))
+            mse_cols["blmmse_gmm_quant_coh"].append(
+                stages.nmse(res_coh, h_val))
+            if cfg.eval_rate:
+                rate_cols["blmmse_gmm_quant_coh_rstat"].append(
+                    stages.rate(res_coh, h_val, cov, snr, cfg.n_bits,
+                                quantizers[snr], norm_clip=0.1))
+        else:
+            r_val = stages.observe(k_snr, h_val, snr, a, cfg.n_bits,
                                    quantizers[snr])
         res = stages.estimate_auto(bank, r_val, cfg.n_summands_or_proba)
         mse_cols["blmmse_gmm_quant"].append(stages.nmse(res, h_val))
@@ -100,10 +136,13 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
                             quantizers[snr], norm_clip=0.1))
     if verbose:
         print(f"mse={mse_cols['blmmse_gmm_quant']}")
+        if t_coh > 1:
+            print(f"mse_coh={mse_cols['blmmse_gmm_quant_coh']}")
 
     stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     out_dir = os.path.join(cfg.results_dir, "3gpp")
-    base = (f"{stamp}_ant={cfg.n_antennas}_path={cfg.n_path}"
+    coh_tag = f"_coh={t_coh}" if t_coh > 1 else ""
+    base = (f"{stamp}_ant={cfg.n_antennas}_path={cfg.n_path}{coh_tag}"
             f"_ntr={cfg.n_train // 1000}k_comp={cfg.n_components}"
             f"_pilots={cfg.n_pilots}_bits={cfg.n_bits}"
             f"_0mean={cfg.zero_mean_gmm}_sums={cfg.n_summands_or_proba}"

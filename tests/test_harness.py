@@ -50,6 +50,22 @@ def test_run_gmm_quant_end_to_end(tmp_results):
     assert np.isfinite(rate["blmmse_gmm_quant_rstat"][0])
 
 
+def test_run_gmm_quant_coherence_column(tmp_results):
+    results_dir, cache_dir = tmp_results
+    cfg = run_gmm_quant.QuantGmmBenchConfig(
+        n_antennas=16, n_components=8, n_train=10000, n_val=1000,
+        max_iter=15, snrs=(-5, 5), n_coherence=4, results_dir=results_dir,
+        cache_dir=cache_dir)
+    mse, rate, _ = run_gmm_quant.run(cfg, verbose=False)
+    assert "blmmse_gmm_quant_coh" in mse
+    assert "blmmse_gmm_quant_coh_rstat" in rate
+    assert (mse["blmmse_gmm_quant_coh"][0]
+            <= mse["blmmse_gmm_quant"][0] * 1.02), mse
+    with pytest.raises(ValueError, match="multiples of n_coherence"):
+        run_gmm_quant.run(dataclasses.replace(cfg, n_coherence=3),
+                          verbose=False)
+
+
 def test_run_mfa_end_to_end(tmp_results):
     results_dir, cache_dir = tmp_results
     cfg = run_mfa.MfaBenchConfig(
