@@ -322,10 +322,20 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
                 qio.save_pytree_npz(gmm_path, stages.to_numpy(params))
         timings["gmm_fit"] = time.time() - t0
 
+        # per-SNR banks built once and shared between the blmmse_gmm and
+        # blmmse_gmm_coh columns (the Cr Cholesky/filter preparation is
+        # identical for both)
+        banks = {}
+
+        def get_bank(snr):
+            if snr not in banks:
+                banks[snr] = stages.prepare_bank(params, snr, a, cfg.n_bits,
+                                                 quantizers[snr])
+            return banks[snr]
+
         def gmm_est(snr, r):
-            bank = stages.prepare_bank(params, snr, a, cfg.n_bits,
-                                       quantizers[snr])
-            return stages.estimate_auto(bank, r, cfg.n_summands_or_proba)
+            return stages.estimate_auto(get_bank(snr), r,
+                                        cfg.n_summands_or_proba)
 
         eval_algo("blmmse_gmm", "gmm_rstat", gmm_est, norm_clip=0.1)
 
@@ -334,10 +344,9 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
             # the column the reference cannot produce
             def gmm_coh_est(snr, r):
                 del r  # uses the block-shaped observations
-                bank = stages.prepare_bank(params, snr, a, cfg.n_bits,
-                                           quantizers[snr])
                 return stages.flatten_coherence(stages.estimate_coherent(
-                    bank, r_blocks_by_snr[snr], cfg.n_summands_or_proba))
+                    get_bank(snr), r_blocks_by_snr[snr],
+                    cfg.n_summands_or_proba))
 
             eval_algo("blmmse_gmm_coh", "gmm_coh_rstat", gmm_coh_est,
                       norm_clip=0.1)

@@ -203,7 +203,11 @@ def estimate_sharded(mesh: Mesh, bank: PreparedBank, r: jax.Array,
     r = shard_data(mesh, r)
     bank = shard_bank(mesh, bank)
     if r.ndim == 3:
-        return gmm_estimator.estimate_coherent(bank, r, mode, chunk_size)
+        # chunk_size counts SAMPLES on the flat path but BLOCKS in
+        # estimate_coherent — the per-chunk (chunk, T, K, D) intermediate is
+        # T-fold larger per block, so scale the block chunk down by T
+        block_chunk = max(1, chunk_size // r.shape[1])
+        return gmm_estimator.estimate_coherent(bank, r, mode, block_chunk)
     return gmm_estimator.estimate(bank, r, mode, chunk_size)
 
 
