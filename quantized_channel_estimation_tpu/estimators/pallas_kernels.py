@@ -242,13 +242,20 @@ def _cplx_block(b: jax.Array) -> jax.Array:
 
 
 @highest_precision
-def kernel_bank_block(bank: PreparedBank) -> KernelBankBlock:
-    """Lower a PreparedBank to the block-GEMM kernel layout (jittable)."""
+def kernel_bank_block(bank: PreparedBank, t_coh: int = 1) -> KernelBankBlock:
+    """Lower a PreparedBank to the block-GEMM kernel layout (jittable).
+
+    t_coh > 1 prepares the bank for the COHERENT kernel path: the per-block
+    logit is logw_mixture (once) + T * logdet - sum_t quad_t, and the kernel
+    pools T per-snapshot logits by summation, so the mixture log-weight is
+    pre-divided by T (the log-det term 2 sum log diag(P) is correctly
+    counted once per snapshot)."""
     pc = jnp.conj(bank.prec_chol_r)  # (K, M, M); y = r @ pc
     mu = jnp.einsum("km,kmp->kp", bank.means_r, pc)  # (K, M)
     wt = jnp.swapaxes(bank.filters, -1, -2)  # (K, M, D)
     diag = jnp.real(jnp.diagonal(bank.prec_chol_r, axis1=-2, axis2=-1))
-    logw = bank.log_weights + 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+    logw = (bank.log_weights / t_coh
+            + 2.0 * jnp.sum(jnp.log(diag), axis=-1))
     logw = jnp.maximum(logw, -1e30)  # dead-component floor (see kernel_bank)
     pw = jnp.concatenate([_cplx_block(pc), _cplx_block(wt)], axis=-1)
     mu2 = jnp.concatenate([jnp.real(mu), jnp.imag(mu)], axis=-1)[:, None, :]
@@ -266,9 +273,49 @@ def estimate_block(bank: PreparedBank, r: jax.Array, tile_n: int = 1024,
                                   interpret=interpret)
 
 
+def _check_t_coh(tile_n: int, t_coh: int):
+    """Coherent tiles pool logits over T static sublane slices of bp rows
+    each; bp must land on the f32 sublane granularity (8 rows) and T must
+    stay small (Mosaic crashes on long static unrolls — CLAUDE.md)."""
+    if t_coh <= 1:
+        return
+    bp = tile_n // t_coh
+    if tile_n % t_coh or bp % 8:
+        raise ValueError(
+            f"t_coh={t_coh} needs tile_n ({tile_n}) divisible by it with a "
+            f"per-tile block count that is a multiple of 8 (got bp={bp})")
+    if t_coh > 16:
+        raise NotImplementedError(
+            f"t_coh={t_coh}: the in-kernel pool statically unrolls T "
+            "sublane slices; beyond ~16 Mosaic's compile helper is at risk "
+            "(use gmm_estimator.estimate_coherent instead)")
+
+
+def _blocks_to_tmajor(r: jax.Array, tile_n: int):
+    """Lay coherence blocks r (B, T, M) out T-MAJOR per sample tile for the
+    coherent kernel: blocks are padded to a multiple of bp = tile_n // T and
+    grouped bp per tile; within tile i, row j*bp + b holds snapshot j of
+    block i*bp + b. Returns (rows (N_pad, M), n_blocks_padded)."""
+    b, t, m = r.shape
+    bp = tile_n // t
+    b_pad = -(-b // bp) * bp
+    rp = jnp.pad(r, ((0, b_pad - b), (0, 0), (0, 0)))
+    rows = rp.reshape(b_pad // bp, bp, t, m).swapaxes(1, 2)
+    return rows.reshape(b_pad * t, m), b_pad
+
+
+def _tmajor_to_blocks(x: jax.Array, t: int, tile_n: int, n_blocks: int):
+    """Inverse of `_blocks_to_tmajor` for a per-row output x (N_pad, X) (or
+    (N_pad,)): back to (n_blocks, T, X) / (n_blocks, T)."""
+    bp = tile_n // t
+    lead = x.shape[0] // (bp * t)
+    out = x.reshape((lead, t, bp) + x.shape[1:]).swapaxes(1, 2)
+    return out.reshape((lead * bp, t) + x.shape[1:])[:n_blocks]
+
+
 def _grouped_stream(logw, pw, mu, b, rr, n_groups: int, group: int,
                     two_m: int, two_d: int, precision, mode: str = "f32",
-                    pw_lo=None, rr_lo=None):
+                    pw_lo=None, rr_lo=None, t_coh: int = 1):
     """Stream over K, `group` components per GEMM: pw[g] is
     (2M, group*(2M+2D)) = [P_1|W_1|...|P_G|W_G], widening the MXU output
     dim and cutting loop-iteration count. Returns the online-softmax state
@@ -287,9 +334,30 @@ def _grouped_stream(logw, pw, mu, b, rr, n_groups: int, group: int,
       - 'split2': hi·hi + hi·lo only (full-precision bank, bf16 samples) —
                   2 passes, sample low bits dropped.
     For the split modes, rr/pw are the bf16 HI planes and rr_lo/pw_lo the
-    bf16 LO planes (hi+lo bf16 = the same VMEM bytes as the f32 bank)."""
+    bf16 LO planes (hi+lo bf16 = the same VMEM bytes as the f32 bank).
+
+    `t_coh` > 1 turns the stream into the COHERENT (block-pooled) variant:
+    the tile must be laid out T-MAJOR — rows [j*bp + i] hold snapshot j of
+    block i, bp = tile_n // t_coh (`_blocks_to_tmajor`) — and each
+    per-snapshot logit is summed over its block's T rows (T static sublane
+    slices + a sublane-tiled broadcast, VPU-only) BEFORE the online
+    max/exp, so every snapshot of a block is combined with the SHARED block
+    posterior (`gmm_estimator.estimate_coherent` semantics; the caller
+    pre-divides the mixture log-weight by T — `kernel_bank_block(t_coh=)`).
+    The resulting per-row (m, den) state is block-constant, so the flat
+    merge recurrence (`merge_stats`, pmax/psum) applies unchanged."""
     tile_n = rr.shape[0]
     stride = two_m + two_d
+    if t_coh > 1:
+        bp = tile_n // t_coh
+
+        def pool(lg):
+            s = lg[0:bp]
+            for j in range(1, t_coh):
+                s = s + lg[j * bp:(j + 1) * bp]
+            return jnp.concatenate([s] * t_coh, axis=0)
+    else:
+        pool = lambda lg: lg
 
     def body(g, carry):
         m_run, denom, acc = carry
@@ -308,7 +376,7 @@ def _grouped_stream(logw, pw, mu, b, rr, n_groups: int, group: int,
             base = j * stride
             dy = yz[:, base:base + two_m] - mu[g, :, j * two_m:(j + 1) * two_m]
             quad = jnp.sum(dy * dy, axis=-1, keepdims=True)
-            logits.append(logw[g * group + j] - quad)
+            logits.append(pool(logw[g * group + j] - quad))
             zs.append(yz[:, base + two_m:base + stride]
                       + b[g, :, j * two_d:(j + 1) * two_d])
         m_new = m_run
@@ -331,10 +399,11 @@ def _grouped_stream(logw, pw, mu, b, rr, n_groups: int, group: int,
 
 def _estimate_kernel_block_grouped(logw, pw, mu, b, r2, out, *, n_groups: int,
                                    group: int, two_m: int,
-                                   precision=None):
+                                   precision=None, t_coh: int = 1):
     """One sample tile: normalized weighted combine over all K components."""
     _, denom, acc = _grouped_stream(logw, pw, mu, b, r2[:], n_groups, group,
-                                    two_m, out.shape[1], precision)
+                                    two_m, out.shape[1], precision,
+                                    t_coh=t_coh)
     out[:] = acc / denom
 
 
@@ -365,7 +434,7 @@ def _estimate_kernel_block_grouped_split(logw, pw_hi, pw_lo, mu, b, r2, out,
 def _estimate_kernel_block_grouped_stats(logw, pw, mu, b, r2, out_m, out_den,
                                          out_acc, *, n_groups: int,
                                          group: int, two_m: int,
-                                         precision=None):
+                                         precision=None, t_coh: int = 1):
     """One sample tile over a K-CHUNK of the bank: emits the raw
     online-softmax state (max, denominator, accumulator) so chunks can be
     merged exactly in JAX (flash-attention-style split-K).
@@ -375,26 +444,30 @@ def _estimate_kernel_block_grouped_stats(logw, pw, mu, b, r2, out_m, out_den,
     'small' (N, 1) logical buffer in VMEM (S(1)), blowing the scoped-VMEM
     limit — measured on v5e ('Scoped allocation with size 17.72M')."""
     m, denom, acc = _grouped_stream(logw, pw, mu, b, r2[:], n_groups, group,
-                                    two_m, out_acc.shape[1], precision)
+                                    two_m, out_acc.shape[1], precision,
+                                    t_coh=t_coh)
     out_m[:] = jnp.broadcast_to(m, out_m.shape)
     out_den[:] = jnp.broadcast_to(denom, out_den.shape)
     out_acc[:] = acc
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def estimate_packed_block_grouped(kb: KernelBankBlock, r2: jax.Array,
                                   tile_n: int = 1024, group: int = 2,
                                   interpret: bool = False, precision=None,
-                                  mode: str = "f32"):
+                                  mode: str = "f32", t_coh: int = 1):
     """Block-GEMM estimation with `group` components per MXU call.
     K must be a multiple of `group`. `precision` feeds the in-kernel dots
     (None -> Mosaic default = full float32 passes); `mode` selects the GEMM
-    precision scheme (see `_grouped_stream`)."""
+    precision scheme (see `_grouped_stream`). `t_coh` > 1 is the coherent
+    block-pooled variant: r2 must be laid out T-major per tile
+    (`_blocks_to_tmajor`) and kb built with `kernel_bank_block(t_coh=)`."""
     n, two_m = r2.shape
     if n % tile_n:
         raise ValueError(f"N={n} must be a multiple of tile_n={tile_n} "
                          "(the grid would silently drop the tail rows); "
                          "pad like `estimate_block_grouped` does")
+    _check_t_coh(tile_n, t_coh)
     k_comp = kb.pw.shape[0]
     two_d = kb.pw.shape[-1] - two_m
     assert k_comp % group == 0, (k_comp, group)
@@ -415,15 +488,19 @@ def estimate_packed_block_grouped(kb: KernelBankBlock, r2: jax.Array,
     static = dict(n_groups=n_groups, group=group, two_m=two_m)
     if mode == "f32":
         kern = functools.partial(_estimate_kernel_block_grouped,
-                                 precision=precision, **static)
+                                 precision=precision, t_coh=t_coh, **static)
         in_specs = [smem_spec, bank_spec, bank_spec, bank_spec, data_spec]
         args = (kb.logw, pw, mu, b, r2)
     elif mode == "bf16":
+        if t_coh > 1:
+            raise NotImplementedError("coherent pooling is f32-only")
         kern = functools.partial(_estimate_kernel_block_grouped_bf16,
                                  **static)
         in_specs = [smem_spec, bank_spec, bank_spec, bank_spec, data_spec]
         args = (kb.logw, pw.astype(jnp.bfloat16), mu, b, r2)
     elif mode in ("split3", "split2"):
+        if t_coh > 1:
+            raise NotImplementedError("coherent pooling is f32-only")
         pw_hi = pw.astype(jnp.bfloat16)
         pw_lo = (pw - pw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         kern = functools.partial(_estimate_kernel_block_grouped_split,
@@ -465,16 +542,20 @@ def estimate_block_grouped(bank: PreparedBank, r: jax.Array,
     return (h2[:, :d] + 1j * h2[:, d:])[:n].astype(r.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def estimate_packed_block_grouped_stats(kb: KernelBankBlock, r2: jax.Array,
                                         tile_n: int = 2048, group: int = 4,
-                                        interpret: bool = False):
+                                        interpret: bool = False,
+                                        t_coh: int = 1):
     """Grouped block-GEMM pass over a K-chunk, returning the un-normalized
     online-softmax state (m, denom, acc) per sample for exact cross-chunk
-    merging."""
+    merging. With `t_coh` > 1 (T-major r2, `kernel_bank_block(t_coh=)`
+    bank) the state is the BLOCK-pooled coherent one, block-constant in
+    m/denom across each block's T rows."""
     n, two_m = r2.shape
     if n % tile_n:
         raise ValueError(f"N={n} must be a multiple of tile_n={tile_n}")
+    _check_t_coh(tile_n, t_coh)
     k_comp = kb.pw.shape[0]
     two_d = kb.pw.shape[-1] - two_m
     assert k_comp % group == 0, (k_comp, group)
@@ -494,7 +575,8 @@ def estimate_packed_block_grouped_stats(kb: KernelBankBlock, r2: jax.Array,
     out_spec = pl.BlockSpec((tile_n, two_d), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_estimate_kernel_block_grouped_stats,
-                             n_groups=n_groups, group=group, two_m=two_m)
+                             n_groups=n_groups, group=group, two_m=two_m,
+                             t_coh=t_coh)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -670,6 +752,114 @@ def estimate_fused(bank: PreparedBank, r: jax.Array,
     group = next(g for g in (4, 2, 1) if k_comp % g == 0)
     return estimate_block_grouped(bank, r, tile_n=tile_n, group=group,
                                   interpret=interpret)
+
+
+def _coherent_tile_n(base: int, t: int) -> int:
+    """Largest tile <= base that holds an integer number of T-row blocks
+    with the per-tile block count on the 8-row f32 sublane granularity."""
+    bp = max(8, (base // t) // 8 * 8)
+    return bp * t
+
+
+def _coherent_stats_merged(bank: PreparedBank, r: jax.Array,
+                           interpret: bool):
+    """K-chunked coherent stats kernel sweep, merged per row. Returns
+    (m (B,), den (B,), acc (B, T, D) complex). Assumes t_coh is
+    kernel-eligible (caller checks)."""
+    b, t, m_dim = r.shape
+    k_comp, d, _ = bank.filters.shape
+    per_k = 4 * (2 * m_dim) * (2 * m_dim + 2 * d)
+    chunk_budget = (10 if 2 * m_dim <= 256 else 8) * 1024 * 1024
+    k_chunk = max(4, (chunk_budget // per_k) // 4 * 4)
+    tile_n = _coherent_tile_n(_chunk_tile_n(bank), t)
+    rows, b_pad = _blocks_to_tmajor(r, tile_n)
+    r2 = jnp.concatenate([jnp.real(rows), jnp.imag(rows)],
+                         axis=-1).astype(jnp.float32)
+    ms, dens, accs = [], [], []
+    for k0 in range(0, k_comp, k_chunk):
+        sub = _bank_slice(bank, k0, min(k0 + k_chunk, k_comp))
+        kc = sub.filters.shape[0]
+        group = next(g for g in (4, 2, 1) if kc % g == 0)
+        kb = kernel_bank_block(sub, t_coh=t)
+        m_c, den_c, acc_c = estimate_packed_block_grouped_stats(
+            kb, r2, tile_n, group, interpret, t)
+        ms.append(m_c[:, 0])
+        dens.append(den_c[:, 0])
+        accs.append(acc_c)
+    m_star, den, acc2 = merge_stats(ms, dens, accs)
+    m_b = _tmajor_to_blocks(m_star, t, tile_n, b)[:, 0]
+    den_b = _tmajor_to_blocks(den, t, tile_n, b)[:, 0]
+    acc_b = _tmajor_to_blocks(acc2, t, tile_n, b)       # (B, T, 2D)
+    acc = (acc_b[..., :d] + 1j * acc_b[..., d:]).astype(jnp.complex64)
+    return m_b, den_b, acc
+
+
+def _coherent_kernel_eligible(bank: PreparedBank, t: int) -> bool:
+    k_comp, d, m_dim = bank.filters.shape
+    per_k = 4 * (2 * m_dim) * (2 * m_dim + 2 * d)
+    chunk_budget = (10 if 2 * m_dim <= 256 else 8) * 1024 * 1024
+    return 1 < t <= 16 and chunk_budget // per_k >= 4
+
+
+def estimate_fused_coherent_stats(bank: PreparedBank, r: jax.Array,
+                                  interpret: bool = False):
+    """Coherent 'all'-mode BLOCK estimation state via the Pallas kernel:
+    the kernel-path analog of `gmm_estimator.estimate_coherent_stats` (same
+    state convention and merge semantics — one pmax + two psums over a
+    'component' mesh axis reproduce `estimate_coherent` exactly;
+    `parallel.mesh.estimate_sharded_kernel` rank-3 route).
+
+    Blocks are laid out T-major per sample tile and the grouped kernel
+    pools each component's T per-snapshot logits in VMEM before its online
+    softmax (`_grouped_stream(t_coh=)`), so the (B*T, K) logit tensor the
+    XLA path materializes per chunk never exists. Returns (m (B,) f32,
+    den (B,) f32, acc (B, T, D) complex64). Falls back to the einsum stats
+    path for T the in-kernel unroll cannot carry (>16) or degenerate huge-D
+    banks."""
+    if r.ndim != 3:
+        raise ValueError(f"expected (B, T, M) blocks, got {r.shape}")
+    t = r.shape[1]
+    if not _coherent_kernel_eligible(bank, t):
+        from quantized_channel_estimation_tpu.models import gmm_estimator
+        return gmm_estimator.estimate_coherent_stats(bank, r)
+    return _coherent_stats_merged(bank, r, interpret)
+
+
+def estimate_fused_coherent(bank: PreparedBank, r: jax.Array,
+                            interpret: bool = False,
+                            vmem_budget: int = 13 * 1024 * 1024) -> jax.Array:
+    """Canonical fused coherent 'all'-mode estimation of blocks r (B, T, M)
+    -> (B, T, D): the kernel analog of `gmm_estimator.estimate_coherent`
+    (new design — the reference never exploits coherence blocks,
+    `SCMMulti.py:30`). Banks within the scoped-VMEM rule run as ONE grouped
+    kernel launch with in-VMEM block pooling; oversized banks take the
+    split-K coherent stats path; ineligible T falls back to the einsum
+    path."""
+    if r.ndim != 3:
+        raise ValueError(f"expected (B, T, M) blocks, got {r.shape}")
+    b, t, m_dim = r.shape
+    if t == 1:
+        return estimate_fused(bank, r[:, 0, :], interpret,
+                              vmem_budget)[:, None, :]
+    from quantized_channel_estimation_tpu.models import gmm_estimator
+    if not _coherent_kernel_eligible(bank, t):
+        return gmm_estimator.estimate_coherent(bank, r, "all")
+    k_comp, d, _ = bank.filters.shape
+    per_k = 4 * (2 * m_dim) * (2 * m_dim + 2 * d)
+    if k_comp * per_k > vmem_budget:
+        m_b, den, acc = _coherent_stats_merged(bank, r, interpret)
+        return (acc / den[:, None, None].astype(acc.dtype)).astype(r.dtype)
+    base = 2048 if b * t >= 2048 else 256
+    tile_n = _coherent_tile_n(base, t)
+    rows, b_pad = _blocks_to_tmajor(r, tile_n)
+    r2 = jnp.concatenate([jnp.real(rows), jnp.imag(rows)],
+                         axis=-1).astype(jnp.float32)
+    kb = kernel_bank_block(bank, t_coh=t)
+    group = next(g for g in (4, 2, 1) if k_comp % g == 0)
+    h2 = estimate_packed_block_grouped(kb, r2, tile_n, group, interpret,
+                                       None, "f32", t)
+    out = _tmajor_to_blocks(h2, t, tile_n, b)            # (B, T, 2D)
+    return (out[..., :d] + 1j * out[..., d:]).astype(r.dtype)
 
 
 def reference_estimate_packed(kb: KernelBank, r_re, r_im):

@@ -49,7 +49,8 @@ class GmmBenchConfig:
     # 'blmmse_gmm_coh' column evaluates block-pooled joint estimation
     # (`gmm_estimator.estimate_coherent` — new design, no reference
     # analog). n_train/n_val still count SNAPSHOTS and must divide by it.
-    # '3gpp' channel model only.
+    # Supported by all three channel models (urban-macro is the low-SNR
+    # cell-edge regime where the block posterior pays most).
     n_coherence: int = 1
     n_pilots: int = 1
     n_bits: Union[int, float] = 2
@@ -96,11 +97,11 @@ def _model_tag(cfg: GmmBenchConfig) -> str:
     """Cache/result key for the channel model. MIMO embeds BOTH antenna
     counts — different (BS, MS) splits with the same product must not
     collide on one cache file."""
-    if cfg.channel_model == "mimo":
-        return f"mimo{cfg.n_antennas}x{cfg.n_antennas_ms}"
+    tag = (f"mimo{cfg.n_antennas}x{cfg.n_antennas_ms}"
+           if cfg.channel_model == "mimo" else cfg.channel_model)
     if cfg.n_coherence > 1:  # block-shaped dataset: distinct cache key
-        return f"{cfg.channel_model}-coh{cfg.n_coherence}"
-    return cfg.channel_model
+        return f"{tag}-coh{cfg.n_coherence}"
+    return tag
 
 
 def _get_data(cfg: GmmBenchConfig, key):
@@ -113,17 +114,18 @@ def _get_data(cfg: GmmBenchConfig, key):
     path = qio.dataset_cache_path(cfg.cache_dir, channel_dim(cfg),
                                   _model_tag(cfg), cfg.n_path,
                                   cfg.n_train, n_channels)
+    n_gen = n_channels // max(1, cfg.n_coherence)  # blocks, not rows
     if cfg.channel_model == "mimo":
         mimo_cfg = scm_mimo.ScmMimoConfig(cfg.n_antennas, cfg.n_antennas_ms,
                                           cfg.n_path,
-                                          path_sigma_bs=cfg.path_sigma)
+                                          path_sigma_bs=cfg.path_sigma,
+                                          n_coherence=cfg.n_coherence)
         if cfg.use_cache and os.path.exists(path):
             data = np.load(path)
             return (stages.from_numpy(data["channels"]),
                     (stages.from_numpy(data["toep_bs"]),
                      stages.from_numpy(data["toep_ms"])))
-        h, t_bs, t_ms = stages.generate_channels_mimo(key, n_channels,
-                                                      mimo_cfg)
+        h, t_bs, t_ms = stages.generate_channels_mimo(key, n_gen, mimo_cfg)
         if cfg.use_cache:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             np.savez(path, channels=stages.to_numpy(h),
@@ -136,12 +138,12 @@ def _get_data(cfg: GmmBenchConfig, key):
     if cfg.channel_model == "urban-macro":
         # n_path is honored; path_sigma is NOT — urban-macro-15deg fixes the
         # per-path Laplace spread at 2.82843 (`SCM3GPPMacro.py:23`)
-        macro_cfg = scm.UrbanMacroConfig(cfg.n_antennas, n_paths=cfg.n_path)
-        h, t = stages.generate_channels_macro(key, n_channels, macro_cfg)
+        macro_cfg = scm.UrbanMacroConfig(cfg.n_antennas, n_paths=cfg.n_path,
+                                         n_coherence=cfg.n_coherence)
+        h, t = stages.generate_channels_macro(key, n_gen, macro_cfg)
     else:
         scm_cfg = scm.ScmConfig(cfg.n_antennas, cfg.n_path, cfg.path_sigma,
                                 n_coherence=cfg.n_coherence)
-        n_gen = n_channels // max(1, cfg.n_coherence)  # blocks, not rows
         h, t = stages.generate_channels(key, n_gen, scm_cfg)
     if cfg.use_cache:
         qio.save_channels(path, stages.to_numpy(h), stages.to_numpy(t))
@@ -156,9 +158,6 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
 
     t_coh = max(1, cfg.n_coherence)
     if t_coh > 1:
-        if cfg.channel_model != "3gpp":
-            raise NotImplementedError(
-                "n_coherence > 1 is wired for channel_model='3gpp' only")
         if cfg.n_train % t_coh or cfg.n_val % t_coh:
             raise ValueError(
                 f"n_train={cfg.n_train} and n_val={cfg.n_val} must be "
@@ -171,9 +170,15 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
             stages.tree_slice(channels, 0, nb_train))
         h_val_blocks = stages.tree_slice(channels, nb_train,
                                          nb_train + nb_val)
-        h_val, toep_val = stages.flatten_coherence(
-            h_val_blocks, stages.tree_slice(toep, nb_train,
-                                            nb_train + nb_val))
+        toep_val_blocks = stages.tree_slice(toep, nb_train,
+                                            nb_train + nb_val)
+        if cfg.channel_model == "mimo":  # per-block (t_bs, t_ms) pair
+            h_val = stages.flatten_coherence(h_val_blocks)
+            toep_val = tuple(stages.repeat_blocks(tt, t_coh)
+                             for tt in toep_val_blocks)
+        else:
+            h_val, toep_val = stages.flatten_coherence(h_val_blocks,
+                                                       toep_val_blocks)
     else:
         h_train = stages.tree_slice(channels, 0, cfg.n_train)
         h_val = stages.tree_slice(channels, cfg.n_train,

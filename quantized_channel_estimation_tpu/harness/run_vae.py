@@ -53,6 +53,11 @@ class VaeBenchConfig:
     # n_trials > 1, `run_search` redraws lr/batch_size per trial; the fixed
     # lr/batch_size above are then ignored
     n_trials: int = 1
+    # >1: validation channels arrive as T-snapshot coherence blocks and an
+    # extra 'vae_<mode>_coh' column pools the decoder's predicted spectra
+    # over each block (`vae.estimate(coherence=T)` — new design, see
+    # run_gmm.GmmBenchConfig.n_coherence); n_train/n_val count snapshots
+    n_coherence: int = 1
 
 
 def run(cfg: VaeBenchConfig, verbose: bool = True):
@@ -60,13 +65,28 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
     key = jax.random.PRNGKey(cfg.seed)
     k_data, k_fit, k_obs = jax.random.split(key, 3)
 
+    t_coh = max(1, cfg.n_coherence)
+    if t_coh > 1 and (cfg.n_train % t_coh or cfg.n_val % t_coh):
+        raise ValueError(
+            f"n_train={cfg.n_train} and n_val={cfg.n_val} must be "
+            f"multiples of n_coherence={t_coh} (they count snapshots)")
     base = GmmBenchConfig(n_antennas=cfg.n_antennas, n_path=cfg.n_path,
                           n_train=cfg.n_train, n_val=cfg.n_val,
                           path_sigma=cfg.path_sigma, cache_dir=cfg.cache_dir,
-                          use_cache=cfg.use_cache)
+                          use_cache=cfg.use_cache, n_coherence=t_coh)
     channels, _ = _get_data(base, k_data)
-    h_train = stages.tree_slice(channels, 0, cfg.n_train)
-    h_val = stages.tree_slice(channels, cfg.n_train, cfg.n_train + cfg.n_val)
+    if t_coh > 1:
+        nb_train, nb_val = cfg.n_train // t_coh, cfg.n_val // t_coh
+        h_train = stages.flatten_coherence(
+            stages.tree_slice(channels, 0, nb_train))
+        # flat block-major rows: T consecutive rows share one angular PSD,
+        # exactly the layout `vae.estimate(coherence=T)` pools over
+        h_val = stages.flatten_coherence(
+            stages.tree_slice(channels, nb_train, nb_train + nb_val))
+    else:
+        h_train = stages.tree_slice(channels, 0, cfg.n_train)
+        h_val = stages.tree_slice(channels, cfg.n_train,
+                                  cfg.n_train + cfg.n_val)
 
     a = stages.pilot_matrix(cfg.n_antennas, cfg.n_pilots, cfg.n_bits,
                             cfg.pilot_type)
@@ -86,11 +106,12 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
     # results/vae/saves (`vae.py:76-79,148-153`), at block granularity
     # lr/batch_size are in the key so random-search trials (which share the
     # seed) never resume each other's checkpoints
+    coh_tag = f"_coh{t_coh}" if t_coh > 1 else ""
     ckpt_dir = os.path.join(
         cfg.cache_dir,
         f"vae_ckpt_{cfg.vae_mode}_ant={cfg.n_antennas}_bits={cfg.n_bits}"
         f"_train={cfg.n_train}_seed={cfg.seed}_lr={cfg.lr:g}"
-        f"_bs={cfg.batch_size}") if cfg.use_cache else None
+        f"_bs={cfg.batch_size}{coh_tag}") if cfg.use_cache else None
     t0 = time.time()
     model, state, losses = vae.train(k_fit, vcfg, h_train, a, cfg.snrs,
                                      quantizers, verbose=verbose,
@@ -103,12 +124,18 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
 
     mse_cols = {f"vae_{cfg.vae_mode}": []}
     rate_cols = {f"vae_{cfg.vae_mode}_rstat": []}
+    if t_coh > 1:
+        mse_cols[f"vae_{cfg.vae_mode}_coh"] = []
+        rate_cols[f"vae_{cfg.vae_mode}_coh_rstat"] = []
     # one compiled eval program reused across the sweep: snr and the
     # quantizer tables are dynamic arguments
     # genie mode is genie-aided at eval: the encoder sees the true channel
     est_fn = cjit(lambda params, rr, aa, snr_db, q, hh:
                   vae.estimate(model, params, vcfg, rr, snr_db, aa, q,
                                h_true=hh))
+    est_coh_fn = cjit(lambda params, rr, aa, snr_db, q, hh:
+                      vae.estimate(model, params, vcfg, rr, snr_db, aa, q,
+                                   h_true=hh, coherence=t_coh))
     for i, snr in enumerate(cfg.snrs):
         q = quantizer_by_snr[snr]
         r = stages.observe(jax.random.fold_in(k_obs, i), h_val, snr, a,
@@ -118,8 +145,20 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
         if cfg.eval_rate:
             rate_cols[f"vae_{cfg.vae_mode}_rstat"].append(
                 stages.rate(h_est, h_val, cov, snr, cfg.n_bits, q))
+        if t_coh > 1:
+            # block-pooled predicted spectra over each coherence block —
+            # h_val's rows are block-major, T consecutive rows per block
+            h_coh = est_coh_fn(state.params, r, a, float(snr), q, h_val)
+            mse_cols[f"vae_{cfg.vae_mode}_coh"].append(
+                stages.nmse(h_coh, h_val))
+            if cfg.eval_rate:
+                rate_cols[f"vae_{cfg.vae_mode}_coh_rstat"].append(
+                    stages.rate(h_coh, h_val, cov, snr, cfg.n_bits, q))
     if verbose:
         print(f"vae_{cfg.vae_mode}: mse={mse_cols[f'vae_{cfg.vae_mode}']}")
+        if t_coh > 1:
+            print(f"vae_{cfg.vae_mode}_coh: "
+                  f"mse={mse_cols[f'vae_{cfg.vae_mode}_coh']}")
 
     stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     out_dir = os.path.join(cfg.results_dir, "vae")

@@ -99,6 +99,13 @@ sample_cov = cjit(lambda h: jnp.einsum("nd,ne->de", h, jnp.conj(h))
 # block-major snapshot-ordering contract (ops/scm.py:flatten_coherence)
 flatten_coherence = cjit(scm.flatten_coherence)
 
+# per-block genie rows (B, N) -> per-snapshot rows (B*T, N): each block's
+# row repeated for its T snapshots (matches flatten_coherence's block-major
+# ordering). Used for the MIMO pair (t_bs, t_ms), which flatten_coherence's
+# single-t signature cannot carry.
+repeat_blocks = cjit(lambda t, n_coh: jnp.repeat(t, n_coh, axis=0),
+                     static_argnums=(1,))
+
 observe = cjit(observation.observe, static_argnums=(4,))
 
 blmmse_global = cjit(blmmse.estimate_global, static_argnums=(4,))

@@ -270,3 +270,63 @@ def estimate_stats(bank: PreparedBank, r: jax.Array,
     m, den, acc = jax.lax.map(lambda rc: _stats_chunk(bank, rc), rp)
     return (m.reshape(-1)[:n], den.reshape(-1)[:n],
             acc.reshape(n_chunks * chunk_size, -1)[:n])
+
+
+def _coherent_stats_chunk(bank: PreparedBank, r: jax.Array):
+    """Un-normalized BLOCK online-softmax state for one chunk of coherence
+    blocks r (B, T, M): the coherent analog of `_stats_chunk`. Per-snapshot
+    kernel-convention logits SUM over the coherence axis before the
+    max/exp — the log-det term 2 sum log diag(P_k) is correctly counted T
+    times (once per snapshot likelihood) while the mixture log-weight enters
+    once per block (`_estimate_coherent_chunk` semantics). The accumulator
+    keeps the per-snapshot estimates weighted by the shared block weights,
+    so merged acc/den reproduces `estimate_coherent(..., 'all')` exactly."""
+    b, t, mm = r.shape
+    rf = r.reshape(b * t, mm)
+    pc = jnp.conj(bank.prec_chol_r)                       # (K, M, M)
+    y = jnp.einsum("nm,kmp->nkp", rf, pc)
+    mu = jnp.einsum("km,kmp->kp", bank.means_r, pc)
+    quad = jnp.sum(jnp.abs(y - mu[None, :, :]) ** 2, axis=-1)  # (B*T, K)
+    diag = jnp.real(jnp.diagonal(bank.prec_chol_r, axis1=-2, axis2=-1))
+    logdet = 2.0 * jnp.sum(jnp.log(diag), axis=-1)        # (K,)
+    # block logit: logw (once) + T * logdet - sum_t quad; dead components
+    # (-inf log-weight) clamp to -1e30 like the kernel
+    logits = (jnp.maximum(bank.log_weights, -1e30)[None, :]
+              + t * logdet[None, :]
+              - jnp.sum(quad.reshape(b, t, -1), axis=1)).astype(jnp.float32)
+    m = jnp.max(logits, axis=-1)                          # (B,)
+    p = jnp.exp(logits - m[:, None])
+    den = jnp.sum(p, axis=-1)                             # (B,)
+    k, d, _ = bank.filters.shape
+    z = (rf @ bank.filters.reshape(k * d, mm).T).reshape(b, t, k, d)
+    z = z + bank.bias[None, None, :, :]
+    acc = jnp.einsum("bk,btkd->btd", p.astype(z.dtype), z)  # (B, T, D)
+    return m, den, acc
+
+
+@partial(jax.jit, static_argnums=(2,))
+@highest_precision
+def estimate_coherent_stats(bank: PreparedBank, r: jax.Array,
+                            chunk_size: int = 512):
+    """'all'-mode BLOCK estimation state (m, den, acc) for a (shard of a)
+    bank over coherence blocks r (B, T, M).
+
+    Merging states from disjoint component shards — `merge_stats` with acc
+    flattened to (B, T*D), or pmax/psum collectives over a mesh axis
+    (`parallel.mesh.estimate_sharded_kernel` rank-3 route) — and taking
+    acc/den reproduces `estimate_coherent(bank_full, r, 'all')` exactly.
+    The collective payload per block is one f32 pair + one complex (T, D)
+    accumulator, independent of K. Shapes: m (B,) f32, den (B,) f32,
+    acc (B, T, D) complex."""
+    if r.ndim != 3:
+        raise ValueError(f"estimate_coherent_stats expects (B, T, M) blocks,"
+                         f" got shape {r.shape}")
+    n = r.shape[0]
+    n_chunks = -(-n // chunk_size)
+    pad = n_chunks * chunk_size - n
+    rp = jnp.pad(r, ((0, pad), (0, 0), (0, 0)))
+    rp = rp.reshape(n_chunks, chunk_size, r.shape[1], r.shape[2])
+    m, den, acc = jax.lax.map(
+        lambda rc: _coherent_stats_chunk(bank, rc), rp)
+    return (m.reshape(-1)[:n], den.reshape(-1)[:n],
+            acc.reshape(n_chunks * chunk_size, r.shape[1], -1)[:n])

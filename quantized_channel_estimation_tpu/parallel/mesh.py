@@ -227,7 +227,17 @@ def estimate_sharded_kernel(mesh: Mesh, bank: PreparedBank, r: jax.Array,
     rides ICI. `use_kernel=None` picks the Pallas stats kernel on TPU and
     the einsum stats path (`gmm_estimator.estimate_stats`, identical merge
     semantics) elsewhere — which is also how the path is validated on the
-    virtual CPU mesh."""
+    virtual CPU mesh.
+
+    r of rank 3 is treated as (B, T, M) coherence blocks: each device
+    computes the BLOCK-pooled online-softmax state over its component shard
+    (per-component block logits sum over the coherence axis BEFORE the
+    softmax — Pallas in-VMEM pooling via `estimate_fused_coherent_stats`,
+    or `gmm_estimator.estimate_coherent_stats` off-TPU) and the same
+    pmax + two psums merge the shards exactly; the per-block collective
+    payload is one f32 pair + one complex (T, D) accumulator, independent
+    of K. Bit-matches `estimate_coherent(bank, r, 'all')` on every
+    (data, component) mesh factorization."""
     try:
         from jax import shard_map
         rep_kwargs = {"check_vma": False}
@@ -246,8 +256,20 @@ def estimate_sharded_kernel(mesh: Mesh, bank: PreparedBank, r: jax.Array,
     assert r.shape[0] % n_d == 0, (
         f"n_samples {r.shape[0]} must divide over {n_d} data shards")
 
+    coherent = r.ndim == 3
+
     def body(bank_local, r_local):
-        if use_kernel:
+        if coherent:
+            if use_kernel:
+                from quantized_channel_estimation_tpu.estimators import (
+                    pallas_kernels)
+                m, den, acc = pallas_kernels.estimate_fused_coherent_stats(
+                    bank_local, r_local)
+            else:
+                m, den, acc = gmm_estimator.estimate_coherent_stats(
+                    bank_local, r_local,
+                    max(1, chunk_size // r_local.shape[1]))
+        elif use_kernel:
             from quantized_channel_estimation_tpu.estimators import (
                 pallas_kernels)
             m, den, acc = pallas_kernels.estimate_fused_stats(bank_local,
@@ -258,9 +280,10 @@ def estimate_sharded_kernel(mesh: Mesh, bank: PreparedBank, r: jax.Array,
         m_star = jax.lax.pmax(m, COMPONENT_AXIS)
         w = jnp.exp(m - m_star)
         den = jax.lax.psum(den * w, COMPONENT_AXIS)
-        acc = jax.lax.psum(acc * w[:, None].astype(acc.dtype),
-                           COMPONENT_AXIS)
-        return (acc / den[:, None].astype(acc.dtype)).astype(r_local.dtype)
+        wacc = w[:, None, None] if coherent else w[:, None]
+        acc = jax.lax.psum(acc * wacc.astype(acc.dtype), COMPONENT_AXIS)
+        den_b = den[:, None, None] if coherent else den[:, None]
+        return (acc / den_b.astype(acc.dtype)).astype(r_local.dtype)
 
     mapped = shard_map(
         body, mesh=mesh,

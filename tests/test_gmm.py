@@ -227,6 +227,38 @@ class TestGmmEstimation:
                 -1, self.N_ANT), h_flat))
         assert m_joint < m_indep, (m_joint, m_indep)
 
+    def test_coherent_stats_shard_merge(self, setup):
+        """`estimate_coherent_stats` from disjoint component shards, merged
+        flash-style, must reproduce `estimate_coherent` exactly — the
+        block-aware state behind the rank-3 TP route (round-2 VERDICT
+        item 1)."""
+        from quantized_channel_estimation_tpu.estimators.pallas_kernels import (
+            merge_stats)
+        _, h_val, _, params, _ = setup
+        snr, n_bits, t = 0.0, 2, 4
+        a = pilots.pilot_matrix(self.N_ANT, 1, n_bits)
+        q = Q.design_quantizer(snr, n_bits)
+        r = observation.observe(jax.random.PRNGKey(13), h_val, snr, a,
+                                n_bits, q)
+        b = r.shape[0] // t
+        rb = r[:b * t].reshape(b, t, -1)
+        bank = gmm_estimator.prepare_bank(params, snr, a, n_bits, q)
+        want = np.asarray(gmm_estimator.estimate_coherent(bank, rb, "all"))
+        k = bank.filters.shape[0]
+        ms, dens, accs = [], [], []
+        for k0 in range(0, k, k // 4):
+            sub = gmm_estimator.PreparedBank(
+                *[x[k0:k0 + k // 4] for x in bank])
+            m_c, den_c, acc_c = gmm_estimator.estimate_coherent_stats(
+                sub, rb, 64)
+            ms.append(m_c)
+            dens.append(den_c)
+            accs.append(acc_c.reshape(acc_c.shape[0], -1))
+        _, den, acc = merge_stats(ms, dens, accs)
+        got = np.asarray((acc / den[:, None].astype(acc.dtype))
+                         .reshape(want.shape))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
 
 def test_fit_resume_continues(rng, key):
     """Resuming EM from checkpointed params must not degrade the lower bound

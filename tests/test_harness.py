@@ -138,3 +138,20 @@ def test_run_cov_recovery_end_to_end(tmp_results):
     assert res["Cov_est"][-1] < res["sampcov_quant"][-1]
     # and all NMSEs improve with more data
     assert res["Cov_est"][-1] < res["Cov_est"][0]
+
+
+def test_run_vae_coherence_column(tmp_results):
+    """n_coherence > 1 in the VAE harness adds the spectra-pooled
+    'vae_<mode>_coh' MSE + rate columns (round-2 VERDICT item 4: the VAE
+    harness was the one parity surface without a coherence knob)."""
+    results_dir, cache_dir = tmp_results
+    cfg = run_vae.VaeBenchConfig(
+        n_antennas=16, latent_dim=4, n_layers=3, epochs=2, n_train=10000,
+        n_val=1000, snrs=(0.0, 10.0), n_coherence=4,
+        results_dir=results_dir, cache_dir=cache_dir)
+    mse, rate, _ = run_vae.run(cfg, verbose=False)
+    assert "vae_noisy_coh" in mse and "vae_noisy_coh_rstat" in rate
+    assert all(np.isfinite(v) for v in mse["vae_noisy_coh"])
+    assert 0 < mse["vae_noisy_coh"][1] < 1.0
+    with pytest.raises(ValueError, match="multiples of n_coherence"):
+        run_vae.run(dataclasses.replace(cfg, n_coherence=3), verbose=False)

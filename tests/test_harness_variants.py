@@ -54,9 +54,6 @@ def test_coherence_blocks_column(tmp_path):
     assert all(np.isfinite(v) for v in mse["blmmse_gmm_coh"])
     with pytest.raises(ValueError, match="multiples of n_coherence"):
         run_gmm.run(_cfg(tmp_path, n_coherence=3), verbose=False)
-    with pytest.raises(NotImplementedError, match="3gpp"):
-        run_gmm.run(_cfg(tmp_path, n_coherence=4, channel_model="mimo",
-                         n_antennas_ms=2), verbose=False)
 
 
 def test_segmented_fit_matches_monolithic(tmp_path):
@@ -101,3 +98,29 @@ def test_urban_macro_channel_model(tmp_path):
                             verbose=False)
     assert mse["blmmse_genie"][-1] < mse["blmmse_glob"][-1]
     assert np.isfinite(mse["blmmse_gmm"][-1])
+
+
+def test_urban_macro_coherence_column(tmp_path):
+    """n_coherence > 1 with the urban-macro model (round-2 VERDICT item 4
+    lifted the '3gpp'-only guard): the blmmse_gmm_coh column appears and is
+    finite; joint must not lose at the lowest SNR (the cell-edge regime the
+    block posterior targets)."""
+    mse, _, _ = run_gmm.run(
+        _cfg(tmp_path, channel_model="urban-macro", n_path=6,
+             n_coherence=4, snrs=(-10, 0)), verbose=False)
+    assert "blmmse_gmm_coh" in mse
+    assert np.all(np.isfinite(mse["blmmse_gmm_coh"]))
+    assert mse["blmmse_gmm_coh"][0] <= mse["blmmse_gmm"][0] * 1.05
+
+
+def test_mimo_coherence_column(tmp_path):
+    """n_coherence > 1 with the Kronecker MIMO model: block-shaped dataset,
+    per-block (t_bs, t_ms) genie rows repeated per snapshot, coherent
+    column present."""
+    mse, _, _ = run_gmm.run(
+        _cfg(tmp_path, n_antennas=8, n_antennas_ms=2, channel_model="mimo",
+             n_coherence=4, snrs=(-10, 0), eval_blmmse_genie=True),
+        verbose=False)
+    assert "blmmse_gmm_coh" in mse and "blmmse_genie" in mse
+    assert np.all(np.isfinite(mse["blmmse_gmm_coh"]))
+    assert mse["blmmse_gmm_coh"][0] <= mse["blmmse_gmm"][0] * 1.05

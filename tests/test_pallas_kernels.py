@@ -189,3 +189,85 @@ def test_estimate_fused_stats_interpret_matches_einsum_stats(bank_and_obs):
     got = np.asarray(acc_k / den_k[:, None].astype(acc_k.dtype))
     want = np.asarray(acc_e / den_e[:, None].astype(acc_e.dtype))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def coherent_obs(bank_and_obs):
+    """The module fixture's flat observations regrouped as (B, T, M)
+    coherence blocks (the snapshots do not share a PSD here — irrelevant
+    for exactness tests, which only compare the two compute paths)."""
+    bank, r = bank_and_obs
+    t = 4
+    b = r.shape[0] // t
+    return bank, r[:b * t].reshape(b, t, -1)
+
+
+def test_fused_coherent_matches_einsum(coherent_obs):
+    """The in-VMEM block-pooled kernel must equal the einsum coherent
+    estimator exactly (same block posterior, same combine)."""
+    bank, rb = coherent_obs
+    want = np.asarray(gmm_estimator.estimate_coherent(bank, rb, "all"))
+    got = np.asarray(pk.estimate_fused_coherent(bank, rb, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("t", [1, 2, 3, 8])
+def test_fused_coherent_t_values(coherent_obs, t):
+    """Every T (incl. T=1 degenerate and odd T, which needs a non-power-of-
+    two tile) must match the einsum path."""
+    bank, rb = coherent_obs
+    r = rb.reshape(-1, rb.shape[-1])
+    b = r.shape[0] // t
+    rt = r[:b * t].reshape(b, t, -1)
+    want = np.asarray(gmm_estimator.estimate_coherent(bank, rt, "all"))
+    got = np.asarray(pk.estimate_fused_coherent(bank, rt, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_coherent_stats_kernel_shard_merge(coherent_obs):
+    """Kernel coherent stats from disjoint component shards merged with
+    `merge_stats` must reproduce the full coherent estimate — the
+    tensor-parallel rank-3 route of `estimate_sharded_kernel`."""
+    bank, rb = coherent_obs
+    want = np.asarray(gmm_estimator.estimate_coherent(bank, rb, "all"))
+    k = bank.filters.shape[0]
+    ms, dens, accs = [], [], []
+    for k0 in range(0, k, k // 2):
+        sub = gmm_estimator.PreparedBank(*[x[k0:k0 + k // 2] for x in bank])
+        m_c, den_c, acc_c = pk.estimate_fused_coherent_stats(
+            sub, rb, interpret=True)
+        ms.append(m_c)
+        dens.append(den_c)
+        accs.append(acc_c.reshape(acc_c.shape[0], -1))
+    _, den, acc = pk.merge_stats(ms, dens, accs)
+    got = np.asarray((acc / den[:, None].astype(acc.dtype))
+                     .reshape(want.shape))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_coherent_stats_einsum_kernel_consistent(coherent_obs):
+    """Einsum and kernel coherent stats share the logit convention: raw
+    block maxima agree, merged estimates agree."""
+    bank, rb = coherent_obs
+    m_e, den_e, acc_e = gmm_estimator.estimate_coherent_stats(bank, rb)
+    m_k, den_k, acc_k = pk.estimate_fused_coherent_stats(bank, rb,
+                                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(m_k), np.asarray(m_e), atol=1e-3)
+    got = np.asarray(acc_k / den_k[:, None, None].astype(acc_k.dtype))
+    want = np.asarray(acc_e / den_e[:, None, None].astype(acc_e.dtype))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_coherent_kernel_dead_components(coherent_obs):
+    """A dead component (-inf log-weight from prepare_bank's floor) must
+    not poison the pooled block softmax (the -1e30 clamp is scaled by T)."""
+    bank, rb = coherent_obs
+    logw = np.asarray(bank.log_weights).copy()
+    logw[0] = -np.inf
+    dead = gmm_estimator.PreparedBank(jnp.asarray(logw), bank.means_r,
+                                      bank.prec_chol_r, bank.filters,
+                                      bank.bias)
+    want = np.asarray(gmm_estimator.estimate_coherent(dead, rb, "all"))
+    got = np.asarray(pk.estimate_fused_coherent(dead, rb, interpret=True))
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, want, atol=2e-5)

@@ -238,3 +238,45 @@ def test_estimate_sharded_kernel_matches(data, mesh_shape):
     got = np.asarray(pmesh.estimate_sharded_kernel(m, bank, r,
                                                    chunk_size=200))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_estimate_sharded_kernel_coherent_matches(data, mesh_shape):
+    """Rank-3 (B, T, M) blocks through the tensor-parallel stats route:
+    per-shard BLOCK-pooled state, pmax + psum merge — must bit-match
+    `estimate_coherent` on every (data, component) factorization of the
+    mesh (round-2 VERDICT item 1)."""
+    cfg = gmm.GmmConfig(n_components=8, zero_mean=True, max_iter=10,
+                        chunk_size=2000)
+    fit = gmm.fit(jax.random.PRNGKey(90), data[:8000], cfg)
+    snr, n_bits, t = 0.0, 2, 4
+    a = pilots.pilot_matrix(8, 1, n_bits)
+    q = Q.design_quantizer(snr, n_bits)
+    r = observation.observe(jax.random.PRNGKey(91), data[8000:8800], snr, a,
+                            n_bits, q).reshape(200, t, -1)
+    bank = gmm_estimator.prepare_bank(fit.params, snr, a, n_bits, q)
+    want = np.asarray(gmm_estimator.estimate_coherent(bank, r, "all"))
+
+    m = pmesh.make_mesh(*mesh_shape)
+    got = np.asarray(pmesh.estimate_sharded_kernel(m, bank, r,
+                                                   chunk_size=200))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_estimate_sharded_coherent_gspmd(data):
+    """The GSPMD einsum route for rank-3 blocks (selection modes supported)
+    equals the unsharded coherent estimate, including a top-k mode."""
+    cfg = gmm.GmmConfig(n_components=8, zero_mean=True, max_iter=10,
+                        chunk_size=2000)
+    fit = gmm.fit(jax.random.PRNGKey(92), data[:8000], cfg)
+    snr, n_bits, t = 5.0, 2, 4
+    a = pilots.pilot_matrix(8, 1, n_bits)
+    q = Q.design_quantizer(snr, n_bits)
+    r = observation.observe(jax.random.PRNGKey(93), data[8000:8800], snr, a,
+                            n_bits, q).reshape(200, t, -1)
+    bank = gmm_estimator.prepare_bank(fit.params, snr, a, n_bits, q)
+    m = pmesh.make_mesh(4, 2)
+    for mode in ("all", 2):
+        want = np.asarray(gmm_estimator.estimate_coherent(bank, r, mode))
+        got = np.asarray(pmesh.estimate_sharded(m, bank, r, mode))
+        np.testing.assert_allclose(got, want, atol=1e-5)

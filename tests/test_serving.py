@@ -234,3 +234,96 @@ def test_mfa_backed_service(service_setup):
         np.testing.assert_allclose(got, want, atol=1e-4)
     finally:
         svc.close()
+
+
+def test_coherent_request_matches_direct(service_setup):
+    """A (n, T, M) block request routes through block-pooled joint
+    estimation and returns (n, T, D) — the flagship coherence capability
+    reaching the production path (round-2 VERDICT item 1)."""
+    params, a, h_val = service_setup
+    snr, t = 0.0, 4
+    q = Q.design_quantizer(snr, 2)
+    r = observation.observe(jax.random.PRNGKey(70), h_val[:96], snr, a, 2, q)
+    rb = np.asarray(r).reshape(24, t, -1)
+    svc = serving.EstimationService(params, a, 2, max_delay_ms=1.0)
+    try:
+        got = svc.submit(rb, snr)
+        bank = gmm_estimator.prepare_bank(params, snr, a, 2, q)
+        want = np.asarray(gmm_estimator.estimate_coherent(
+            bank, jax.numpy.asarray(rb), "all"))
+        assert got.shape == rb.shape[:2] + (N_ANT,)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    finally:
+        svc.close()
+
+
+def test_coherent_pallas_path_matches_direct(service_setup):
+    """use_pallas=True serves blocks through the fused coherent kernel
+    (interpret on CPU) with identical results."""
+    params, a, h_val = service_setup
+    snr, t = 5.0, 4
+    q = Q.design_quantizer(snr, 2)
+    r = observation.observe(jax.random.PRNGKey(71), h_val[:64], snr, a, 2, q)
+    rb = np.asarray(r).reshape(16, t, -1)
+    svc = serving.EstimationService(params, a, 2, max_delay_ms=1.0,
+                                    use_pallas=True)
+    try:
+        got = svc.submit(rb, snr)
+        bank = gmm_estimator.prepare_bank(params, snr, a, 2, q)
+        want = np.asarray(gmm_estimator.estimate_coherent(
+            bank, jax.numpy.asarray(rb), "all"))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    finally:
+        svc.close()
+
+
+def test_mixed_t_requests_isolated(service_setup):
+    """Flat, T=2 and T=4 requests at one SNR are queued separately (a block
+    is never co-batched with a different T) and each result matches its
+    direct path."""
+    params, a, h_val = service_setup
+    snr = 5.0
+    q = Q.design_quantizer(snr, 2)
+    r = observation.observe(jax.random.PRNGKey(72), h_val[:64], snr, a, 2, q)
+    r_np = np.asarray(r)
+    bank = gmm_estimator.prepare_bank(params, snr, a, 2, q)
+    svc = serving.EstimationService(params, a, 2, max_delay_ms=10.0)
+    results = {}
+
+    def worker(name, arr):
+        results[name] = svc.submit(arr, snr)
+
+    try:
+        jobs = {"flat": r_np[:16],
+                "t2": r_np[:32].reshape(16, 2, -1),
+                "t4": r_np[:64].reshape(16, 4, -1)}
+        threads = [threading.Thread(target=worker, args=(n, v))
+                   for n, v in jobs.items()]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=30)
+        np.testing.assert_allclose(
+            results["flat"],
+            np.asarray(gmm_estimator.estimate(bank, jobs["flat"], "all")),
+            atol=1e-4)
+        for name in ("t2", "t4"):
+            want = np.asarray(gmm_estimator.estimate_coherent(
+                bank, jax.numpy.asarray(jobs[name]), "all"))
+            np.testing.assert_allclose(results[name], want, atol=1e-4)
+    finally:
+        svc.close()
+
+
+def test_coherent_malformed_rejected(service_setup):
+    params, a, _ = service_setup
+    svc = serving.EstimationService(params, a, 2, max_delay_ms=1.0)
+    try:
+        with pytest.raises(ValueError):
+            svc.submit(np.zeros((4, 2, N_ANT + 1), np.complex64), 5.0)
+        with pytest.raises(ValueError):
+            svc.submit(np.zeros((4, 0, N_ANT), np.complex64), 5.0)
+        with pytest.raises(ValueError):
+            svc.submit(np.zeros((2, 2, 2, N_ANT), np.complex64), 5.0)
+    finally:
+        svc.close()

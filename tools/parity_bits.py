@@ -65,17 +65,52 @@ def main():
     cov = jnp.einsum("nd,ne->de", h_train, jnp.conj(h_train)) / N_TRAIN
     cov_np = np.asarray(cov, np.complex128)
 
-    # clean-trained GMMs: one fit per side, banks swept over bit-widths
+    # clean-trained GMMs: one fit per side, banks swept over bit-widths.
+    # Both fits are cached on disk (keyed by the config) — at D=64/K=64 the
+    # reference's sklearn-based fit takes tens of minutes on this host, and
+    # the bit sweep itself is cheap, so a rerun must not refit.
+    import pickle
+    cache_dir = os.environ.get("PARITY_CACHE", "results/parity_r3")
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = f"bits_d{N_ANT}_k{K_COMP}_n{N_TRAIN}_it{MAX_ITER}"
+    ours_path = os.path.join(cache_dir, tag + "_ours.npz")
+    ref_path = os.path.join(cache_dir, tag + "_ref.pkl")
     t0 = time.time()
-    fit = gmm.fit(jax.random.PRNGKey(7), h_train,
-                  gmm.GmmConfig(n_components=K_COMP, zero_mean=True,
-                                max_iter=MAX_ITER))
-    print(f"our GMM fit: {time.time() - t0:.1f}s ({int(fit.n_iter)} iters)")
+    if os.path.exists(ours_path):
+        data = np.load(ours_path)
+        fit_params = gmm.GmmParams(
+            jnp.asarray(data["weights"]),
+            jnp.asarray(data["means_re"] + 1j * data["means_im"]),
+            jnp.asarray(data["covs_re"] + 1j * data["covs_im"]),
+            jnp.asarray(data["prec_re"] + 1j * data["prec_im"]))
+        print(f"our GMM fit: loaded from {ours_path}")
+    else:
+        fit = gmm.fit(jax.random.PRNGKey(7), h_train,
+                      gmm.GmmConfig(n_components=K_COMP, zero_mean=True,
+                                    max_iter=MAX_ITER))
+        fit_params = fit.params
+        np.savez(ours_path,
+                 weights=np.asarray(fit.params.weights),
+                 means_re=np.asarray(fit.params.means.real),
+                 means_im=np.asarray(fit.params.means.imag),
+                 covs_re=np.asarray(fit.params.covariances.real),
+                 covs_im=np.asarray(fit.params.covariances.imag),
+                 prec_re=np.asarray(fit.params.prec_chol.real),
+                 prec_im=np.asarray(fit.params.prec_chol.imag))
+        print(f"our GMM fit: {time.time() - t0:.1f}s "
+              f"({int(fit.n_iter)} iters)")
     t0 = time.time()
-    ref_gmm = RefGmm(n_components=K_COMP, covariance_type="full",
-                     max_iter=MAX_ITER)
-    ref_gmm.fit(h=h_np[:N_TRAIN], zero_mean=True)
-    print(f"reference GMM fit: {time.time() - t0:.1f}s")
+    if os.path.exists(ref_path):
+        with open(ref_path, "rb") as f:
+            ref_gmm = pickle.load(f)
+        print(f"reference GMM fit: loaded from {ref_path}")
+    else:
+        ref_gmm = RefGmm(n_components=K_COMP, covariance_type="full",
+                         max_iter=MAX_ITER)
+        ref_gmm.fit(h=h_np[:N_TRAIN], zero_mean=True)
+        with open(ref_path, "wb") as f:
+            pickle.dump(ref_gmm, f)
+        print(f"reference GMM fit: {time.time() - t0:.1f}s")
 
     all_ok = True
 
@@ -116,7 +151,7 @@ def main():
             compare(f"blmmse_glob bits={bits_tag} {qtype} snr={snr:g}",
                     ours, refm, 2e-2)
 
-            bank = gmm_estimator.prepare_bank(fit.params, snr, a, n_bits, q)
+            bank = gmm_estimator.prepare_bank(fit_params, snr, a, n_bits, q)
             ours = float(nmse(gmm_estimator.estimate(bank, r, "all"), h_val))
             from copy import deepcopy
             g = deepcopy(ref_gmm)
@@ -133,7 +168,7 @@ def main():
                 r_own = observation.observe(
                     jax.random.fold_in(key, int(snr) + 7), h_val, snr, a,
                     n_bits, q_own)
-                bank = gmm_estimator.prepare_bank(fit.params, snr, a,
+                bank = gmm_estimator.prepare_bank(fit_params, snr, a,
                                                   n_bits, q_own)
                 ours_own = float(nmse(gmm_estimator.estimate(bank, r_own,
                                                              "all"), h_val))
