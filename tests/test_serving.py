@@ -327,3 +327,72 @@ def test_coherent_malformed_rejected(service_setup):
             svc.submit(np.zeros((2, 2, 2, N_ANT), np.complex64), 5.0)
     finally:
         svc.close()
+
+
+@pytest.fixture(scope="module")
+def vae_service_setup(service_setup):
+    """A tiny trained-for-2-epochs noisy VAE over the module's channels."""
+    from quantized_channel_estimation_tpu.models import vae
+
+    _, a, h_val = service_setup
+    key = jax.random.PRNGKey(80)
+    h, _ = scm.generate_channels(key, 4000, scm.ScmConfig(N_ANT, 1))
+    cfg = vae.VaeConfig(n_antennas=N_ANT, latent_dim=4, n_layers=2,
+                        vae_mode="noisy", batch_size=200, epochs=2)
+    model, state, _ = vae.train(jax.random.PRNGKey(81), cfg, h, a,
+                                [0.0, 10.0],
+                                [Q.design_quantizer(s, cfg.n_bits)
+                                 for s in (0.0, 10.0)], verbose=False)
+    return model, state.params, cfg, a, h_val
+
+
+def test_vae_service_matches_direct(vae_service_setup):
+    """VaeEstimationService flat requests == direct vae.estimate."""
+    from quantized_channel_estimation_tpu.models import vae
+
+    model, params, cfg, a, h_val = vae_service_setup
+    snr = 5.0
+    q = Q.design_quantizer(snr, cfg.n_bits)
+    r = observation.observe(jax.random.PRNGKey(82), h_val[:64], snr, a,
+                            cfg.n_bits, q)
+    svc = serving.VaeEstimationService(model, params, cfg, a,
+                                       max_delay_ms=1.0)
+    try:
+        got = svc.submit(np.asarray(r), snr)
+        want = np.asarray(vae.estimate(model, params, cfg, r, snr, a, q))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    finally:
+        svc.close()
+
+
+def test_vae_service_coherent_matches_direct(vae_service_setup):
+    """(n, T, M) blocks through the VAE service pool predicted spectra per
+    block, matching vae.estimate(coherence=T) on the flattened layout."""
+    from quantized_channel_estimation_tpu.models import vae
+
+    model, params, cfg, a, h_val = vae_service_setup
+    snr, t = 0.0, 4
+    q = Q.design_quantizer(snr, cfg.n_bits)
+    r = observation.observe(jax.random.PRNGKey(83), h_val[:64], snr, a,
+                            cfg.n_bits, q)
+    rb = np.asarray(r).reshape(16, t, -1)
+    svc = serving.VaeEstimationService(model, params, cfg, a,
+                                       max_delay_ms=1.0)
+    try:
+        got = svc.submit(rb, snr)
+        want = np.asarray(vae.estimate(model, params, cfg, r, snr, a, q,
+                                       coherence=t)).reshape(16, t, -1)
+        assert got.shape == (16, t, N_ANT)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    finally:
+        svc.close()
+
+
+def test_vae_service_rejects_genie(vae_service_setup):
+    from quantized_channel_estimation_tpu.models import vae
+
+    model, params, cfg, a, _ = vae_service_setup
+    genie_cfg = cfg.replace(vae_mode="genie") if hasattr(cfg, "replace") \
+        else cfg._replace(vae_mode="genie")
+    with pytest.raises(ValueError, match="genie"):
+        serving.VaeEstimationService(model, params, genie_cfg, a)

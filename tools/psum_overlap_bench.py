@@ -31,10 +31,10 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 D = int(os.environ.get("OVERLAP_D", 256))
-K = int(os.environ.get("OVERLAP_K", 32))
-N_LOCAL = int(os.environ.get("OVERLAP_NLOCAL", 512))
-N_ITER = int(os.environ.get("OVERLAP_ITERS", 6))
-REPS = int(os.environ.get("OVERLAP_REPS", 5))
+K = int(os.environ.get("OVERLAP_K", 16))
+N_LOCAL = int(os.environ.get("OVERLAP_NLOCAL", 128))
+N_ITER = int(os.environ.get("OVERLAP_ITERS", 10))
+REPS = int(os.environ.get("OVERLAP_REPS", 7))
 SEGMENTS = (1, 4)
 
 
@@ -47,8 +47,15 @@ def _free_port() -> int:
 def launcher():
     port = _free_port()
     env = {**os.environ, "XLA_FLAGS": ""}  # workers model one chip per host
+    # pin each worker to its own core: without pinning the two multithreaded
+    # XLA runtimes thrash the 2-CPU host and rep times vary 5-8x, burying
+    # any communication-level effect (measured)
+    n_cpu = os.cpu_count() or 1
+    pin = (lambda pid: ["taskset", "-c", str(pid % n_cpu)]) if n_cpu >= 2 \
+        else (lambda pid: [])
     procs = [subprocess.Popen(
-        [sys.executable, __file__, "--worker", str(port), str(pid)],
+        pin(pid) + [sys.executable, __file__, "--worker", str(port),
+                    str(pid)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env) for pid in range(2)]
     outs = []
@@ -163,7 +170,8 @@ def worker(port: str, pid: int):
            f"delta {(t1 - t4) * 1e3:+.0f} ms over {N_ITER} iters "
            f"({100 * (t1 - t4) / max(t1, 1e-9):+.1f}%); bare communication "
            f"is {per_iter_comm:.3f}s of the blocking run "
-           f"({100 * per_iter_comm / max(t1, 1e-9):.1f}%)")
+           f"({100 * per_iter_comm / max(t1, 1e-9):.1f}%) — an overlap "
+           f"delta can be at most that fraction on this transport")
     print(f"WORKER_OK pid={pid}", flush=True)
 
 

@@ -53,15 +53,37 @@ def synthetic_params(k: int, d: int, seed: int = 0):
     return GmmParams(weights, means, covs, prec)
 
 
+def synthetic_mfa_params(k: int, d: int, latent: int, seed: int = 0):
+    """Random MfaParams (host numpy) for the `from_mfa` serving path."""
+    from quantized_channel_estimation_tpu.models.mfa import MfaParams
+    rng = np.random.default_rng(seed)
+    lam = (rng.standard_normal((k, d, latent))
+           + 1j * rng.standard_normal((k, d, latent))).astype(np.complex64)
+    lam /= np.sqrt(2.0 * latent)
+    psis = rng.uniform(0.2, 1.0, (k, d)).astype(np.float32)
+    weights = np.full((k,), 1.0 / k, np.float32)
+    means = np.zeros((k, d), np.complex64)
+    return MfaParams(weights, means, lam, psis)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--duration", type=float, default=20.0)
     ap.add_argument("--clients", type=int, default=8)
-    ap.add_argument("--req-size", type=int, default=64)
+    ap.add_argument("--req-size", type=int, default=64,
+                    help="snapshots per request (blocks*T with --coherence)")
     ap.add_argument("--n-antennas", type=int, default=64)
     ap.add_argument("--n-components", type=int, default=64)
     ap.add_argument("--n-bits", type=int, default=2)
     ap.add_argument("--max-batch", type=int, default=1024)
+    ap.add_argument("--coherence", type=int, default=1,
+                    help="T>1 submits (blocks, T, M) coherence-block "
+                         "requests through the block-pooled joint path")
+    ap.add_argument("--mfa", action="store_true",
+                    help="back the service with an MFA prior via "
+                         "EstimationService.from_mfa (densified on the "
+                         "host CPU backend)")
+    ap.add_argument("--latent", type=int, default=16)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -71,17 +93,36 @@ def main():
     from quantized_channel_estimation_tpu.serving import EstimationService
 
     d = args.n_antennas
-    params = synthetic_params(args.n_components, d)
+    t_coh = max(1, args.coherence)
+    if args.req_size % t_coh:
+        ap.error(f"--req-size {args.req_size} must divide by "
+                 f"--coherence {t_coh}")
     a = np.eye(d, dtype=np.complex64)
-    svc = EstimationService(params, a, args.n_bits,
-                            max_batch=args.max_batch)
+    if args.mfa:
+        mfa_params = synthetic_mfa_params(args.n_components, d, args.latent)
+        # densification (to_gmm_params) runs complex linalg; pin it to the
+        # CPU backend — the axon TPU runtime has no complex buffers at
+        # program boundaries and the service's cjit handles the TPU side
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            svc = EstimationService.from_mfa(mfa_params, a, args.n_bits,
+                                             max_batch=args.max_batch)
+            svc.params = jax.tree_util.tree_map(np.asarray, svc.params)
+    else:
+        params = synthetic_params(args.n_components, d)
+        svc = EstimationService(params, a, args.n_bits,
+                                max_batch=args.max_batch)
     snrs = [-5.0, 5.0, 15.0]
     rng = np.random.default_rng(1)
+
+    def shape_req(x):
+        if t_coh > 1:
+            return x.reshape(args.req_size // t_coh, t_coh, d)
+        return x
 
     def make_req():
         x = (rng.standard_normal((args.req_size, d))
              + 1j * rng.standard_normal((args.req_size, d)))
-        return x.astype(np.complex64)
+        return shape_req(x.astype(np.complex64))
 
     # warm up every (snr, microbatch-size) program the load can hit: client
     # requests coalesce to anything from one request up to clients*req_size,
@@ -99,8 +140,10 @@ def main():
     for snr in snrs:
         for size in sizes:
             x = (rng.standard_normal((size, d))
-                 + 1j * rng.standard_normal((size, d)))
-            svc.submit(x.astype(np.complex64), snr, timeout=600.0)
+                 + 1j * rng.standard_normal((size, d))).astype(np.complex64)
+            if t_coh > 1:
+                x = x.reshape(size // t_coh, t_coh, d)
+            svc.submit(x, snr, timeout=600.0)
             print(f"  warmed snr={snr} n={size} "
                   f"({time.perf_counter() - t0:.1f}s)", flush=True)
     print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
@@ -118,7 +161,7 @@ def main():
             t0 = time.perf_counter()
             out = svc.submit(r, snr, timeout=120.0)
             dt = time.perf_counter() - t0
-            assert out.shape == (args.req_size, d)
+            assert out.shape == r.shape, (out.shape, r.shape)
             with lat_lock:
                 latencies.append(dt)
                 counts[0] += args.req_size
@@ -149,6 +192,8 @@ def main():
         "p99_ms": round(float(np.percentile(lat, 99)), 2),
         "clients": args.clients,
         "req_size": args.req_size,
+        "coherence": t_coh,
+        "bank": "mfa" if args.mfa else "gmm",
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))
