@@ -349,7 +349,7 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
             # the column the reference cannot produce
             def gmm_coh_est(snr, r):
                 del r  # uses the block-shaped observations
-                return stages.flatten_coherence(stages.estimate_coherent(
+                return stages.flatten_coherence(stages.estimate_coherent_auto(
                     get_bank(snr), r_blocks_by_snr[snr],
                     cfg.n_summands_or_proba))
 

@@ -117,7 +117,7 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
             r_blocks = stages.observe(k_snr, h_val_blocks, snr, a,
                                       cfg.n_bits, quantizers[snr])
             r_val = stages.flatten_coherence(r_blocks)
-            res_coh = stages.flatten_coherence(stages.estimate_coherent(
+            res_coh = stages.flatten_coherence(stages.estimate_coherent_auto(
                 bank, r_blocks, cfg.n_summands_or_proba))
             mse_cols["blmmse_gmm_quant_coh"].append(
                 stages.nmse(res_coh, h_val))

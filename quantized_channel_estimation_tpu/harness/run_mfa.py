@@ -111,7 +111,7 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
             r_blocks = stages.observe(k_snr, h_val_blocks, snr, a,
                                       cfg.n_bits, quantizers[snr])
             r_val = stages.flatten_coherence(r_blocks)
-            res_coh = stages.flatten_coherence(stages.estimate_coherent(
+            res_coh = stages.flatten_coherence(stages.estimate_coherent_auto(
                 bank, r_blocks, cfg.n_summands_or_proba))
             mse_cols["blmmse_mfa_coh"].append(stages.nmse(res_coh, h_val))
             if cfg.eval_rate:

@@ -143,6 +143,25 @@ def estimate_auto(bank, r, mode):
         return _fused(bank, r)
     return estimate(bank, r, mode)
 
+
+_fused_coh = None
+
+
+def estimate_coherent_auto(bank, r, mode):
+    """Coherent analog of `estimate_auto`: 'all' mode on TPU takes the
+    in-VMEM block-pooled kernel, everything else the einsum coherent
+    path."""
+    import jax as _jax
+    global _fused_coh
+    if mode == "all" and _jax.default_backend() == "tpu":
+        if _fused_coh is None:
+            from quantized_channel_estimation_tpu.estimators import (
+                pallas_kernels)
+            _fused_coh = cjit(
+                lambda b, rr: pallas_kernels.estimate_fused_coherent(b, rr))
+        return _fused_coh(bank, r)
+    return estimate_coherent(bank, r, mode)
+
 _nmse = cjit(metrics.nmse)
 
 
