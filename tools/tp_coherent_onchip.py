@@ -1,0 +1,91 @@
+"""Validate the tensor-parallel COHERENT route on the real chip.
+
+`estimate_sharded_kernel` with rank-3 (B, T, M) blocks through a 1-device
+(data, component) shard_map mesh on the real TPU: the Pallas coherent
+stats kernel (`estimate_fused_coherent_stats`) + the pmax/psum merge must
+match the single-chip `estimate_fused_coherent` and the einsum
+`estimate_coherent` — the hardware analog of the virtual-mesh
+every-factorization exactness tests (tests/test_parallel.py). Mirrors the
+round-2 flat-path validation recorded in BASELINE.md.
+
+Usage: python tools/tp_coherent_onchip.py [n_blocks] [t_coh]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+N_ANT = 64
+K_COMP = 64
+N_BITS = 2
+SNR_DB = 10.0
+N_BLOCKS = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+T_COH = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+
+def main():
+    from quantized_channel_estimation_tpu.estimators import pallas_kernels as pk
+    from quantized_channel_estimation_tpu.models import gmm_estimator
+    from quantized_channel_estimation_tpu.models.gmm import GmmParams
+    from quantized_channel_estimation_tpu.ops import linalg, observation, pilots
+    from quantized_channel_estimation_tpu.ops import quantizer as Q
+    from quantized_channel_estimation_tpu.ops.boundary import cjit
+    from quantized_channel_estimation_tpu.ops.cplx import crandn
+    from quantized_channel_estimation_tpu.parallel import mesh as pmesh
+
+    def make_params(key):
+        ka, _ = jax.random.split(key)
+        a = crandn(ka, (K_COMP, N_ANT, N_ANT))
+        covs = a @ jnp.conj(jnp.swapaxes(a, -1, -2)) / N_ANT \
+            + jnp.eye(N_ANT, dtype=a.dtype)
+        tr = jnp.real(jnp.trace(covs, axis1=-2, axis2=-1))[:, None, None]
+        covs = covs * (N_ANT / tr).astype(covs.dtype)
+        prec = linalg.robust_precision_cholesky(covs)
+        w = jnp.ones((K_COMP,), jnp.float32) / K_COMP
+        means = jnp.zeros((K_COMP, N_ANT), covs.dtype)
+        return GmmParams(w, means, covs, prec)
+
+    params = cjit(make_params)(jax.random.PRNGKey(0))
+    a = cjit(pilots.pilot_matrix, static_argnums=(0, 1, 2, 3))(
+        N_ANT, 1, N_BITS, "angle_amp")
+    q = Q.design_quantizer(SNR_DB, N_BITS)
+    bank = cjit(gmm_estimator.prepare_bank, static_argnums=(3,))(
+        params, SNR_DB, a, N_BITS, q)
+
+    def gen_obs(key):
+        h = crandn(key, (N_BLOCKS * T_COH, N_ANT))
+        r = observation.observe(jax.random.fold_in(key, 1), h, SNR_DB,
+                                None, N_BITS, q)
+        return r.reshape(N_BLOCKS, T_COH, N_ANT)
+
+    rb = cjit(gen_obs)(jax.random.PRNGKey(1))
+
+    m = pmesh.make_mesh(1, 1)
+
+    # all three paths inside ONE jitted real-output program (complex never
+    # crosses the axon boundary; the shard_map nests in the outer trace)
+    interp = jax.default_backend() != "tpu"  # CPU sanity runs interpret
+
+    def diffs(b, x):
+        want = gmm_estimator.estimate_coherent(b, x, "all", 512)
+        kern = pk.estimate_fused_coherent(b, x, interpret=interp)
+        tp = pmesh.estimate_sharded_kernel(m, b, x)
+        return (jnp.max(jnp.abs(kern - want)), jnp.max(jnp.abs(tp - want)),
+                jnp.max(jnp.abs(want)))
+
+    t0 = time.time()
+    d_kern, d_tp, scale = (float(v) for v in cjit(diffs)(bank, rb))
+    print(f"single-kernel vs einsum max diff: {d_kern:.3g}")
+    print(f"TP shard_map coherent vs einsum max diff: {d_tp:.3g} "
+          f"(scale {scale:.3g}; {time.time() - t0:.1f}s incl. compile)")
+    assert d_kern <= 1e-3 * scale, (d_kern, scale)
+    assert d_tp <= 1e-3 * scale, (d_tp, scale)
+    print("TP_COHERENT_ONCHIP OK")
+
+
+if __name__ == "__main__":
+    main()
