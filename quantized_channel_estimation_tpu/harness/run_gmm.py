@@ -52,6 +52,11 @@ class GmmBenchConfig:
     # Supported by all three channel models (urban-macro is the low-SNR
     # cell-edge regime where the block posterior pays most).
     n_coherence: int = 1
+    # evidence-blend exponent for the coherent column: 1.0 = pure block
+    # posterior (the Pallas kernel path), 0.0 = exactly independent;
+    # interior values keep the per-snapshot hedge under model mismatch
+    # (urban-macro >=0 dB — BASELINE.md / tools/coherent_temper_probe.py)
+    coherence_alpha: float = 1.0
     n_pilots: int = 1
     n_bits: Union[int, float] = 2
     cov_type: str = "full"
@@ -349,6 +354,10 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
             # the column the reference cannot produce
             def gmm_coh_est(snr, r):
                 del r  # uses the block-shaped observations
+                if cfg.coherence_alpha < 1.0:  # blend: einsum path only
+                    return stages.flatten_coherence(stages.estimate_coherent(
+                        get_bank(snr), r_blocks_by_snr[snr],
+                        cfg.n_summands_or_proba, 512, cfg.coherence_alpha))
                 return stages.flatten_coherence(stages.estimate_coherent_auto(
                     get_bank(snr), r_blocks_by_snr[snr],
                     cfg.n_summands_or_proba))

@@ -123,7 +123,7 @@ mfa_to_gmm = cjit(mfa.to_gmm_params, static_argnums=(1,))
 prepare_bank = cjit(gmm_estimator.prepare_bank, static_argnums=(3,))
 estimate = cjit(gmm_estimator.estimate, static_argnums=(2, 3))
 estimate_coherent = cjit(gmm_estimator.estimate_coherent,
-                         static_argnums=(2, 3))
+                         static_argnums=(2, 3, 4))
 
 
 _fused = None

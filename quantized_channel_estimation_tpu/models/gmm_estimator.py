@@ -173,27 +173,44 @@ def estimate(bank: PreparedBank, r: jax.Array,
     return out.reshape(n_chunks * chunk_size, -1)[:n]
 
 
-def _estimate_coherent_chunk(bank: PreparedBank, r: jax.Array, mode) -> jax.Array:
+def _estimate_coherent_chunk(bank: PreparedBank, r: jax.Array, mode,
+                             alpha: float = 1.0) -> jax.Array:
     """One chunk of coherence blocks r (B, T, M) -> (B, T, D)."""
     b, t, m = r.shape
     lp = log_prob_full(r.reshape(b * t, m), bank.means_r, bank.prec_chol_r)
+    lp3 = lp.reshape(b, t, -1)
     # block log-likelihood: snapshots are conditionally independent given the
     # component, so the posterior logits SUM over the coherence axis (the
     # log-weight enters once per block, not once per snapshot)
-    lp_block = jnp.sum(lp.reshape(b, t, -1), axis=1) + bank.log_weights[None, :]
-    proba = jax.nn.softmax(lp_block, axis=-1)            # (B, K)
-    w = _selection_weights(proba, mode).astype(r.dtype)
+    lp_sum = jnp.sum(lp3, axis=1)
     k, d, mm = bank.filters.shape
     z = (r.reshape(b * t, m) @ bank.filters.reshape(k * d, mm).T)
     z = z.reshape(b, t, k, d) + bank.bias[None, None, :, :]
-    return jnp.einsum("bk,btkd->btd", w, z)
+    if alpha >= 1.0:
+        lp_block = lp_sum + bank.log_weights[None, :]
+        proba = jax.nn.softmax(lp_block, axis=-1)        # (B, K)
+        w = _selection_weights(proba, mode).astype(r.dtype)
+        return jnp.einsum("bk,btkd->btd", w, z)
+    # leave-one-out blend (alpha < 1): each snapshot keeps its OWN
+    # likelihood at full strength and admits the other snapshots' evidence
+    # scaled by alpha — alpha=0 is exactly the independent per-snapshot
+    # posterior, alpha=1 the block posterior. Measured (full-scale probe,
+    # tools/coherent_temper_probe.py): the family dominates BOTH endpoints
+    # under model mismatch (urban-macro ≥0 dB, where pure pooling loses the
+    # per-snapshot hedge) and never loses where pooling wins (3gpp).
+    lg = lp3 + alpha * (lp_sum[:, None, :] - lp3) \
+        + bank.log_weights[None, None, :]
+    proba = jax.nn.softmax(lg, axis=-1)                  # (B, T, K)
+    w = _selection_weights(proba, mode).astype(r.dtype)
+    return jnp.einsum("btk,btkd->btd", w, z)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(2, 3, 4))
 @highest_precision
 def estimate_coherent(bank: PreparedBank, r: jax.Array,
                       mode: Union[str, int, float] = "all",
-                      chunk_size: int = 512) -> jax.Array:
+                      chunk_size: int = 512,
+                      alpha: float = 1.0) -> jax.Array:
     """Joint estimation of coherence blocks r (B, T, M) -> (B, T, D).
 
     New design beyond the reference (which only ever runs n_coherence=1 and
@@ -207,6 +224,12 @@ def estimate_coherent(bank: PreparedBank, r: jax.Array,
     sharpen the posterior by ~T x in log-space, so component identification
     (and hence MSE) improves over independent per-snapshot estimation at any
     finite SNR. Reduces exactly to `estimate` at T=1.
+
+    `alpha` < 1 blends toward the independent per-snapshot posterior
+    (leave-one-out evidence scaling; alpha=0 IS the independent estimator)
+    — the hedge for model-mismatched regimes where pure pooling over-commits
+    (measured: urban-macro at >=0 dB; `_estimate_coherent_chunk`). The
+    Pallas kernel path (`estimate_fused_coherent`) implements alpha=1.
     """
     if r.ndim != 3:
         raise ValueError(f"estimate_coherent expects (B, T, M) blocks, got "
@@ -216,7 +239,8 @@ def estimate_coherent(bank: PreparedBank, r: jax.Array,
     pad = n_chunks * chunk_size - n
     rp = jnp.pad(r, ((0, pad), (0, 0), (0, 0)))
     rp = rp.reshape(n_chunks, chunk_size, r.shape[1], r.shape[2])
-    out = jax.lax.map(lambda rc: _estimate_coherent_chunk(bank, rc, mode), rp)
+    out = jax.lax.map(
+        lambda rc: _estimate_coherent_chunk(bank, rc, mode, alpha), rp)
     return out.reshape(n_chunks * chunk_size, r.shape[1], -1)[:n]
 
 

@@ -259,6 +259,32 @@ class TestGmmEstimation:
                          .reshape(want.shape))
         np.testing.assert_allclose(got, want, atol=2e-5)
 
+    def test_coherent_alpha_blend_endpoints(self, setup):
+        """The leave-one-out evidence blend: alpha=0 must equal the
+        INDEPENDENT per-snapshot estimator bit-for-bit, alpha=1 the block
+        posterior; interior alphas are finite (round-3 probe: the family
+        dominates both endpoints under urban-macro model mismatch —
+        tools/coherent_temper_probe.py, BASELINE.md)."""
+        _, h_val, _, params, _ = setup
+        snr, n_bits, t = 0.0, 2, 4
+        a = pilots.pilot_matrix(self.N_ANT, 1, n_bits)
+        q = Q.design_quantizer(snr, n_bits)
+        r = observation.observe(jax.random.PRNGKey(14), h_val, snr, a,
+                                n_bits, q)
+        b = r.shape[0] // t
+        rb = r[:b * t].reshape(b, t, -1)
+        bank = gmm_estimator.prepare_bank(params, snr, a, n_bits, q)
+        indep = gmm_estimator.estimate(bank, rb.reshape(-1, self.N_ANT),
+                                       "all").reshape(rb.shape[0], t, -1)
+        a0 = gmm_estimator.estimate_coherent(bank, rb, "all", 512, 0.0)
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(indep))
+        a1 = gmm_estimator.estimate_coherent(bank, rb, "all", 512, 1.0)
+        np.testing.assert_array_equal(
+            np.asarray(a1),
+            np.asarray(gmm_estimator.estimate_coherent(bank, rb)))
+        mid = gmm_estimator.estimate_coherent(bank, rb, "all", 512, 0.5)
+        assert np.all(np.isfinite(np.asarray(mid)))
+
 
 def test_fit_resume_continues(rng, key):
     """Resuming EM from checkpointed params must not degrade the lower bound
