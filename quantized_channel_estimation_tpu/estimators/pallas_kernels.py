@@ -242,19 +242,25 @@ def _cplx_block(b: jax.Array) -> jax.Array:
 
 
 @highest_precision
-def kernel_bank_block(bank: PreparedBank, t_coh: int = 1) -> KernelBankBlock:
+def kernel_bank_block(bank: PreparedBank, t_coh: int = 1,
+                      coh_alpha: float = 1.0) -> KernelBankBlock:
     """Lower a PreparedBank to the block-GEMM kernel layout (jittable).
 
     t_coh > 1 prepares the bank for the COHERENT kernel path: the per-block
     logit is logw_mixture (once) + T * logdet - sum_t quad_t, and the kernel
     pools T per-snapshot logits by summation, so the mixture log-weight is
     pre-divided by T (the log-det term 2 sum log diag(P) is correctly
-    counted once per snapshot)."""
+    counted once per snapshot). coh_alpha < 1 selects the leave-one-out
+    blend: the in-kernel logit becomes (1-a)*lg_t + a*sum_t' lg_t', whose
+    logw coefficient is (1-a+aT) — the divisor below — while the logdet
+    coefficient (1-a+aT) matches the blend of per-snapshot likelihoods
+    exactly."""
     pc = jnp.conj(bank.prec_chol_r)  # (K, M, M); y = r @ pc
     mu = jnp.einsum("km,kmp->kp", bank.means_r, pc)  # (K, M)
     wt = jnp.swapaxes(bank.filters, -1, -2)  # (K, M, D)
     diag = jnp.real(jnp.diagonal(bank.prec_chol_r, axis1=-2, axis2=-1))
-    logw = (bank.log_weights / t_coh
+    lw_div = (1.0 - coh_alpha + coh_alpha * t_coh) if t_coh > 1 else 1.0
+    logw = (bank.log_weights / lw_div
             + 2.0 * jnp.sum(jnp.log(diag), axis=-1))
     logw = jnp.maximum(logw, -1e30)  # dead-component floor (see kernel_bank)
     pw = jnp.concatenate([_cplx_block(pc), _cplx_block(wt)], axis=-1)
@@ -315,7 +321,8 @@ def _tmajor_to_blocks(x: jax.Array, t: int, tile_n: int, n_blocks: int):
 
 def _grouped_stream(logw, pw, mu, b, rr, n_groups: int, group: int,
                     two_m: int, two_d: int, precision, mode: str = "f32",
-                    pw_lo=None, rr_lo=None, t_coh: int = 1):
+                    pw_lo=None, rr_lo=None, t_coh: int = 1,
+                    coh_alpha: float = 1.0):
     """Stream over K, `group` components per GEMM: pw[g] is
     (2M, group*(2M+2D)) = [P_1|W_1|...|P_G|W_G], widening the MXU output
     dim and cutting loop-iteration count. Returns the online-softmax state
@@ -355,7 +362,14 @@ def _grouped_stream(logw, pw, mu, b, rr, n_groups: int, group: int,
             s = lg[0:bp]
             for j in range(1, t_coh):
                 s = s + lg[j * bp:(j + 1) * bp]
-            return jnp.concatenate([s] * t_coh, axis=0)
+            pooled = jnp.concatenate([s] * t_coh, axis=0)
+            if coh_alpha >= 1.0:
+                return pooled
+            # leave-one-out evidence blend (`gmm_estimator.
+            # _estimate_coherent_chunk` alpha<1): per-snapshot logit plus
+            # alpha times the other snapshots' evidence. The caller scales
+            # the mixture log-weight by 1/(1-a+aT) so it enters once.
+            return (1.0 - coh_alpha) * lg + coh_alpha * pooled
     else:
         pool = lambda lg: lg
 
@@ -399,11 +413,12 @@ def _grouped_stream(logw, pw, mu, b, rr, n_groups: int, group: int,
 
 def _estimate_kernel_block_grouped(logw, pw, mu, b, r2, out, *, n_groups: int,
                                    group: int, two_m: int,
-                                   precision=None, t_coh: int = 1):
+                                   precision=None, t_coh: int = 1,
+                                   coh_alpha: float = 1.0):
     """One sample tile: normalized weighted combine over all K components."""
     _, denom, acc = _grouped_stream(logw, pw, mu, b, r2[:], n_groups, group,
                                     two_m, out.shape[1], precision,
-                                    t_coh=t_coh)
+                                    t_coh=t_coh, coh_alpha=coh_alpha)
     out[:] = acc / denom
 
 
@@ -451,11 +466,12 @@ def _estimate_kernel_block_grouped_stats(logw, pw, mu, b, r2, out_m, out_den,
     out_acc[:] = acc
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def estimate_packed_block_grouped(kb: KernelBankBlock, r2: jax.Array,
                                   tile_n: int = 1024, group: int = 2,
                                   interpret: bool = False, precision=None,
-                                  mode: str = "f32", t_coh: int = 1):
+                                  mode: str = "f32", t_coh: int = 1,
+                                  coh_alpha: float = 1.0):
     """Block-GEMM estimation with `group` components per MXU call.
     K must be a multiple of `group`. `precision` feeds the in-kernel dots
     (None -> Mosaic default = full float32 passes); `mode` selects the GEMM
@@ -488,7 +504,8 @@ def estimate_packed_block_grouped(kb: KernelBankBlock, r2: jax.Array,
     static = dict(n_groups=n_groups, group=group, two_m=two_m)
     if mode == "f32":
         kern = functools.partial(_estimate_kernel_block_grouped,
-                                 precision=precision, t_coh=t_coh, **static)
+                                 precision=precision, t_coh=t_coh,
+                                 coh_alpha=coh_alpha, **static)
         in_specs = [smem_spec, bank_spec, bank_spec, bank_spec, data_spec]
         args = (kb.logw, pw, mu, b, r2)
     elif mode == "bf16":
@@ -827,14 +844,22 @@ def estimate_fused_coherent_stats(bank: PreparedBank, r: jax.Array,
 
 def estimate_fused_coherent(bank: PreparedBank, r: jax.Array,
                             interpret: bool = False,
-                            vmem_budget: int = 13 * 1024 * 1024) -> jax.Array:
+                            vmem_budget: int = 13 * 1024 * 1024,
+                            alpha: float = 1.0) -> jax.Array:
     """Canonical fused coherent 'all'-mode estimation of blocks r (B, T, M)
     -> (B, T, D): the kernel analog of `gmm_estimator.estimate_coherent`
     (new design — the reference never exploits coherence blocks,
     `SCMMulti.py:30`). Banks within the scoped-VMEM rule run as ONE grouped
     kernel launch with in-VMEM block pooling; oversized banks take the
     split-K coherent stats path; ineligible T falls back to the einsum
-    path."""
+    path.
+
+    `alpha` < 1 is the leave-one-out evidence blend
+    (`gmm_estimator.estimate_coherent(alpha=)`): in-kernel it is one extra
+    VPU fma per logit ((1-a)*lg + a*pool(lg)) plus the 1/(1-a+aT)
+    log-weight scale in `kernel_bank_block`; the split-K stats path is
+    alpha=1-only (its merged state is per-block), so oversized banks with
+    alpha < 1 take the einsum path."""
     if r.ndim != 3:
         raise ValueError(f"expected (B, T, M) blocks, got {r.shape}")
     b, t, m_dim = r.shape
@@ -843,10 +868,13 @@ def estimate_fused_coherent(bank: PreparedBank, r: jax.Array,
                               vmem_budget)[:, None, :]
     from quantized_channel_estimation_tpu.models import gmm_estimator
     if not _coherent_kernel_eligible(bank, t):
-        return gmm_estimator.estimate_coherent(bank, r, "all")
+        return gmm_estimator.estimate_coherent(bank, r, "all", 512, alpha)
     k_comp, d, _ = bank.filters.shape
     per_k = 4 * (2 * m_dim) * (2 * m_dim + 2 * d)
     if k_comp * per_k > vmem_budget:
+        if alpha < 1.0:  # stats merge is per-block; blend needs per-row
+            return gmm_estimator.estimate_coherent(bank, r, "all", 512,
+                                                   alpha)
         m_b, den, acc = _coherent_stats_merged(bank, r, interpret)
         return (acc / den[:, None, None].astype(acc.dtype)).astype(r.dtype)
     base = 2048 if b * t >= 2048 else 256
@@ -854,10 +882,10 @@ def estimate_fused_coherent(bank: PreparedBank, r: jax.Array,
     rows, b_pad = _blocks_to_tmajor(r, tile_n)
     r2 = jnp.concatenate([jnp.real(rows), jnp.imag(rows)],
                          axis=-1).astype(jnp.float32)
-    kb = kernel_bank_block(bank, t_coh=t)
+    kb = kernel_bank_block(bank, t_coh=t, coh_alpha=alpha)
     group = next(g for g in (4, 2, 1) if k_comp % g == 0)
     h2 = estimate_packed_block_grouped(kb, r2, tile_n, group, interpret,
-                                       None, "f32", t)
+                                       None, "f32", t, alpha)
     out = _tmajor_to_blocks(h2, t, tile_n, b)            # (B, T, 2D)
     return (out[..., :d] + 1j * out[..., d:]).astype(r.dtype)
 

@@ -354,13 +354,9 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
             # the column the reference cannot produce
             def gmm_coh_est(snr, r):
                 del r  # uses the block-shaped observations
-                if cfg.coherence_alpha < 1.0:  # blend: einsum path only
-                    return stages.flatten_coherence(stages.estimate_coherent(
-                        get_bank(snr), r_blocks_by_snr[snr],
-                        cfg.n_summands_or_proba, 512, cfg.coherence_alpha))
                 return stages.flatten_coherence(stages.estimate_coherent_auto(
                     get_bank(snr), r_blocks_by_snr[snr],
-                    cfg.n_summands_or_proba))
+                    cfg.n_summands_or_proba, cfg.coherence_alpha))
 
             eval_algo("blmmse_gmm_coh", "gmm_coh_rstat", gmm_coh_est,
                       norm_clip=0.1)

@@ -147,10 +147,10 @@ def estimate_auto(bank, r, mode):
 _fused_coh = None
 
 
-def estimate_coherent_auto(bank, r, mode):
+def estimate_coherent_auto(bank, r, mode, alpha: float = 1.0):
     """Coherent analog of `estimate_auto`: 'all' mode on TPU takes the
-    in-VMEM block-pooled kernel, everything else the einsum coherent
-    path."""
+    in-VMEM block-pooled kernel (incl. the alpha evidence blend),
+    everything else the einsum coherent path."""
     import jax as _jax
     global _fused_coh
     if mode == "all" and _jax.default_backend() == "tpu":
@@ -158,9 +158,11 @@ def estimate_coherent_auto(bank, r, mode):
             from quantized_channel_estimation_tpu.estimators import (
                 pallas_kernels)
             _fused_coh = cjit(
-                lambda b, rr: pallas_kernels.estimate_fused_coherent(b, rr))
-        return _fused_coh(bank, r)
-    return estimate_coherent(bank, r, mode)
+                lambda b, rr, al: pallas_kernels.estimate_fused_coherent(
+                    b, rr, alpha=al),
+                static_argnums=(2,))
+        return _fused_coh(bank, r, alpha)
+    return estimate_coherent(bank, r, mode, 512, alpha)
 
 _nmse = cjit(metrics.nmse)
 

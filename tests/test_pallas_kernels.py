@@ -271,3 +271,16 @@ def test_coherent_kernel_dead_components(coherent_obs):
     got = np.asarray(pk.estimate_fused_coherent(dead, rb, interpret=True))
     assert np.all(np.isfinite(got))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("alpha", [1.0, 0.5, 0.0])
+def test_fused_coherent_alpha_blend(coherent_obs, alpha):
+    """The in-kernel leave-one-out blend ((1-a)*lg + a*pool(lg) with the
+    1/(1-a+aT) log-weight scale) must equal the einsum blend at every
+    alpha, including both endpoints."""
+    bank, rb = coherent_obs
+    want = np.asarray(gmm_estimator.estimate_coherent(bank, rb, "all", 512,
+                                                      alpha))
+    got = np.asarray(pk.estimate_fused_coherent(bank, rb, interpret=True,
+                                                alpha=alpha))
+    np.testing.assert_allclose(got, want, atol=2e-5)
