@@ -59,5 +59,13 @@ for snr_db in (-10.0, 0.0, 10.0):
     h_joint = stages.flatten_coherence(
         stages.estimate_coherent(bank, r, "all"))
     m_joint = stages.nmse(h_joint, h_flat)
+
+    # leave-one-out evidence blend (alpha=0 == independent, 1 == joint):
+    # the hedge for model-mismatched regimes — see BASELINE.md's
+    # urban-macro row and tools/coherent_temper_probe.py
+    h_blend = stages.flatten_coherence(
+        stages.estimate_coherent(bank, r, "all", 512, 0.5))
+    m_blend = stages.nmse(h_blend, h_flat)
     print(f"SNR {snr_db:+5.1f} dB: independent {m_indep:.4f}  "
-          f"joint {m_joint:.4f}  ({100 * (m_joint - m_indep) / m_indep:+.1f}%)")
+          f"joint {m_joint:.4f} ({100 * (m_joint - m_indep) / m_indep:+.1f}%)"
+          f"  blend(a=0.5) {m_blend:.4f}")
