@@ -39,6 +39,10 @@ class VaeBenchConfig:
     latent_dim: int = 16
     zeromean: bool = True
     fft_pre: bool = True
+    # fixed defaults; full-scale searches (tools/vae_search_fullscale.py,
+    # BASELINE.md) beat them by 0.4-0.6% mean MSE with MODE-SPECIFIC
+    # winners (noisy: lr=6.17e-4/batch=290; real: lr=1.88e-4/batch=202) —
+    # use run_search (the reference's own protocol) for production tuning
     lr: float = 5e-4
     batch_size: int = 200
     n_train: int = 100_000
