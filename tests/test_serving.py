@@ -396,3 +396,31 @@ def test_vae_service_rejects_genie(vae_service_setup):
         else cfg._replace(vae_mode="genie")
     with pytest.raises(ValueError, match="genie"):
         serving.VaeEstimationService(model, params, genie_cfg, a)
+
+
+def test_from_mfa_constructor(service_setup):
+    """`EstimationService.from_mfa` densifies once and serves identically
+    to a manually-densified bank (round-2 VERDICT item 6)."""
+    from quantized_channel_estimation_tpu.models import mfa
+
+    _, a, h_val = service_setup
+    key = jax.random.PRNGKey(90)
+    h, _ = scm.generate_channels(key, 4000, scm.ScmConfig(N_ANT, 1))
+    fit = mfa.fit(jax.random.PRNGKey(91), h,
+                  mfa.MfaConfig(n_components=4, latent_dim=4,
+                                zero_mean=True, max_iter=10,
+                                chunk_size=2000))
+    snr = 5.0
+    q = Q.design_quantizer(snr, 2)
+    r_np = np.asarray(observation.observe(jax.random.PRNGKey(92),
+                                          h_val[:32], snr, a, 2, q))
+    svc = serving.EstimationService.from_mfa(fit.params, a, 2,
+                                             max_delay_ms=1.0)
+    try:
+        got = svc.submit(r_np, snr)
+        bank = gmm_estimator.prepare_bank(
+            mfa.to_gmm_params(fit.params, 1e-6), snr, a, 2, q)
+        want = np.asarray(gmm_estimator.estimate(bank, r_np, "all"))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    finally:
+        svc.close()
