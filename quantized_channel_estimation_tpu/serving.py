@@ -60,7 +60,7 @@ class EstimationService:
                  max_batch: int = 4096, max_delay_ms: float = 5.0,
                  use_pallas: Optional[bool] = None, mode="all",
                  max_banks: int = 64, snr_step_db: Optional[float] = 0.1,
-                 max_queue: int = 262_144):
+                 max_queue: int = 262_144, coherence_alpha: float = 1.0):
         """max_banks: LRU cap on cached per-SNR PreparedBanks (each is
         K*M^2 complex + K*D*M plus a per-shape compiled-program set — a
         client sweeping arbitrary float SNRs must not grow memory without
@@ -69,7 +69,11 @@ class EstimationService:
         sub-0.1 dB bank mismatch is far below model error. None disables.
         max_queue: high-water mark on total pending SAMPLES across SNRs;
         submit() raises ServiceOverloadedError beyond it (explicit
-        backpressure instead of unbounded queue growth)."""
+        backpressure instead of unbounded queue growth).
+        coherence_alpha: evidence-blend exponent for (n, T, M) block
+        requests — 1.0 = pure block posterior, 0.0 = independent
+        per-snapshot, interior = the leave-one-out hedge for
+        model-mismatched deployments (BASELINE.md urban-macro row)."""
         if use_pallas is None:
             # auto: the fused kernel serves 'all'-mode requests on TPU;
             # selection modes and kernel-less backends take the einsum path
@@ -87,6 +91,7 @@ class EstimationService:
         self.max_banks = max_banks
         self.snr_step = snr_step_db
         self.max_queue = max_queue
+        self.coherence_alpha = coherence_alpha
         self._banks: "OrderedDict[float, PreparedBank]" = OrderedDict()
         # queues are keyed by (snapped snr, T) — T=None for flat (n, M)
         # requests — so coherence blocks only co-batch with same-T blocks
@@ -112,16 +117,18 @@ class EstimationService:
                 static_argnums=())
             # coherent blocks: in-VMEM block-pooled kernel (mode=='all' is
             # guaranteed on this branch); chunk is folded into the kernel's
-            # own tiling
+            # own tiling; the alpha evidence blend rides in-kernel
             self._estimate_coherent = cjit(
                 lambda b, r, mode, cs: pk.estimate_fused_coherent(
-                    b, r, interpret=interp),
+                    b, r, interpret=interp, alpha=coherence_alpha),
                 static_argnums=(2, 3))
         else:
             self._estimate = cjit(gmm_estimator.estimate,
                                   static_argnums=(2, 3))
-            self._estimate_coherent = cjit(gmm_estimator.estimate_coherent,
-                                           static_argnums=(2, 3))
+            self._estimate_coherent = cjit(
+                lambda b, r, mode, cs: gmm_estimator.estimate_coherent(
+                    b, r, mode, cs, coherence_alpha),
+                static_argnums=(2, 3))
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 

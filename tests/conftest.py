@@ -26,6 +26,19 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compile_cache():
+    """Drop jit/compilation caches at module boundaries: a single full-suite
+    process otherwise accumulates ~300 compiled CPU programs and XLA's
+    compiler segfaults near the end of the run (reproduced twice at
+    tests/test_vae.py with 128 GB free RAM — compiler-state exhaustion, not
+    OOM; either half of the suite passes). Costs per-module recompiles of
+    shared fixtures, keeps the one-process `pytest tests/` invocation
+    reliable."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -424,3 +424,24 @@ def test_from_mfa_constructor(service_setup):
         np.testing.assert_allclose(got, want, atol=1e-4)
     finally:
         svc.close()
+
+
+def test_coherent_alpha_service(service_setup):
+    """coherence_alpha threads through the service: alpha=0 serves the
+    independent per-snapshot estimates for block requests."""
+    params, a, h_val = service_setup
+    snr, t = 0.0, 4
+    q = Q.design_quantizer(snr, 2)
+    r = observation.observe(jax.random.PRNGKey(95), h_val[:64], snr, a, 2, q)
+    rb = np.asarray(r).reshape(16, t, -1)
+    svc = serving.EstimationService(params, a, 2, max_delay_ms=1.0,
+                                    coherence_alpha=0.0)
+    try:
+        got = svc.submit(rb, snr)
+        bank = gmm_estimator.prepare_bank(params, snr, a, 2, q)
+        want = np.asarray(gmm_estimator.estimate(
+            bank, jax.numpy.asarray(rb).reshape(-1, N_ANT), "all")
+        ).reshape(16, t, N_ANT)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    finally:
+        svc.close()
