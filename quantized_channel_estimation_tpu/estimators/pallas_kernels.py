@@ -449,7 +449,8 @@ def _estimate_kernel_block_grouped_split(logw, pw_hi, pw_lo, mu, b, r2, out,
 def _estimate_kernel_block_grouped_stats(logw, pw, mu, b, r2, out_m, out_den,
                                          out_acc, *, n_groups: int,
                                          group: int, two_m: int,
-                                         precision=None, t_coh: int = 1):
+                                         precision=None, t_coh: int = 1,
+                                         coh_alpha: float = 1.0):
     """One sample tile over a K-CHUNK of the bank: emits the raw
     online-softmax state (max, denominator, accumulator) so chunks can be
     merged exactly in JAX (flash-attention-style split-K).
@@ -460,7 +461,7 @@ def _estimate_kernel_block_grouped_stats(logw, pw, mu, b, r2, out_m, out_den,
     limit — measured on v5e ('Scoped allocation with size 17.72M')."""
     m, denom, acc = _grouped_stream(logw, pw, mu, b, r2[:], n_groups, group,
                                     two_m, out_acc.shape[1], precision,
-                                    t_coh=t_coh)
+                                    t_coh=t_coh, coh_alpha=coh_alpha)
     out_m[:] = jnp.broadcast_to(m, out_m.shape)
     out_den[:] = jnp.broadcast_to(denom, out_den.shape)
     out_acc[:] = acc
@@ -559,11 +560,12 @@ def estimate_block_grouped(bank: PreparedBank, r: jax.Array,
     return (h2[:, :d] + 1j * h2[:, d:])[:n].astype(r.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def estimate_packed_block_grouped_stats(kb: KernelBankBlock, r2: jax.Array,
                                         tile_n: int = 2048, group: int = 4,
                                         interpret: bool = False,
-                                        t_coh: int = 1):
+                                        t_coh: int = 1,
+                                        coh_alpha: float = 1.0):
     """Grouped block-GEMM pass over a K-chunk, returning the un-normalized
     online-softmax state (m, denom, acc) per sample for exact cross-chunk
     merging. With `t_coh` > 1 (T-major r2, `kernel_bank_block(t_coh=)`
@@ -593,7 +595,7 @@ def estimate_packed_block_grouped_stats(kb: KernelBankBlock, r2: jax.Array,
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_estimate_kernel_block_grouped_stats,
                              n_groups=n_groups, group=group, two_m=two_m,
-                             t_coh=t_coh)
+                             t_coh=t_coh, coh_alpha=coh_alpha)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -779,10 +781,12 @@ def _coherent_tile_n(base: int, t: int) -> int:
 
 
 def _coherent_stats_merged(bank: PreparedBank, r: jax.Array,
-                           interpret: bool):
+                           interpret: bool, alpha: float = 1.0):
     """K-chunked coherent stats kernel sweep, merged per row. Returns
-    (m (B,), den (B,), acc (B, T, D) complex). Assumes t_coh is
-    kernel-eligible (caller checks)."""
+    (m (B,), den (B,), acc (B, T, D) complex) at alpha=1 (block-constant
+    state sliced to per-block values); alpha<1 keeps the per-SNAPSHOT
+    state — m/den (B, T) — which the kernel already emits per row.
+    Assumes t_coh is kernel-eligible (caller checks)."""
     b, t, m_dim = r.shape
     k_comp, d, _ = bank.filters.shape
     per_k = 4 * (2 * m_dim) * (2 * m_dim + 2 * d)
@@ -797,17 +801,19 @@ def _coherent_stats_merged(bank: PreparedBank, r: jax.Array,
         sub = _bank_slice(bank, k0, min(k0 + k_chunk, k_comp))
         kc = sub.filters.shape[0]
         group = next(g for g in (4, 2, 1) if kc % g == 0)
-        kb = kernel_bank_block(sub, t_coh=t)
+        kb = kernel_bank_block(sub, t_coh=t, coh_alpha=alpha)
         m_c, den_c, acc_c = estimate_packed_block_grouped_stats(
-            kb, r2, tile_n, group, interpret, t)
+            kb, r2, tile_n, group, interpret, t, alpha)
         ms.append(m_c[:, 0])
         dens.append(den_c[:, 0])
         accs.append(acc_c)
     m_star, den, acc2 = merge_stats(ms, dens, accs)
-    m_b = _tmajor_to_blocks(m_star, t, tile_n, b)[:, 0]
-    den_b = _tmajor_to_blocks(den, t, tile_n, b)[:, 0]
     acc_b = _tmajor_to_blocks(acc2, t, tile_n, b)       # (B, T, 2D)
     acc = (acc_b[..., :d] + 1j * acc_b[..., d:]).astype(jnp.complex64)
+    m_b = _tmajor_to_blocks(m_star, t, tile_n, b)        # (B, T)
+    den_b = _tmajor_to_blocks(den, t, tile_n, b)
+    if alpha >= 1.0:  # block-constant: slice to per-block values
+        return m_b[:, 0], den_b[:, 0], acc
     return m_b, den_b, acc
 
 
@@ -819,7 +825,8 @@ def _coherent_kernel_eligible(bank: PreparedBank, t: int) -> bool:
 
 
 def estimate_fused_coherent_stats(bank: PreparedBank, r: jax.Array,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  alpha: float = 1.0):
     """Coherent 'all'-mode BLOCK estimation state via the Pallas kernel:
     the kernel-path analog of `gmm_estimator.estimate_coherent_stats` (same
     state convention and merge semantics — one pmax + two psums over a
@@ -838,8 +845,8 @@ def estimate_fused_coherent_stats(bank: PreparedBank, r: jax.Array,
     t = r.shape[1]
     if not _coherent_kernel_eligible(bank, t):
         from quantized_channel_estimation_tpu.models import gmm_estimator
-        return gmm_estimator.estimate_coherent_stats(bank, r)
-    return _coherent_stats_merged(bank, r, interpret)
+        return gmm_estimator.estimate_coherent_stats(bank, r, 512, alpha)
+    return _coherent_stats_merged(bank, r, interpret, alpha)
 
 
 def estimate_fused_coherent(bank: PreparedBank, r: jax.Array,
@@ -857,9 +864,8 @@ def estimate_fused_coherent(bank: PreparedBank, r: jax.Array,
     `alpha` < 1 is the leave-one-out evidence blend
     (`gmm_estimator.estimate_coherent(alpha=)`): in-kernel it is one extra
     VPU fma per logit ((1-a)*lg + a*pool(lg)) plus the 1/(1-a+aT)
-    log-weight scale in `kernel_bank_block`; the split-K stats path is
-    alpha=1-only (its merged state is per-block), so oversized banks with
-    alpha < 1 take the einsum path."""
+    log-weight scale in `kernel_bank_block`; the split-K stats path
+    carries it too (the state becomes per-snapshot)."""
     if r.ndim != 3:
         raise ValueError(f"expected (B, T, M) blocks, got {r.shape}")
     b, t, m_dim = r.shape
@@ -872,11 +878,9 @@ def estimate_fused_coherent(bank: PreparedBank, r: jax.Array,
     k_comp, d, _ = bank.filters.shape
     per_k = 4 * (2 * m_dim) * (2 * m_dim + 2 * d)
     if k_comp * per_k > vmem_budget:
-        if alpha < 1.0:  # stats merge is per-block; blend needs per-row
-            return gmm_estimator.estimate_coherent(bank, r, "all", 512,
-                                                   alpha)
-        m_b, den, acc = _coherent_stats_merged(bank, r, interpret)
-        return (acc / den[:, None, None].astype(acc.dtype)).astype(r.dtype)
+        m_b, den, acc = _coherent_stats_merged(bank, r, interpret, alpha)
+        den_b = den[:, None, None] if den.ndim == 1 else den[..., None]
+        return (acc / den_b.astype(acc.dtype)).astype(r.dtype)
     base = 2048 if b * t >= 2048 else 256
     tile_n = _coherent_tile_n(base, t)
     rows, b_pad = _blocks_to_tmajor(r, tile_n)

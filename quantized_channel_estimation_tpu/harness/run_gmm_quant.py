@@ -35,6 +35,8 @@ class QuantGmmBenchConfig:
     # TRAINING stream stays flattened (block pooling in the EM is a
     # measured no-op — PARITY_NOTES.md)
     n_coherence: int = 1
+    # evidence-blend exponent for the coherent column (see run_gmm.GmmBenchConfig.coherence_alpha)
+    coherence_alpha: float = 1.0
     n_pilots: int = 1
     n_bits: int = 2
     cov_type: str = "full"
@@ -118,7 +120,8 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
                                       cfg.n_bits, quantizers[snr])
             r_val = stages.flatten_coherence(r_blocks)
             res_coh = stages.flatten_coherence(stages.estimate_coherent_auto(
-                bank, r_blocks, cfg.n_summands_or_proba))
+                bank, r_blocks, cfg.n_summands_or_proba,
+                cfg.coherence_alpha))
             mse_cols["blmmse_gmm_quant_coh"].append(
                 stages.nmse(res_coh, h_val))
             if cfg.eval_rate:

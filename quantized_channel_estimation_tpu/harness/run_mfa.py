@@ -30,6 +30,8 @@ class MfaBenchConfig:
     # >1: block-shaped validation + the block-pooled 'blmmse_mfa_coh'
     # column (see run_gmm.GmmBenchConfig.n_coherence)
     n_coherence: int = 1
+    # evidence-blend exponent for the coherent column (see run_gmm.GmmBenchConfig.coherence_alpha)
+    coherence_alpha: float = 1.0
     n_pilots: int = 1
     n_bits: int = 2
     pilot_type: str = "angle_amp"
@@ -112,7 +114,8 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
                                       cfg.n_bits, quantizers[snr])
             r_val = stages.flatten_coherence(r_blocks)
             res_coh = stages.flatten_coherence(stages.estimate_coherent_auto(
-                bank, r_blocks, cfg.n_summands_or_proba))
+                bank, r_blocks, cfg.n_summands_or_proba,
+                cfg.coherence_alpha))
             mse_cols["blmmse_mfa_coh"].append(stages.nmse(res_coh, h_val))
             if cfg.eval_rate:
                 rate_cols["mfa_coh_rstat"].append(

@@ -296,7 +296,8 @@ def estimate_stats(bank: PreparedBank, r: jax.Array,
             acc.reshape(n_chunks * chunk_size, -1)[:n])
 
 
-def _coherent_stats_chunk(bank: PreparedBank, r: jax.Array):
+def _coherent_stats_chunk(bank: PreparedBank, r: jax.Array,
+                          alpha: float = 1.0):
     """Un-normalized BLOCK online-softmax state for one chunk of coherence
     blocks r (B, T, M): the coherent analog of `_stats_chunk`. Per-snapshot
     kernel-convention logits SUM over the coherence axis before the
@@ -313,25 +314,39 @@ def _coherent_stats_chunk(bank: PreparedBank, r: jax.Array):
     quad = jnp.sum(jnp.abs(y - mu[None, :, :]) ** 2, axis=-1)  # (B*T, K)
     diag = jnp.real(jnp.diagonal(bank.prec_chol_r, axis1=-2, axis2=-1))
     logdet = 2.0 * jnp.sum(jnp.log(diag), axis=-1)        # (K,)
-    # block logit: logw (once) + T * logdet - sum_t quad; dead components
-    # (-inf log-weight) clamp to -1e30 like the kernel
-    logits = (jnp.maximum(bank.log_weights, -1e30)[None, :]
-              + t * logdet[None, :]
-              - jnp.sum(quad.reshape(b, t, -1), axis=1)).astype(jnp.float32)
-    m = jnp.max(logits, axis=-1)                          # (B,)
-    p = jnp.exp(logits - m[:, None])
-    den = jnp.sum(p, axis=-1)                             # (B,)
     k, d, _ = bank.filters.shape
     z = (rf @ bank.filters.reshape(k * d, mm).T).reshape(b, t, k, d)
     z = z + bank.bias[None, None, :, :]
-    acc = jnp.einsum("bk,btkd->btd", p.astype(z.dtype), z)  # (B, T, D)
+    lw = jnp.maximum(bank.log_weights, -1e30)  # dead clamp like the kernel
+    quad3 = quad.reshape(b, t, -1)
+    if alpha >= 1.0:
+        # block logit: logw (once) + T * logdet - sum_t quad
+        logits = (lw[None, :] + t * logdet[None, :]
+                  - jnp.sum(quad3, axis=1)).astype(jnp.float32)
+        m = jnp.max(logits, axis=-1)                      # (B,)
+        p = jnp.exp(logits - m[:, None])
+        den = jnp.sum(p, axis=-1)                         # (B,)
+        acc = jnp.einsum("bk,btkd->btd", p.astype(z.dtype), z)
+        return m, den, acc
+    # leave-one-out blend: per-SNAPSHOT state (m/den (B, T)) — each row
+    # keeps its own likelihood plus alpha times the others' evidence
+    # (`_estimate_coherent_chunk` alpha<1); the cross-shard merge is the
+    # same elementwise pmax/psum recurrence, just per row
+    lp3 = logdet[None, None, :] - quad3                    # (B, T, K)
+    lp_sum = jnp.sum(lp3, axis=1)
+    logits = (lw[None, None, :] + lp3
+              + alpha * (lp_sum[:, None, :] - lp3)).astype(jnp.float32)
+    m = jnp.max(logits, axis=-1)                          # (B, T)
+    p = jnp.exp(logits - m[..., None])
+    den = jnp.sum(p, axis=-1)                             # (B, T)
+    acc = jnp.einsum("btk,btkd->btd", p.astype(z.dtype), z)
     return m, den, acc
 
 
-@partial(jax.jit, static_argnums=(2,))
+@partial(jax.jit, static_argnums=(2, 3))
 @highest_precision
 def estimate_coherent_stats(bank: PreparedBank, r: jax.Array,
-                            chunk_size: int = 512):
+                            chunk_size: int = 512, alpha: float = 1.0):
     """'all'-mode BLOCK estimation state (m, den, acc) for a (shard of a)
     bank over coherence blocks r (B, T, M).
 
@@ -341,7 +356,12 @@ def estimate_coherent_stats(bank: PreparedBank, r: jax.Array,
     acc/den reproduces `estimate_coherent(bank_full, r, 'all')` exactly.
     The collective payload per block is one f32 pair + one complex (T, D)
     accumulator, independent of K. Shapes: m (B,) f32, den (B,) f32,
-    acc (B, T, D) complex."""
+    acc (B, T, D) complex.
+
+    `alpha` < 1 selects the leave-one-out evidence blend
+    (`estimate_coherent(alpha=)`): the state becomes per-SNAPSHOT —
+    m/den (B, T) — and the identical elementwise merge applies (payload
+    2T f32 + the same accumulator per block)."""
     if r.ndim != 3:
         raise ValueError(f"estimate_coherent_stats expects (B, T, M) blocks,"
                          f" got shape {r.shape}")
@@ -351,6 +371,7 @@ def estimate_coherent_stats(bank: PreparedBank, r: jax.Array,
     rp = jnp.pad(r, ((0, pad), (0, 0), (0, 0)))
     rp = rp.reshape(n_chunks, chunk_size, r.shape[1], r.shape[2])
     m, den, acc = jax.lax.map(
-        lambda rc: _coherent_stats_chunk(bank, rc), rp)
-    return (m.reshape(-1)[:n], den.reshape(-1)[:n],
+        lambda rc: _coherent_stats_chunk(bank, rc, alpha), rp)
+    lead = (-1,) if alpha >= 1.0 else (-1, r.shape[1])
+    return (m.reshape(lead)[:n], den.reshape(lead)[:n],
             acc.reshape(n_chunks * chunk_size, r.shape[1], -1)[:n])

@@ -213,7 +213,8 @@ def estimate_sharded(mesh: Mesh, bank: PreparedBank, r: jax.Array,
 
 def estimate_sharded_kernel(mesh: Mesh, bank: PreparedBank, r: jax.Array,
                             use_kernel: Optional[bool] = None,
-                            chunk_size: int = 2048) -> jax.Array:
+                            chunk_size: int = 2048,
+                            coherence_alpha: float = 1.0) -> jax.Array:
     """Tensor-parallel fused 'all'-mode estimation with EXPLICIT collectives:
     each device holds a K-shard of the prepared bank (VMEM-resident inside
     the Pallas stats kernel on TPU), computes the un-normalized online-
@@ -237,7 +238,9 @@ def estimate_sharded_kernel(mesh: Mesh, bank: PreparedBank, r: jax.Array,
     pmax + two psums merge the shards exactly; the per-block collective
     payload is one f32 pair + one complex (T, D) accumulator, independent
     of K. Bit-matches `estimate_coherent(bank, r, 'all')` on every
-    (data, component) mesh factorization."""
+    (data, component) mesh factorization. `coherence_alpha` < 1 selects
+    the leave-one-out evidence blend (per-snapshot state, same elementwise
+    merge)."""
     try:
         from jax import shard_map
         rep_kwargs = {"check_vma": False}
@@ -264,11 +267,12 @@ def estimate_sharded_kernel(mesh: Mesh, bank: PreparedBank, r: jax.Array,
                 from quantized_channel_estimation_tpu.estimators import (
                     pallas_kernels)
                 m, den, acc = pallas_kernels.estimate_fused_coherent_stats(
-                    bank_local, r_local)
+                    bank_local, r_local, alpha=coherence_alpha)
             else:
                 m, den, acc = gmm_estimator.estimate_coherent_stats(
                     bank_local, r_local,
-                    max(1, chunk_size // r_local.shape[1]))
+                    max(1, chunk_size // r_local.shape[1]),
+                    coherence_alpha)
         elif use_kernel:
             from quantized_channel_estimation_tpu.estimators import (
                 pallas_kernels)
@@ -280,9 +284,12 @@ def estimate_sharded_kernel(mesh: Mesh, bank: PreparedBank, r: jax.Array,
         m_star = jax.lax.pmax(m, COMPONENT_AXIS)
         w = jnp.exp(m - m_star)
         den = jax.lax.psum(den * w, COMPONENT_AXIS)
-        wacc = w[:, None, None] if coherent else w[:, None]
+        # state ranks: flat (N,), coherent alpha=1 per-block (B,),
+        # coherent alpha<1 per-snapshot (B, T) — pad to acc's rank
+        expand = (1,) * (acc.ndim - w.ndim)
+        wacc = w.reshape(w.shape + expand)
         acc = jax.lax.psum(acc * wacc.astype(acc.dtype), COMPONENT_AXIS)
-        den_b = den[:, None, None] if coherent else den[:, None]
+        den_b = den.reshape(den.shape + expand)
         return (acc / den_b.astype(acc.dtype)).astype(r_local.dtype)
 
     mapped = shard_map(

@@ -280,3 +280,29 @@ def test_estimate_sharded_coherent_gspmd(data):
         want = np.asarray(gmm_estimator.estimate_coherent(bank, r, mode))
         got = np.asarray(pmesh.estimate_sharded(m, bank, r, mode))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("alpha", [1.0, 0.5, 0.0])
+def test_estimate_sharded_kernel_coherent_alpha(data, alpha):
+    """The alpha evidence blend through the TP rank-3 route: per-snapshot
+    state for alpha<1, same elementwise pmax/psum merge — must equal the
+    unsharded blended estimate (alpha=0 == the independent estimator)."""
+    cfg = gmm.GmmConfig(n_components=8, zero_mean=True, max_iter=10,
+                        chunk_size=2000)
+    fit = gmm.fit(jax.random.PRNGKey(95), data[:8000], cfg)
+    snr, n_bits, t = 0.0, 2, 4
+    a = pilots.pilot_matrix(8, 1, n_bits)
+    q = Q.design_quantizer(snr, n_bits)
+    r = observation.observe(jax.random.PRNGKey(96), data[8000:8800], snr, a,
+                            n_bits, q).reshape(200, t, -1)
+    bank = gmm_estimator.prepare_bank(fit.params, snr, a, n_bits, q)
+    want = np.asarray(gmm_estimator.estimate_coherent(bank, r, "all", 512,
+                                                      alpha))
+    m = pmesh.make_mesh(2, 4)
+    got = np.asarray(pmesh.estimate_sharded_kernel(
+        m, bank, r, chunk_size=200, coherence_alpha=alpha))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    if alpha == 0.0:
+        indep = np.asarray(gmm_estimator.estimate(
+            bank, r.reshape(-1, 8), "all")).reshape(r.shape)
+        np.testing.assert_allclose(got, indep, atol=1e-5)
