@@ -18,8 +18,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
-N_ANT = 64
-K_COMP = 64
+N_ANT = int(os.environ.get("CKB_D", 64))
+K_COMP = int(os.environ.get("CKB_K", 64))
 N_BITS = 2
 SNR_DB = 10.0
 N_BLOCKS = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
