@@ -290,11 +290,13 @@ def _check_t_coh(tile_n: int, t_coh: int):
         raise ValueError(
             f"t_coh={t_coh} needs tile_n ({tile_n}) divisible by it with a "
             f"per-tile block count that is a multiple of 8 (got bp={bp})")
-    if t_coh > 16:
+    if t_coh > 8:
         raise NotImplementedError(
             f"t_coh={t_coh}: the in-kernel pool statically unrolls T "
-            "sublane slices; beyond ~16 Mosaic's compile helper is at risk "
-            "(use gmm_estimator.estimate_coherent instead)")
+            "sublane slices; T <= 8 is the hardware-validated range "
+            "(results/parity_r3) and Mosaic's compile helper hard-crashes "
+            "on long static unrolls (CLAUDE.md) — the auto-dispatch "
+            "falls back to the einsum path above it")
 
 
 def _blocks_to_tmajor(r: jax.Array, tile_n: int):
@@ -821,7 +823,11 @@ def _coherent_kernel_eligible(bank: PreparedBank, t: int) -> bool:
     k_comp, d, m_dim = bank.filters.shape
     per_k = 4 * (2 * m_dim) * (2 * m_dim + 2 * d)
     chunk_budget = (10 if 2 * m_dim <= 256 else 8) * 1024 * 1024
-    return 1 < t <= 16 and chunk_budget // per_k >= 4
+    # T <= 8 is the hardware-validated unroll range (T=8 exercised on-chip,
+    # results/parity_r3/tp_coherent_onchip.log); beyond it Mosaic's compile
+    # helper risks a no-error-text hard crash (CLAUDE.md), so dispatch falls
+    # back to the einsum coherent path instead of gambling the compile.
+    return 1 < t <= 8 and chunk_budget // per_k >= 4
 
 
 def estimate_fused_coherent_stats(bank: PreparedBank, r: jax.Array,
@@ -838,8 +844,8 @@ def estimate_fused_coherent_stats(bank: PreparedBank, r: jax.Array,
     softmax (`_grouped_stream(t_coh=)`), so the (B*T, K) logit tensor the
     XLA path materializes per chunk never exists. Returns (m (B,) f32,
     den (B,) f32, acc (B, T, D) complex64). Falls back to the einsum stats
-    path for T the in-kernel unroll cannot carry (>16) or degenerate huge-D
-    banks."""
+    path for T beyond the hardware-validated unroll range (>8) or
+    degenerate huge-D banks."""
     if r.ndim != 3:
         raise ValueError(f"expected (B, T, M) blocks, got {r.shape}")
     t = r.shape[1]

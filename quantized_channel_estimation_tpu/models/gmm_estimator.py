@@ -229,7 +229,9 @@ def estimate_coherent(bank: PreparedBank, r: jax.Array,
     (leave-one-out evidence scaling; alpha=0 IS the independent estimator)
     — the hedge for model-mismatched regimes where pure pooling over-commits
     (measured: urban-macro at >=0 dB; `_estimate_coherent_chunk`). The
-    Pallas kernel path (`estimate_fused_coherent`) implements alpha=1.
+    Pallas kernel path (`estimate_fused_coherent`) carries the full alpha
+    blend in-kernel (validated on hardware, PARITY_NOTES.md alpha
+    addendum), so kernel users need not fall back here for alpha < 1.
     """
     if r.ndim != 3:
         raise ValueError(f"estimate_coherent expects (B, T, M) blocks, got "

@@ -135,7 +135,13 @@ def main():
     top = min(cap, args.clients * args.req_size)
     sizes, s = [], 1 << max(4, (args.req_size - 1).bit_length())
     while s <= top:
-        sizes.append(s)
+        # block requests must carry whole T-blocks: round each warmup size
+        # down to a multiple of t_coh (a T that doesn't divide the power of
+        # two, e.g. T=3, would otherwise fail the reshape below even though
+        # the service itself supports it)
+        rounded = s - s % t_coh if t_coh > 1 else s
+        if rounded and rounded not in sizes:
+            sizes.append(rounded)
         s *= 2
     for snr in snrs:
         for size in sizes:
