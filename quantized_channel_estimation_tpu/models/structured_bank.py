@@ -1,0 +1,306 @@
+"""FFT-domain prepared banks: structure-exploiting GMM-Bussgang estimation.
+
+The reference builds circulant/Toeplitz covariance structure during the fit
+but DENSIFIES before inference — its estimation path only supports 'full'
+covariances (`gmm_cplx_bussgang.py:104-161` builds the structure machinery,
+`:317` raises for anything but 'full' at prediction), so every estimate pays
+dense O(D^2) per sample and the per-SNR prepare pays K dense D^3 Cholesky
+factorizations. This module keeps the WHOLE estimation pipeline in the DFT
+eigendomain instead.
+
+Why this is exact for the standard single-pilot setup (A = x0 * I, so the
+observation dim M equals the channel dim D): a circulant channel covariance
+C = F^H diag(s) F gives
+
+  Cy = |x0|^2 C + sigma^2 I                     -- circulant, spectrum
+                                                   sy = |x0|^2 s + sigma^2
+  diag(Cy) = mean(sy) * ones                    -- circulant diagonals are
+                                                   constant => the Bussgang
+                                                   gain matrix is g * I
+  Cr = arcsine(Cy)                 [1 bit]      -- elementwise in the matrix
+                                                   entries, which depend only
+                                                   on (i - j) mod D => still
+                                                   circulant
+       Cy                          [inf bits]
+       b^2 Cy + (1-b^2) diag(Cy)   [n bit]      -- diag(Cy) = c0 * I is
+                                                   circulant => spectrum
+                                                   b^2 sy + (1-b^2) c0
+  W = C (g x0 I)^H Cr^{-1}                      -- product of circulants:
+                                                   spectrum g conj(x0) s / sr
+
+so the ENTIRE per-SNR bank is K spectra of length D (memory K*D instead of
+K*D^2 dense filters + K*M^2 precision factors) and per-sample estimation is
+one FFT + O(K) elementwise/GEMV work + one inverse FFT: O(K D + D log D)
+instead of O(K D^2). The responsibilities are computed in the DFT domain via
+the diagonal complex-Gaussian density (`gmm.log_prob_diag`) — a unitary
+change of basis leaves Gaussian likelihoods invariant, so posteriors (and
+hence every selection mode) match the dense path bit-for-bit up to FFT
+rounding.
+
+Toeplitz fits ride the same path through their Frobenius-best circulant
+approximation (`linalg.circulant_diag_spectra` IS that projection for
+non-circulant input); the approximation's MSE cost is measured, not assumed
+(tools/structured_bank_bench.py, BASELINE.md).
+
+TPU shape notes: everything is GEMM- or FFT-shaped — the responsibilities
+are three (N, D) x (D, K) GEMMs, the combine is two (N, K) x (K, D) GEMMs
+plus an elementwise multiply, and XLA lowers the batched FFTs natively. No
+(N, K, D) intermediate ever exists (the dense path's memory bound), so no
+sample chunking is needed for memory — chunking here only bounds the (N, K)
+logit tensor.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quantized_channel_estimation_tpu.models.gmm import GmmParams, log_prob_diag
+from quantized_channel_estimation_tpu.models.gmm_estimator import (
+    _selection_weights)
+from quantized_channel_estimation_tpu.ops import linalg
+from quantized_channel_estimation_tpu.ops.bussgang import bussgang_gain_diag
+from quantized_channel_estimation_tpu.ops.precision import highest_precision
+from quantized_channel_estimation_tpu.ops.quantizer import (
+    ScalarQuantizer, is_inf_bits)
+
+
+class CirculantBank(NamedTuple):
+    """Per-SNR prepared bank with (block-)circulant component covariances,
+    entirely in the unitary-DFT eigendomain. K components, D dims.
+
+    The matrix quantities of `gmm_estimator.PreparedBank` collapse to
+    spectra: `spec_cr` replaces the (K, M, M) precision Cholesky factors,
+    `filt_f` the (K, D, M) dense LMMSE filters. Total bank memory is
+    O(K D) instead of O(K D^2)."""
+    log_weights: jax.Array   # (K,) f32; dead components at -inf
+    mean_rf: jax.Array       # (K, D) complex: F (B A mu)  (DFT of obs mean)
+    spec_cr: jax.Array       # (K, D) f32: eigenvalues of Cr (jittered)
+    filt_f: jax.Array        # (K, D) complex: eigenvalues of W
+    bias_f: jax.Array        # (K, D) complex: F mu - filt_f * mean_rf
+
+
+def _pilot_scalar(a, d: int):
+    """Extract x0 from a scalar or an (M, M) = x0*I pilot matrix.
+
+    The structured path is only exact for A proportional to the identity
+    (the standard P=1 pilot); a concrete non-scaled-identity matrix is
+    rejected loudly instead of silently producing approximate answers."""
+    a = jnp.asarray(a)
+    if a.ndim == 0:
+        return a.astype(jnp.complex64)
+    if a.ndim != 2 or a.shape[0] != a.shape[1] or a.shape[0] != d:
+        raise ValueError(
+            f"structured banks need A = x0*I with M = D = {d}; got pilot "
+            f"shape {a.shape} (multi-pilot observations densify Cy — use "
+            "gmm_estimator.prepare_bank)")
+    if not isinstance(a, jax.core.Tracer):
+        an = np.asarray(a)
+        x0 = an[0, 0]
+        if not np.allclose(an, x0 * np.eye(d), atol=1e-6 * max(1.0, abs(x0))):
+            raise ValueError(
+                "structured banks need A = x0*I (scaled identity); the "
+                "given pilot matrix is not — use gmm_estimator.prepare_bank")
+    return a[0, 0].astype(jnp.complex64)
+
+
+def spectra_from_params(params: GmmParams, blocks=None) -> jax.Array:
+    """Channel-covariance spectra (K, D) from fitted dense parameters.
+
+    Exact (up to f32 rounding) for 'circulant'/'block-circulant' fits —
+    `gmm.fit` builds those covariances as F^H diag(s) F and this recovers s;
+    for 'toeplitz' (or any other) fits it returns the Frobenius-best
+    circulant approximation's spectrum (`linalg.circulant_diag_spectra`)."""
+    return jnp.maximum(linalg.circulant_diag_spectra(params.covariances,
+                                                     blocks), 0.0)
+
+
+@partial(jax.jit, static_argnums=(3, 6))
+@highest_precision
+def _prepare_circulant(spectra, means, weights, n_bits, x0, sigma2,
+                       blocks, q, jitter, weight_floor_rel) -> CirculantBank:
+    k, d = spectra.shape
+    sy = jnp.abs(x0) ** 2 * spectra + sigma2          # (K, D) Cy spectrum
+    c0 = jnp.mean(sy, axis=-1)                        # (K,) diag(Cy) value
+    if is_inf_bits(n_bits):
+        gains = jnp.ones_like(c0)
+        spec_cr = sy
+    elif n_bits == 1:
+        gains = bussgang_gain_diag(c0, 1)
+        # arcsine law in lag domain: the map is elementwise in the matrix
+        # ENTRIES, so apply it to the first row of Cy/c0 and transform back
+        # (`bussgang.arcsine_cov` on the dense matrix does the same entries)
+        row_y = linalg.circulant_first_rows(sy, blocks) / c0[:, None].astype(
+            jnp.complex64)
+        row_r = (2.0 / jnp.pi) * (
+            jnp.arcsin(jnp.clip(jnp.real(row_y), -1.0, 1.0))
+            + 1j * jnp.arcsin(jnp.clip(jnp.imag(row_y), -1.0, 1.0)))
+        spec_cr = jnp.maximum(
+            linalg.circulant_spectra_from_first_rows(row_r, blocks), 0.0)
+    else:
+        gains = bussgang_gain_diag(c0, n_bits, q)
+        beta2 = jnp.clip(gains, 0.0, 1.0)[:, None] ** 2
+        spec_cr = beta2 * sy + (1.0 - beta2) * c0[:, None]
+    spec_cr = spec_cr + jitter                        # matches add_jitter
+    ax = gains.astype(jnp.complex64)[:, None] * x0    # A_eff = g x0 I
+    mu_f = unitary_fft(means, blocks)
+    mean_rf = ax * mu_f                               # F (g x0 mu)
+    # W = C A_eff^H Cr^{-1}: spectrum g conj(x0) s / s_r
+    filt_f = jnp.conj(ax) * (spectra / spec_cr).astype(jnp.complex64)
+    bias_f = mu_f - filt_f * mean_rf
+    floor = weight_floor_rel / k
+    logw = jnp.where(weights >= floor,
+                     jnp.log(jnp.maximum(weights, floor)), -jnp.inf)
+    return CirculantBank(logw.astype(jnp.float32), mean_rf,
+                         jnp.real(spec_cr).astype(jnp.float32), filt_f,
+                         bias_f)
+
+
+def prepare_bank_circulant(params: GmmParams, snr_db, a, n_bits,
+                           q: Optional[ScalarQuantizer] = None,
+                           jitter: float = 1e-6,
+                           weight_floor_rel: float = 1e-2,
+                           blocks=None,
+                           spectra: Optional[jax.Array] = None
+                           ) -> CirculantBank:
+    """Structured analog of `gmm_estimator.prepare_bank` for
+    (block-)circulant component covariances and a scaled-identity pilot.
+
+    Same Bussgang observation model and the same dead-component weight
+    floor; `spectra` short-circuits the extraction when the caller kept the
+    fit's DFT spectra. Prepare cost is O(K D log D) given spectra
+    (O(K D^2 log D) extracting them from dense covariances) versus the
+    dense path's K D^3 Cholesky factorizations; bank memory is O(K D)
+    versus O(K D^2)."""
+    d = params.means.shape[-1]
+    x0 = _pilot_scalar(a, d)
+    if spectra is None:
+        spectra = spectra_from_params(params, blocks)
+    sigma2 = 10.0 ** (-float(snr_db) / 10.0)
+    return _prepare_circulant(spectra, params.means, params.weights, n_bits,
+                              x0, sigma2, blocks, q, jitter,
+                              weight_floor_rel)
+
+
+# ---------------------------------------------------------------------------
+# unitary (block-)DFT data transforms
+# ---------------------------------------------------------------------------
+
+def unitary_fft(x: jax.Array, blocks=None) -> jax.Array:
+    """u = F x along the last axis for the unitary (block-)DFT F that
+    diagonalizes 'circulant' (`linalg.unitary_dft`) / 'block-circulant'
+    (kron of two) covariances: fft/sqrt(D), 2-D fft for blocks."""
+    d = x.shape[-1]
+    if blocks is None:
+        return jnp.fft.fft(x, axis=-1) / jnp.sqrt(d).astype(jnp.float32)
+    n1, n2 = blocks
+    u = jnp.fft.fft2(x.reshape(x.shape[:-1] + (n1, n2)))
+    return u.reshape(x.shape) / jnp.sqrt(d).astype(jnp.float32)
+
+
+def unitary_ifft(u: jax.Array, blocks=None) -> jax.Array:
+    """x = F^H u (inverse of `unitary_fft`)."""
+    d = u.shape[-1]
+    if blocks is None:
+        return jnp.fft.ifft(u, axis=-1) * jnp.sqrt(d).astype(jnp.float32)
+    n1, n2 = blocks
+    x = jnp.fft.ifft2(u.reshape(u.shape[:-1] + (n1, n2)))
+    return x.reshape(u.shape) * jnp.sqrt(d).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# estimation
+# ---------------------------------------------------------------------------
+
+def _estimate_chunk_f(bank: CirculantBank, u: jax.Array, mode) -> jax.Array:
+    """One chunk in the DFT domain: u (n, D) -> H (n, D) (still DFT-domain).
+
+    Unitary invariance: log CN(r; mu_r, Cr) = log CN(F r; F mu_r, diag(s_r)),
+    so the posteriors equal the dense path's exactly."""
+    lp = log_prob_diag(u, bank.mean_rf, bank.spec_cr)
+    proba = jax.nn.softmax(lp + bank.log_weights[None, :], axis=-1)
+    w = _selection_weights(proba, mode).astype(u.dtype)
+    # h_f = sum_k w_k (bias_f,k + filt_k * u): two (n, K) x (K, D) GEMMs
+    return w @ bank.bias_f + (w @ bank.filt_f) * u
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+@highest_precision
+def estimate_circulant(bank: CirculantBank, r: jax.Array,
+                       mode: Union[str, int, float] = "all",
+                       chunk_size: int = 16384,
+                       blocks=None) -> jax.Array:
+    """Estimate channels from quantized observations r (N, M) -> (N, D)
+    through the FFT-domain bank: the structured analog of
+    `gmm_estimator.estimate` (identical posterior semantics and selection
+    modes; matches the dense estimator to FFT rounding on circulant fits).
+
+    O(N (K D + D log D)) total — no (N, K, D) intermediate exists, so the
+    chunking only bounds the (chunk, K) logit tensor."""
+    n = r.shape[0]
+    n_chunks = -(-n // chunk_size)
+    pad = n_chunks * chunk_size - n
+    rp = jnp.pad(r, ((0, pad), (0, 0))).reshape(n_chunks, chunk_size, -1)
+
+    def one(rc):
+        u = unitary_fft(rc, blocks)
+        return unitary_ifft(_estimate_chunk_f(bank, u, mode), blocks)
+
+    out = jax.lax.map(one, rp)
+    return out.reshape(n_chunks * chunk_size, -1)[:n].astype(r.dtype)
+
+
+def _estimate_coherent_chunk_f(bank: CirculantBank, u: jax.Array, mode,
+                               alpha: float) -> jax.Array:
+    """One chunk of DFT-domain coherence blocks u (B, T, D) -> (B, T, D).
+
+    Same block-pooled posterior / leave-one-out alpha blend as
+    `gmm_estimator._estimate_coherent_chunk` — only the likelihood and the
+    per-component combine are diagonal here."""
+    b, t, d = u.shape
+    lp3 = log_prob_diag(u.reshape(b * t, d), bank.mean_rf,
+                        bank.spec_cr).reshape(b, t, -1)
+    lp_sum = jnp.sum(lp3, axis=1)
+    if alpha >= 1.0:
+        proba = jax.nn.softmax(lp_sum + bank.log_weights[None, :], axis=-1)
+        w = _selection_weights(proba, mode).astype(u.dtype)   # (B, K)
+        return (w @ bank.bias_f)[:, None, :] + (w @ bank.filt_f)[:, None, :] * u
+    lg = lp3 + alpha * (lp_sum[:, None, :] - lp3) \
+        + bank.log_weights[None, None, :]
+    proba = jax.nn.softmax(lg, axis=-1)
+    w = _selection_weights(proba, mode).astype(u.dtype)       # (B, T, K)
+    return jnp.einsum("btk,kd->btd", w, bank.bias_f) \
+        + jnp.einsum("btk,kd->btd", w, bank.filt_f) * u
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@highest_precision
+def estimate_circulant_coherent(bank: CirculantBank, r: jax.Array,
+                                mode: Union[str, int, float] = "all",
+                                chunk_size: int = 4096,
+                                alpha: float = 1.0,
+                                blocks=None) -> jax.Array:
+    """Joint estimation of coherence blocks r (B, T, M) -> (B, T, D) through
+    the FFT-domain bank: structured analog of
+    `gmm_estimator.estimate_coherent` including the alpha evidence blend
+    (alpha=0 is exactly the independent per-snapshot estimator)."""
+    if r.ndim != 3:
+        raise ValueError(f"estimate_circulant_coherent expects (B, T, M) "
+                         f"blocks, got shape {r.shape}")
+    n = r.shape[0]
+    n_chunks = -(-n // chunk_size)
+    pad = n_chunks * chunk_size - n
+    rp = jnp.pad(r, ((0, pad), (0, 0), (0, 0)))
+    rp = rp.reshape(n_chunks, chunk_size, r.shape[1], r.shape[2])
+
+    def one(rc):
+        u = unitary_fft(rc, blocks)
+        return unitary_ifft(
+            _estimate_coherent_chunk_f(bank, u, mode, alpha), blocks)
+
+    out = jax.lax.map(one, rp)
+    return out.reshape(n_chunks * chunk_size, r.shape[1], -1)[:n].astype(
+        r.dtype)

@@ -269,6 +269,58 @@ def psd_project_polar(c: jax.Array, floor: float = 0.0,
     return hermitize(pos) + (floor + guard) * eye
 
 
+def _block_reshape(x: jax.Array, blocks):
+    n1, n2 = blocks
+    return x.reshape(x.shape[:-1] + (n1, n2))
+
+
+def circulant_diag_spectra(covs: jax.Array, blocks=None) -> jax.Array:
+    """Diagonal of F C F^H for the unitary (block-)DFT basis F — i.e. the
+    Rayleigh quotients s_f = f_f^H C f_f, which are (a) EXACT eigenvalues
+    when C is (block-)circulant in that basis and (b) the Frobenius-optimal
+    circulant approximation's spectrum otherwise (keeping the diagonal of a
+    matrix in an orthonormal basis is the best diagonal approximation).
+
+    Computed without materializing F: fft over the row index then ifft over
+    the column index and take the diagonal — O(D^2 log D) per matrix versus
+    the O(D^3) dense congruence. `blocks=(n1, n2)` selects the
+    kron(F_{n1}, F_{n2}) basis used by 'block-circulant' fits
+    (`gmm._dft_for`). covs (..., D, D) Hermitian -> (..., D) real.
+    """
+    if blocks is None:
+        g = jnp.fft.ifft(jnp.fft.fft(covs, axis=-2), axis=-1)
+    else:
+        n1, n2 = blocks
+        d = covs.shape[-1]
+        assert n1 * n2 == d, f"blocks {blocks} incompatible with dim {d}"
+        c4 = covs.reshape(covs.shape[:-2] + (n1, n2, n1, n2))
+        g = jnp.fft.ifftn(jnp.fft.fftn(c4, axes=(-4, -3)), axes=(-2, -1))
+        g = g.reshape(covs.shape)
+    return jnp.real(jnp.diagonal(g, axis1=-2, axis2=-1))
+
+
+def circulant_first_rows(spectra: jax.Array, blocks=None) -> jax.Array:
+    """First row C[0, :] of the (block-)circulant matrix
+    C = F^H diag(s) F (unitary basis): fft(s)/D (2-D fft for blocks).
+    spectra (..., D) real -> (..., D) complex."""
+    d = spectra.shape[-1]
+    if blocks is None:
+        return jnp.fft.fft(spectra.astype(jnp.complex64), axis=-1) / d
+    row = jnp.fft.fft2(_block_reshape(spectra.astype(jnp.complex64), blocks))
+    return row.reshape(spectra.shape) / d
+
+
+def circulant_spectra_from_first_rows(rows: jax.Array, blocks=None) -> jax.Array:
+    """Inverse of `circulant_first_rows`: s = D * ifft(row0) (real part; a
+    Hermitian circulant matrix has a conjugate-symmetric first row, so the
+    imaginary residue is rounding noise). rows (..., D) -> (..., D) real."""
+    d = rows.shape[-1]
+    if blocks is None:
+        return jnp.real(jnp.fft.ifft(rows, axis=-1)) * d
+    s = jnp.fft.ifft2(_block_reshape(rows, blocks))
+    return jnp.real(s).reshape(rows.shape) * d
+
+
 def best_circulant_approximation(t: jax.Array) -> jax.Array:
     """Eigenvalues (FFT-domain spectrum) of the best circulant approximation
     of the Hermitian Toeplitz matrix with first row t, in the Frobenius norm:

@@ -1,0 +1,255 @@
+"""FFT-domain structured prepared banks vs the dense estimator.
+
+The structured path must reproduce `gmm_estimator.estimate` on
+(block-)circulant fits to FFT rounding — the posteriors are a unitary
+change of basis away from the dense ones, not an approximation — and must
+track the dense Toeplitz estimator closely through the Frobenius-best
+circulant approximation (measured delta, tools/structured_bank_bench.py).
+Reference contrast: the upstream estimation path densifies every structure
+(`gmm_cplx_bussgang.py:317` raises for non-'full' at prediction).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantized_channel_estimation_tpu.models import (
+    gmm, gmm_estimator, structured_bank as sb)
+from quantized_channel_estimation_tpu.ops import linalg, scm
+from quantized_channel_estimation_tpu.ops import quantizer as Q
+
+
+def _rel(a, b):
+    return float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b))
+
+
+# ---------------------------------------------------------------------------
+# linalg helpers
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("blocks", [None, (4, 6)])
+def test_circulant_spectra_roundtrip(blocks):
+    d = 24
+    key = jax.random.PRNGKey(0)
+    s = jax.random.uniform(key, (5, d), minval=0.1, maxval=3.0,
+                           dtype=jnp.float32)
+    if blocks is None:
+        f = linalg.unitary_dft(d)
+    else:
+        f = jnp.kron(linalg.unitary_dft(blocks[0]),
+                     linalg.unitary_dft(blocks[1]))
+    c = jnp.einsum("fd,kf,fe->kde", jnp.conj(f), s.astype(jnp.complex64), f)
+    np.testing.assert_allclose(linalg.circulant_diag_spectra(c, blocks), s,
+                               atol=2e-6)
+    rows = linalg.circulant_first_rows(s, blocks)
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(c[:, 0, :]),
+                               atol=5e-6)
+    np.testing.assert_allclose(
+        linalg.circulant_spectra_from_first_rows(rows, blocks), s, atol=2e-6)
+
+
+@pytest.mark.parametrize("blocks", [None, (4, 6)])
+def test_unitary_fft_matches_dft_matrix(blocks):
+    d = 24
+    key = jax.random.PRNGKey(1)
+    x = (jax.random.normal(key, (3, d)) +
+         1j * jax.random.normal(jax.random.PRNGKey(2), (3, d))
+         ).astype(jnp.complex64)
+    if blocks is None:
+        f = linalg.unitary_dft(d)
+    else:
+        f = jnp.kron(linalg.unitary_dft(blocks[0]),
+                     linalg.unitary_dft(blocks[1]))
+    np.testing.assert_allclose(np.asarray(sb.unitary_fft(x, blocks)),
+                               np.asarray(x @ f.T), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(sb.unitary_ifft(sb.unitary_fft(x, blocks), blocks)),
+        np.asarray(x), atol=2e-5)
+
+
+def test_spectra_of_toeplitz_is_best_circulant():
+    """For a Hermitian Toeplitz matrix the Rayleigh-diagonal spectrum equals
+    the triangular-weighted circulant approximation of
+    `linalg.best_circulant_approximation`."""
+    d = 16
+    t = (0.9 ** jnp.arange(d)) * jnp.exp(1j * 0.3 * jnp.arange(d))
+    c = linalg.toeplitz_from_first_row(t.astype(jnp.complex64))
+    np.testing.assert_allclose(
+        np.asarray(linalg.circulant_diag_spectra(c[None])[0]),
+        np.asarray(linalg.best_circulant_approximation(t)),
+        atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fixtures: circulant-generated data + fits
+# ---------------------------------------------------------------------------
+
+D, K = 32, 8
+
+
+def _circulant_data(key, n, d=D, k=K, mean=0.0):
+    sk = jax.random.uniform(jax.random.fold_in(key, 0), (k, d),
+                            minval=0.05, maxval=2.0, dtype=jnp.float32)
+    comp = jax.random.randint(jax.random.fold_in(key, 1), (n,), 0, k)
+    w = (jax.random.normal(jax.random.fold_in(key, 2), (n, d)) +
+         1j * jax.random.normal(jax.random.fold_in(key, 3), (n, d))
+         ) / np.sqrt(2)
+    h = sb.unitary_ifft(jnp.sqrt(sk)[comp] * sb.unitary_fft(w)) + mean
+    return h.astype(jnp.complex64)
+
+
+@pytest.fixture(scope="module")
+def circ_fit():
+    h = _circulant_data(jax.random.PRNGKey(0), 8000)
+    cfg = gmm.GmmConfig(n_components=K, cov_type="circulant", max_iter=30)
+    return gmm.fit(jax.random.PRNGKey(5), h, cfg), h
+
+
+def _observe(h, snr_db, n_bits, q, x0=1.0 + 0.0j, key=7):
+    rng = np.random.default_rng(key)
+    sigma = np.sqrt(10 ** (-snr_db / 10) / 2)
+    y = np.asarray(h) * x0 + sigma * (
+        rng.standard_normal(h.shape) + 1j * rng.standard_normal(h.shape)
+    ).astype(np.complex64)
+    return Q.quantize(jnp.asarray(y, jnp.complex64), n_bits, q)
+
+
+# ---------------------------------------------------------------------------
+# dense-vs-structured parity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_bits,tol", [("inf", 2e-5), (1, 2e-3),
+                                        (2, 2e-5), (3, 2e-5)])
+@pytest.mark.parametrize("mode", ["all", 1, 2, 0.9])
+def test_estimate_matches_dense_on_circulant_fit(circ_fit, n_bits, mode, tol):
+    """1-bit carries a looser tolerance: the arcsine map's derivative
+    diverges at +-1, so it amplifies the f32 circulant residue of the
+    densified covariances (measured ~1e-4 relative; every other width is
+    at FFT rounding ~1e-6). Hard selection modes are discontinuous in the
+    logits — a ~1e-4 logit perturbation can flip a few rows' winning
+    component to an O(1) row difference — so for 1-bit they assert on the
+    fraction of agreeing rows instead of the norm."""
+    fit, h = circ_fit
+    x0 = 1.0 + 0.5j
+    a = jnp.asarray(x0, jnp.complex64) * jnp.eye(D, dtype=jnp.complex64)
+    q = Q.design_quantizer(10.0, n_bits, "uniform")
+    r = _observe(h[:512], 10.0, n_bits, q, x0)
+    bank_d = gmm_estimator.prepare_bank(fit.params, 10.0, a, n_bits, q)
+    bank_s = sb.prepare_bank_circulant(fit.params, 10.0, a, n_bits, q)
+    hd = gmm_estimator.estimate(bank_d, r, mode)
+    hs = sb.estimate_circulant(bank_s, r, mode)
+    if n_bits == 1 and mode != "all":
+        row = np.linalg.norm(np.asarray(hs - hd), axis=-1) / np.maximum(
+            np.linalg.norm(np.asarray(hd), axis=-1), 1e-12)
+        assert float(np.mean(row < tol)) > 0.99, float(np.mean(row < tol))
+    else:
+        assert _rel(hs, hd) < tol
+
+
+@pytest.mark.parametrize("alpha", [1.0, 0.25, 0.0])
+def test_coherent_matches_dense(circ_fit, alpha):
+    fit, h = circ_fit
+    t = 4
+    q = Q.design_quantizer(5.0, 2, "uniform")
+    r = _observe(h[:800], 5.0, 2, q).reshape(200, t, D)
+    a = jnp.eye(D, dtype=jnp.complex64)
+    bank_d = gmm_estimator.prepare_bank(fit.params, 5.0, a, 2, q)
+    bank_s = sb.prepare_bank_circulant(fit.params, 5.0, 1.0 + 0.0j, 2, q)
+    hd = gmm_estimator.estimate_coherent(bank_d, r, "all", 512, alpha)
+    hs = sb.estimate_circulant_coherent(bank_s, r, "all", 4096, alpha)
+    assert _rel(hs, hd) < 2e-5
+
+
+def test_alpha_zero_is_independent_estimator(circ_fit):
+    fit, h = circ_fit
+    q = Q.design_quantizer(5.0, 2, "uniform")
+    r = _observe(h[:256], 5.0, 2, q)
+    bank_s = sb.prepare_bank_circulant(fit.params, 5.0, 1.0 + 0.0j, 2, q)
+    flat = sb.estimate_circulant(bank_s, r)
+    blocks = sb.estimate_circulant_coherent(bank_s, r.reshape(64, 4, D),
+                                            alpha=0.0)
+    np.testing.assert_allclose(np.asarray(blocks.reshape(256, D)),
+                               np.asarray(flat), atol=1e-5)
+
+
+def test_nonzero_mean_fit(circ_fit):
+    h = _circulant_data(jax.random.PRNGKey(11), 8000, mean=0.3 - 0.2j)
+    cfg = gmm.GmmConfig(n_components=K, cov_type="circulant", max_iter=30,
+                        zero_mean=False)
+    fit = gmm.fit(jax.random.PRNGKey(6), h, cfg)
+    q = Q.design_quantizer(10.0, 2, "uniform")
+    r = _observe(h[:512], 10.0, 2, q)
+    a = jnp.eye(D, dtype=jnp.complex64)
+    bank_d = gmm_estimator.prepare_bank(fit.params, 10.0, a, 2, q)
+    bank_s = sb.prepare_bank_circulant(fit.params, 10.0, 1.0 + 0.0j, 2, q)
+    hd = gmm_estimator.estimate(bank_d, r)
+    hs = sb.estimate_circulant(bank_s, r)
+    assert _rel(hs, hd) < 2e-5
+
+
+def test_block_circulant_end_to_end():
+    d, blocks, k = 24, (4, 6), 4
+    fb = jnp.kron(linalg.unitary_dft(4), linalg.unitary_dft(6))
+    sk = jax.random.uniform(jax.random.PRNGKey(0), (k, d), minval=0.1,
+                            maxval=2.0, dtype=jnp.float32)
+    comp = jax.random.randint(jax.random.PRNGKey(1), (6000,), 0, k)
+    w = (jax.random.normal(jax.random.PRNGKey(2), (6000, d)) +
+         1j * jax.random.normal(jax.random.PRNGKey(3), (6000, d))
+         ) / np.sqrt(2)
+    h = ((jnp.sqrt(sk)[comp] * (w @ fb.T)) @ jnp.conj(fb)).astype(
+        jnp.complex64)
+    cfg = gmm.GmmConfig(n_components=k, cov_type="block-circulant",
+                        blocks=blocks, max_iter=30)
+    fit = gmm.fit(jax.random.PRNGKey(4), h, cfg)
+    q = Q.design_quantizer(10.0, 2, "uniform")
+    r = _observe(h[:256], 10.0, 2, q)
+    a = jnp.eye(d, dtype=jnp.complex64)
+    bank_d = gmm_estimator.prepare_bank(fit.params, 10.0, a, 2, q)
+    bank_s = sb.prepare_bank_circulant(fit.params, 10.0, 1.0 + 0.0j, 2, q,
+                                       blocks=blocks)
+    hd = gmm_estimator.estimate(bank_d, r)
+    hs = sb.estimate_circulant(bank_s, r, blocks=blocks)
+    assert _rel(hs, hd) < 2e-5
+
+
+def test_toeplitz_fit_through_circulant_approximation():
+    """SCM channels + a Toeplitz fit: the structured path rides the
+    Frobenius-best circulant approximation. It is NOT exact — assert the
+    estimation quality (NMSE vs truth) is within a few percent of the
+    dense Toeplitz estimator rather than elementwise closeness."""
+    d, k = 32, 8
+    h, _ = scm.generate_channels(jax.random.PRNGKey(0), 9000,
+                                 scm.ScmConfig(n_antennas=d))
+    h = h.astype(jnp.complex64)
+    cfg = gmm.GmmConfig(n_components=k, cov_type="toeplitz", max_iter=25)
+    fit = gmm.fit(jax.random.PRNGKey(1), h[:8000], cfg)
+    q = Q.design_quantizer(10.0, 2, "uniform")
+    htest = h[8000:]
+    r = _observe(htest, 10.0, 2, q)
+    a = jnp.eye(d, dtype=jnp.complex64)
+    bank_d = gmm_estimator.prepare_bank(fit.params, 10.0, a, 2, q)
+    bank_s = sb.prepare_bank_circulant(fit.params, 10.0, 1.0 + 0.0j, 2, q)
+    hd = gmm_estimator.estimate(bank_d, r)
+    hs = sb.estimate_circulant(bank_s, r)
+    mse_d = float(jnp.mean(jnp.abs(hd - htest) ** 2))
+    mse_s = float(jnp.mean(jnp.abs(hs - htest) ** 2))
+    # circulant approximation may cost a little accuracy; bound the loss
+    assert mse_s < 1.10 * mse_d, (mse_s, mse_d)
+
+
+def test_rejects_non_identity_pilot(circ_fit):
+    fit, _ = circ_fit
+    a_bad = jnp.ones((D, D), jnp.complex64)
+    with pytest.raises(ValueError):
+        sb.prepare_bank_circulant(fit.params, 10.0, a_bad, 2,
+                                  Q.design_quantizer(10.0, 2, "uniform"))
+    with pytest.raises(ValueError):
+        sb.prepare_bank_circulant(fit.params, 10.0,
+                                  jnp.ones((D // 2, D), jnp.complex64), "inf")
+
+
+def test_bank_memory_is_linear_in_d(circ_fit):
+    fit, _ = circ_fit
+    bank = sb.prepare_bank_circulant(fit.params, 10.0, 1.0 + 0.0j, "inf")
+    n_elems = sum(np.prod(x.shape) for x in bank)
+    assert n_elems == K + 4 * K * D  # logw + four (K, D) spectra/vectors
