@@ -58,10 +58,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from quantized_channel_estimation_tpu.models.gmm import GmmParams, log_prob_diag
+from quantized_channel_estimation_tpu.models.gmm import GmmParams
 from quantized_channel_estimation_tpu.models.gmm_estimator import (
     _selection_weights)
-from quantized_channel_estimation_tpu.ops import linalg
+from quantized_channel_estimation_tpu.ops import cplx, linalg
 from quantized_channel_estimation_tpu.ops.bussgang import bussgang_gain_diag
 from quantized_channel_estimation_tpu.ops.precision import highest_precision
 from quantized_channel_estimation_tpu.ops.quantizer import (
@@ -179,7 +179,7 @@ def prepare_bank_circulant(params: GmmParams, snr_db, a, n_bits,
     x0 = _pilot_scalar(a, d)
     if spectra is None:
         spectra = spectra_from_params(params, blocks)
-    sigma2 = 10.0 ** (-float(snr_db) / 10.0)
+    sigma2 = 10.0 ** (-jnp.asarray(snr_db, jnp.float32) / 10.0)
     return _prepare_circulant(spectra, params.means, params.weights, n_bits,
                               x0, sigma2, blocks, q, jitter,
                               weight_floor_rel)
@@ -211,6 +211,55 @@ def unitary_ifft(u: jax.Array, blocks=None) -> jax.Array:
     return x.reshape(u.shape) * jnp.sqrt(d).astype(jnp.float32)
 
 
+def _dft_matrix(d: int, blocks) -> jax.Array:
+    if blocks is None:
+        return linalg.unitary_dft(d)
+    return jnp.kron(linalg.unitary_dft(blocks[0]),
+                    linalg.unitary_dft(blocks[1]))
+
+
+def _resolve_method(method: str) -> str:
+    """'auto' -> 'dft' (MXU GEMM against the explicit unitary DFT matrix)
+    on TPU, 'fft' elsewhere. Measured on the chip (2026-08-21): XLA's TPU
+    FFT lowering runs ~1000x off the HBM bound for batched length-1024
+    transforms (2.8 s for (16384, 1024) fwd+inv where the GEMM embedding
+    takes ~30 ms), so the DFT-as-GEMM is the production TPU path; the FFT
+    wins asymptotically on CPU and keeps O(D log D) semantics for parity
+    tests."""
+    if method != "auto":
+        return method
+    return "dft" if jax.default_backend() == "tpu" else "fft"
+
+
+def _fwd(x: jax.Array, blocks, method: str) -> jax.Array:
+    if method == "fft":
+        return unitary_fft(x, blocks)
+    f = _dft_matrix(x.shape[-1], blocks)
+    return cplx.cmatmul(x, f.T)           # row convention: (F x) = x @ F^T
+
+
+def _inv(u: jax.Array, blocks, method: str) -> jax.Array:
+    if method == "fft":
+        return unitary_ifft(u, blocks)
+    f = _dft_matrix(u.shape[-1], blocks)
+    return cplx.cmatmul(u, jnp.conj(f))   # (F^H u) = u @ conj(F)
+
+
+def _log_prob_diag_split(u: jax.Array, means: jax.Array,
+                         variances: jax.Array) -> jax.Array:
+    """`gmm.log_prob_diag` restated with explicitly-real GEMMs (see
+    `cplx.cmatmul`): |u|^2 @ prec^T is real, and the cross term only needs
+    Re(u @ (conj(mu) prec)^T) — two real GEMMs via `cmatmul_realout`."""
+    d = u.shape[-1]
+    prec = 1.0 / variances                                    # (K, D)
+    mu2 = jnp.sum(jnp.abs(means) ** 2 * prec, axis=-1)        # (K,)
+    cross = cplx.cmatmul_realout(u, (jnp.conj(means) * prec).T)
+    x2 = (jnp.real(u) ** 2 + jnp.imag(u) ** 2) @ prec.T
+    quad = mu2[None, :] - 2.0 * cross + x2
+    logdet = -jnp.sum(jnp.log(variances), axis=-1)
+    return -(d * jnp.log(jnp.pi) + quad) + logdet[None, :]
+
+
 # ---------------------------------------------------------------------------
 # estimation
 # ---------------------------------------------------------------------------
@@ -220,34 +269,39 @@ def _estimate_chunk_f(bank: CirculantBank, u: jax.Array, mode) -> jax.Array:
 
     Unitary invariance: log CN(r; mu_r, Cr) = log CN(F r; F mu_r, diag(s_r)),
     so the posteriors equal the dense path's exactly."""
-    lp = log_prob_diag(u, bank.mean_rf, bank.spec_cr)
+    lp = _log_prob_diag_split(u, bank.mean_rf, bank.spec_cr)
     proba = jax.nn.softmax(lp + bank.log_weights[None, :], axis=-1)
-    w = _selection_weights(proba, mode).astype(u.dtype)
-    # h_f = sum_k w_k (bias_f,k + filt_k * u): two (n, K) x (K, D) GEMMs
-    return w @ bank.bias_f + (w @ bank.filt_f) * u
+    w = _selection_weights(proba, mode).astype(jnp.float32)
+    # h_f = sum_k w_k (bias_f,k + filt_k * u): two real-embedded
+    # (n, K) x (K, D) GEMMs (`cplx.rcmatmul` — w is real)
+    return cplx.rcmatmul(w, bank.bias_f) + cplx.rcmatmul(w, bank.filt_f) * u
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
 @highest_precision
 def estimate_circulant(bank: CirculantBank, r: jax.Array,
                        mode: Union[str, int, float] = "all",
                        chunk_size: int = 16384,
-                       blocks=None) -> jax.Array:
+                       blocks=None, method: str = "auto") -> jax.Array:
     """Estimate channels from quantized observations r (N, M) -> (N, D)
     through the FFT-domain bank: the structured analog of
     `gmm_estimator.estimate` (identical posterior semantics and selection
     modes; matches the dense estimator to FFT rounding on circulant fits).
 
-    O(N (K D + D log D)) total — no (N, K, D) intermediate exists, so the
-    chunking only bounds the (chunk, K) logit tensor."""
+    O(N (K D + D log D)) total with method='fft' (O(N D^2) MXU work with
+    the TPU-default method='dft', still a factor-K FLOP reduction over the
+    dense path's O(N K D^2) — see `_resolve_method`); no (N, K, D)
+    intermediate exists, so the chunking only bounds the (chunk, K) logit
+    tensor."""
+    method = _resolve_method(method)
     n = r.shape[0]
     n_chunks = -(-n // chunk_size)
     pad = n_chunks * chunk_size - n
     rp = jnp.pad(r, ((0, pad), (0, 0))).reshape(n_chunks, chunk_size, -1)
 
     def one(rc):
-        u = unitary_fft(rc, blocks)
-        return unitary_ifft(_estimate_chunk_f(bank, u, mode), blocks)
+        u = _fwd(rc, blocks, method)
+        return _inv(_estimate_chunk_f(bank, u, mode), blocks, method)
 
     out = jax.lax.map(one, rp)
     return out.reshape(n_chunks * chunk_size, -1)[:n].astype(r.dtype)
@@ -261,28 +315,30 @@ def _estimate_coherent_chunk_f(bank: CirculantBank, u: jax.Array, mode,
     `gmm_estimator._estimate_coherent_chunk` — only the likelihood and the
     per-component combine are diagonal here."""
     b, t, d = u.shape
-    lp3 = log_prob_diag(u.reshape(b * t, d), bank.mean_rf,
-                        bank.spec_cr).reshape(b, t, -1)
+    lp3 = _log_prob_diag_split(u.reshape(b * t, d), bank.mean_rf,
+                               bank.spec_cr).reshape(b, t, -1)
     lp_sum = jnp.sum(lp3, axis=1)
     if alpha >= 1.0:
         proba = jax.nn.softmax(lp_sum + bank.log_weights[None, :], axis=-1)
-        w = _selection_weights(proba, mode).astype(u.dtype)   # (B, K)
-        return (w @ bank.bias_f)[:, None, :] + (w @ bank.filt_f)[:, None, :] * u
+        w = _selection_weights(proba, mode).astype(jnp.float32)  # (B, K)
+        return cplx.rcmatmul(w, bank.bias_f)[:, None, :] \
+            + cplx.rcmatmul(w, bank.filt_f)[:, None, :] * u
     lg = lp3 + alpha * (lp_sum[:, None, :] - lp3) \
         + bank.log_weights[None, None, :]
     proba = jax.nn.softmax(lg, axis=-1)
-    w = _selection_weights(proba, mode).astype(u.dtype)       # (B, T, K)
-    return jnp.einsum("btk,kd->btd", w, bank.bias_f) \
-        + jnp.einsum("btk,kd->btd", w, bank.filt_f) * u
+    w = _selection_weights(proba, mode).astype(jnp.float32)      # (B, T, K)
+    return cplx.rcmatmul(w, bank.bias_f) \
+        + cplx.rcmatmul(w, bank.filt_f) * u
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 @highest_precision
 def estimate_circulant_coherent(bank: CirculantBank, r: jax.Array,
                                 mode: Union[str, int, float] = "all",
                                 chunk_size: int = 4096,
                                 alpha: float = 1.0,
-                                blocks=None) -> jax.Array:
+                                blocks=None, method: str = "auto"
+                                ) -> jax.Array:
     """Joint estimation of coherence blocks r (B, T, M) -> (B, T, D) through
     the FFT-domain bank: structured analog of
     `gmm_estimator.estimate_coherent` including the alpha evidence blend
@@ -290,6 +346,7 @@ def estimate_circulant_coherent(bank: CirculantBank, r: jax.Array,
     if r.ndim != 3:
         raise ValueError(f"estimate_circulant_coherent expects (B, T, M) "
                          f"blocks, got shape {r.shape}")
+    method = _resolve_method(method)
     n = r.shape[0]
     n_chunks = -(-n // chunk_size)
     pad = n_chunks * chunk_size - n
@@ -297,9 +354,9 @@ def estimate_circulant_coherent(bank: CirculantBank, r: jax.Array,
     rp = rp.reshape(n_chunks, chunk_size, r.shape[1], r.shape[2])
 
     def one(rc):
-        u = unitary_fft(rc, blocks)
-        return unitary_ifft(
-            _estimate_coherent_chunk_f(bank, u, mode, alpha), blocks)
+        u = _fwd(rc, blocks, method)
+        return _inv(_estimate_coherent_chunk_f(bank, u, mode, alpha),
+                    blocks, method)
 
     out = jax.lax.map(one, rp)
     return out.reshape(n_chunks * chunk_size, r.shape[1], -1)[:n].astype(

@@ -248,6 +248,47 @@ def test_rejects_non_identity_pilot(circ_fit):
                                   jnp.ones((D // 2, D), jnp.complex64), "inf")
 
 
+@pytest.mark.parametrize("blocks", [None, (4, 8)])
+def test_dft_method_matches_fft(circ_fit, blocks):
+    """The TPU-default DFT-as-GEMM transform path must agree with the FFT
+    path (same math, different lowering — see `cplx.cmatmul` for why the
+    GEMM embedding exists)."""
+    fit, h = circ_fit
+    q = Q.design_quantizer(5.0, 2, "uniform")
+    r = _observe(h[:256], 5.0, 2, q)
+    bank = sb.prepare_bank_circulant(fit.params, 5.0, 1.0 + 0.0j, 2, q,
+                                     blocks=blocks)
+    a = sb.estimate_circulant(bank, r, blocks=blocks, method="fft")
+    b = sb.estimate_circulant(bank, r, blocks=blocks, method="dft")
+    assert _rel(b, a) < 1e-4
+    rb = r.reshape(64, 4, D)
+    ac = sb.estimate_circulant_coherent(bank, rb, blocks=blocks,
+                                        alpha=0.3, method="fft")
+    bc = sb.estimate_circulant_coherent(bank, rb, blocks=blocks,
+                                        alpha=0.3, method="dft")
+    assert _rel(bc, ac) < 1e-4
+
+
+def test_cplx_matmul_embeddings():
+    from quantized_channel_estimation_tpu.ops import cplx
+    key = jax.random.PRNGKey(3)
+    a = (jax.random.normal(key, (7, 5)) +
+         1j * jax.random.normal(jax.random.PRNGKey(4), (7, 5))
+         ).astype(jnp.complex64)
+    b = (jax.random.normal(jax.random.PRNGKey(5), (5, 6)) +
+         1j * jax.random.normal(jax.random.PRNGKey(6), (5, 6))
+         ).astype(jnp.complex64)
+    np.testing.assert_allclose(np.asarray(cplx.cmatmul(a, b)),
+                               np.asarray(a @ b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cplx.cmatmul_realout(a, b)),
+                               np.asarray(jnp.real(a @ b)), atol=1e-5)
+    w = jax.random.normal(jax.random.PRNGKey(7), (4, 7, 5),
+                          dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(cplx.rcmatmul(w, b)),
+                               np.asarray(w.astype(jnp.complex64) @ b),
+                               atol=1e-5)
+
+
 def test_bank_memory_is_linear_in_d(circ_fit):
     fit, _ = circ_fit
     bank = sb.prepare_bank_circulant(fit.params, 10.0, 1.0 + 0.0j, "inf")
