@@ -21,7 +21,7 @@ import jax
 import numpy as np
 
 from quantized_channel_estimation_tpu.harness import stages
-from quantized_channel_estimation_tpu.models import em_driver, gmm
+from quantized_channel_estimation_tpu.models import em_driver, gmm, gmm_estimator
 from quantized_channel_estimation_tpu.ops import scm
 from quantized_channel_estimation_tpu.ops import scm_mimo
 from quantized_channel_estimation_tpu.ops import quantizer as Q
@@ -55,8 +55,17 @@ class GmmBenchConfig:
     # evidence-blend exponent for the coherent column: 1.0 = pure block
     # posterior (the Pallas kernel path), 0.0 = exactly independent;
     # interior values keep the per-snapshot hedge under model mismatch
-    # (urban-macro >=0 dB — BASELINE.md / tools/coherent_temper_probe.py)
-    coherence_alpha: float = 1.0
+    # (urban-macro >=0 dB — BASELINE.md / tools/coherent_temper_probe.py).
+    # 'auto' selects alpha PER SNR on held-out train blocks (the best value
+    # is SNR- and model-dependent, so any fixed deployment value leaves
+    # measured wins on the table): the last alpha_val_blocks coherence
+    # blocks of the train slice are withheld from the GMM fit, observed at
+    # each SNR, and the DEFAULT_ALPHA_GRID value with the lowest validation
+    # NMSE drives that SNR's coherent column (chosen alphas returned in
+    # timings['coherence_alpha_by_snr']).
+    coherence_alpha: Union[float, str] = 1.0
+    alpha_val_blocks: int = 1024  # held-out blocks for 'auto' (capped at
+    # a tenth of the train blocks)
     n_pilots: int = 1
     n_bits: Union[int, float] = 2
     cov_type: str = "full"
@@ -168,11 +177,22 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
                 f"n_train={cfg.n_train} and n_val={cfg.n_val} must be "
                 f"multiples of n_coherence={t_coh} (they count snapshots)")
 
+    auto_alpha = cfg.coherence_alpha == "auto"
+    if auto_alpha and t_coh <= 1:
+        raise ValueError("coherence_alpha='auto' requires n_coherence > 1 "
+                         "(there is no coherent column to tune)")
+
     channels, toep = _get_data(cfg, k_data)
+    alpha_val_h = None
     if t_coh > 1:
         nb_train, nb_val = cfg.n_train // t_coh, cfg.n_val // t_coh
+        nb_fit = nb_train
+        if auto_alpha:
+            nb_alpha = max(1, min(cfg.alpha_val_blocks, nb_train // 10))
+            nb_fit = nb_train - nb_alpha
+            alpha_val_h = stages.tree_slice(channels, nb_fit, nb_train)
         h_train = stages.flatten_coherence(
-            stages.tree_slice(channels, 0, nb_train))
+            stages.tree_slice(channels, 0, nb_fit))
         h_val_blocks = stages.tree_slice(channels, nb_train,
                                          nb_train + nb_val)
         toep_val_blocks = stages.tree_slice(toep, nb_train,
@@ -277,10 +297,14 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
             for snr in cfg.snrs]
 
     if cfg.eval_blmmse_gmm:
+        # under 'auto' the fit sees fewer snapshots (the alpha-validation
+        # blocks are withheld), so the cache key must not collide with the
+        # full-train fit
+        n_train_fit = (nb_fit * t_coh) if t_coh > 1 else cfg.n_train
         gmm_path = qio.gmm_cache_path(cfg.cache_dir, dim,
                                       cfg.n_components, _model_tag(cfg),
                                       cfg.n_path,
-                                      cfg.n_train, cfg.cov_type,
+                                      n_train_fit, cfg.cov_type,
                                       cfg.zero_mean_gmm)
         t0 = time.time()
         if cfg.use_cache and os.path.exists(gmm_path):
@@ -350,16 +374,44 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
         eval_algo("blmmse_gmm", "gmm_rstat", gmm_est, norm_clip=0.1)
 
         if t_coh > 1:
+            alpha_by_snr = {}
+
+            def coherent_alpha(snr, i):
+                """Per-SNR blend: fixed value, or 'auto' grid selection on
+                the held-out train blocks (observed at this SNR with a key
+                disjoint from the eval observations)."""
+                if not auto_alpha:
+                    return cfg.coherence_alpha
+                if snr not in alpha_by_snr:
+                    r_a = stages.observe(
+                        jax.random.fold_in(k_obs, 10_000 + i), alpha_val_h,
+                        snr, a, cfg.n_bits, quantizers[snr])
+                    best, scores = None, {}
+                    for al in gmm_estimator.DEFAULT_ALPHA_GRID:
+                        h_hat = stages.estimate_coherent_auto(
+                            get_bank(snr), r_a, cfg.n_summands_or_proba,
+                            float(al))
+                        scores[float(al)] = stages.nmse(h_hat, alpha_val_h)
+                    best = min(scores, key=scores.get)
+                    alpha_by_snr[snr] = best
+                    if verbose:
+                        print(f"  alpha[{snr} dB] = {best} "
+                              f"({ {k: round(v, 5) for k, v in scores.items()} })")
+                return alpha_by_snr[snr]
+
             # block-pooled joint estimation over each coherence block —
             # the column the reference cannot produce
             def gmm_coh_est(snr, r):
                 del r  # uses the block-shaped observations
+                i = list(cfg.snrs).index(snr)
                 return stages.flatten_coherence(stages.estimate_coherent_auto(
                     get_bank(snr), r_blocks_by_snr[snr],
-                    cfg.n_summands_or_proba, cfg.coherence_alpha))
+                    cfg.n_summands_or_proba, coherent_alpha(snr, i)))
 
             eval_algo("blmmse_gmm_coh", "gmm_coh_rstat", gmm_coh_est,
                       norm_clip=0.1)
+            if auto_alpha:
+                timings["coherence_alpha_by_snr"] = dict(alpha_by_snr)
 
     timings["total"] = time.time() - t_start
 

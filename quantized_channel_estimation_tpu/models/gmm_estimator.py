@@ -23,6 +23,7 @@ from typing import NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from quantized_channel_estimation_tpu.models.gmm import GmmParams, log_prob_full
 from quantized_channel_estimation_tpu.ops import linalg
@@ -244,6 +245,41 @@ def estimate_coherent(bank: PreparedBank, r: jax.Array,
     out = jax.lax.map(
         lambda rc: _estimate_coherent_chunk(bank, rc, mode, alpha), rp)
     return out.reshape(n_chunks * chunk_size, r.shape[1], -1)[:n]
+
+
+DEFAULT_ALPHA_GRID = (0.0, 0.1, 0.25, 0.5, 1.0)
+
+
+def select_coherence_alpha(est_fn, r_val: jax.Array, h_val: jax.Array,
+                           grid=DEFAULT_ALPHA_GRID):
+    """Pick the evidence-blend alpha by validation NMSE — the automatic
+    replacement for hand-setting `coherence_alpha` (round-3 evidence:
+    the best alpha is SNR- and channel-model-dependent — 1.0 at −10 dB,
+    0.1–0.25 at >=−5 dB on urban-macro, interior values on 3gpp
+    [BASELINE.md] — so any fixed deployment value leaves measured wins on
+    the table).
+
+    est_fn(r_blocks, alpha) -> (B, T, D) estimates (e.g. a closure over
+    `estimate_coherent`, the fused kernel, or the structured circulant
+    path); r_val (B, T, M) held-out observations; h_val (B, T, D) their
+    TRUE channels — selection needs real blocks from the deployment
+    distribution: synthesizing validation data from the fitted mixture
+    itself cannot work, because under the model the pure block posterior
+    (alpha=1) is optimal by construction and the grid would never detect
+    model mismatch. Returns (best_alpha, {alpha: nmse}). Each alpha is one
+    compiled program (alpha is static in every estimation path), so the
+    grid cost is len(grid) bounded-size evaluations at bank-prepare time,
+    amortized over the serving/eval lifetime.
+    """
+    scores = {}
+    for alpha in grid:
+        h_hat = est_fn(r_val, float(alpha))
+        err = h_hat - jnp.asarray(h_val, h_hat.dtype)
+        # the repo's NMSE convention: sum|e|^2 / h.size (utils.metrics.nmse)
+        scores[float(alpha)] = float(
+            jnp.sum(jnp.abs(err) ** 2)) / np.prod(h_val.shape)
+    best = min(scores, key=scores.get)
+    return best, scores
 
 
 def _stats_chunk(bank: PreparedBank, r: jax.Array):

@@ -285,6 +285,33 @@ class TestGmmEstimation:
         mid = gmm_estimator.estimate_coherent(bank, rb, "all", 512, 0.5)
         assert np.all(np.isfinite(np.asarray(mid)))
 
+    def test_select_coherence_alpha(self, setup):
+        """Round-4 auto-alpha: on the SAME bank, the selected alpha must be
+        the grid argmin of validation NMSE and the reported scores must
+        match independently computed NMSEs."""
+        _, _, _, params, _ = setup
+        key = jax.random.PRNGKey(21)
+        t = 4
+        cfg = scm.ScmConfig(n_antennas=self.N_ANT, n_path=1, n_coherence=t)
+        h, _ = scm.generate_channels(key, 800, cfg)       # (B, T, N)
+        snr, n_bits = 0.0, 2
+        a = pilots.pilot_matrix(self.N_ANT, 1, n_bits)
+        q = Q.design_quantizer(snr, n_bits)
+        r = observation.observe(jax.random.fold_in(key, 1), h, snr, a,
+                                n_bits, q)
+        bank = gmm_estimator.prepare_bank(params, snr, a, n_bits, q)
+
+        def est(rb, alpha):
+            return gmm_estimator.estimate_coherent(bank, rb, "all", 512,
+                                                   alpha)
+
+        best, scores = gmm_estimator.select_coherence_alpha(est, r, h)
+        assert best == min(scores, key=scores.get)
+        assert set(scores) == set(gmm_estimator.DEFAULT_ALPHA_GRID)
+        for al in (0.0, 1.0):
+            ref = float(nmse(est(r, al), h))
+            np.testing.assert_allclose(scores[al], ref, rtol=1e-3)
+
 
 def test_fit_resume_continues(rng, key):
     """Resuming EM from checkpointed params must not degrade the lower bound
