@@ -9,21 +9,33 @@ flushed either when a batch fills or when the oldest request exceeds
 
 The estimator bank is prepared per SNR once and cached (pure pytrees — cheap
 to hold many). The compute path is the fused Pallas kernel when available,
-falling back to the einsum estimator.
+falling back to the einsum estimator; a `mesh` turns `_compute` into
+tensor-parallel sharded estimation so serving can use every chip of a host
+(`parallel.mesh.estimate_sharded_kernel`).
 
 Coherence blocks are first-class: a (n, T, M) request routes through
 block-pooled joint estimation (`gmm_estimator.estimate_coherent` /
 `pallas_kernels.estimate_fused_coherent` — up to −30% NMSE at low SNR,
 BASELINE.md), queued per (SNR, T) so blocks only co-batch with same-shape
-blocks and a block is never split across microbatches.
+blocks and a block is never split across microbatches. The evidence blend
+is per-service (`coherence_alpha`), including 'auto' selection against
+held-out validation blocks.
+
+Lifecycle: `close()` DRAINS by default — queued requests are flushed before
+the worker stops (or failed fast with `ServiceClosedError` when
+drain=False); new submits are refused once closing. `metrics()` returns a
+self-reported snapshot (request/estimate/shed counters, latency histogram
+with p50/p99, queue depth, bank-cache hits) so operators do not need an
+external harness to observe the service.
 """
 from __future__ import annotations
 
+import bisect
 import threading
 import time
 from collections import OrderedDict
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -38,6 +50,53 @@ class ServiceOverloadedError(RuntimeError):
     """Raised by submit() when the pending-sample queue exceeds its
     high-water mark — explicit load shedding instead of unbounded memory
     growth and blind latency."""
+
+
+class ServiceClosedError(RuntimeError):
+    """Raised by submit() on a closing/closed service, and delivered to
+    requests still queued when `close(drain=False)` fails them fast."""
+
+
+# latency histogram bucket upper bounds (seconds); +inf implicit
+_LATENCY_BUCKETS = (0.001, 0.002, 0.005, 0.01, 0.02, 0.05, 0.1, 0.2,
+                    0.5, 1.0, 2.0, 5.0)
+
+
+class _Metrics:
+    """Internal counters; mutated under the service lock (submit side) or
+    by the single serving thread (completion side)."""
+
+    def __init__(self):
+        self.requests_submitted = 0
+        self.requests_completed = 0
+        self.requests_failed = 0
+        self.requests_shed = 0
+        self.estimates_served = 0      # snapshots, not requests
+        self.microbatches = 0
+        self.bank_cache_hits = 0
+        self.bank_cache_misses = 0
+        self.latency_counts = [0] * (len(_LATENCY_BUCKETS) + 1)
+        self.latency_sum = 0.0
+
+    def observe_latency(self, seconds: float):
+        self.latency_counts[bisect.bisect_left(_LATENCY_BUCKETS,
+                                               seconds)] += 1
+        self.latency_sum += seconds
+
+    def quantile(self, p: float) -> float:
+        """Histogram-quantile estimate (upper bucket bound, the
+        conservative Prometheus convention)."""
+        total = sum(self.latency_counts)
+        if total == 0:
+            return 0.0
+        rank = p * total
+        acc = 0
+        for i, c in enumerate(self.latency_counts):
+            acc += c
+            if acc >= rank:
+                return (_LATENCY_BUCKETS[i] if i < len(_LATENCY_BUCKETS)
+                        else float("inf"))
+        return float("inf")
 
 
 @dataclass
@@ -60,7 +119,10 @@ class EstimationService:
                  max_batch: int = 4096, max_delay_ms: float = 5.0,
                  use_pallas: Optional[bool] = None, mode="all",
                  max_banks: int = 64, snr_step_db: Optional[float] = 0.1,
-                 max_queue: int = 262_144, coherence_alpha: float = 1.0):
+                 max_queue: int = 262_144,
+                 coherence_alpha: Union[float, str] = 1.0,
+                 alpha_val: Optional[np.ndarray] = None,
+                 mesh=None):
         """max_banks: LRU cap on cached per-SNR PreparedBanks (each is
         K*M^2 complex + K*D*M plus a per-shape compiled-program set — a
         client sweeping arbitrary float SNRs must not grow memory without
@@ -73,7 +135,19 @@ class EstimationService:
         coherence_alpha: evidence-blend exponent for (n, T, M) block
         requests — 1.0 = pure block posterior, 0.0 = independent
         per-snapshot, interior = the leave-one-out hedge for
-        model-mismatched deployments (BASELINE.md urban-macro row)."""
+        model-mismatched deployments (BASELINE.md urban-macro row).
+        'auto' selects per (SNR, T) by validation NMSE over
+        `gmm_estimator.DEFAULT_ALPHA_GRID`, which requires `alpha_val`:
+        REAL held-out channel blocks (n, T, D) from the deployment
+        distribution (synthesizing them from the fitted mixture cannot
+        detect model mismatch — under the model, alpha=1 is optimal by
+        construction). Selection runs once per (SNR, T) queue and is
+        cached. mesh: a `parallel.mesh.make_mesh` (data, component) mesh;
+        when given, microbatches route through the tensor-parallel
+        pmax/psum stats merge (`estimate_sharded_kernel`) so serving uses
+        every device instead of one — requires mode='all', and microbatch
+        sizes stay powers of two so the data-axis divisibility holds for
+        power-of-two meshes."""
         if use_pallas is None:
             # auto: the fused kernel serves 'all'-mode requests on TPU;
             # selection modes and kernel-less backends take the einsum path
@@ -84,30 +158,38 @@ class EstimationService:
         self.a = a
         self.n_bits = n_bits
         self.quantizer_type = quantizer_type
-        self.max_batch = max_batch
-        self.max_delay = max_delay_ms / 1000.0
         self.mode = mode
         self.use_pallas = use_pallas
-        self.max_banks = max_banks
-        self.snr_step = snr_step_db
-        self.max_queue = max_queue
-        self.coherence_alpha = coherence_alpha
-        self._banks: "OrderedDict[float, PreparedBank]" = OrderedDict()
-        # queues are keyed by (snapped snr, T) — T=None for flat (n, M)
-        # requests — so coherence blocks only co-batch with same-T blocks
-        self._queues: "OrderedDict[Tuple[float, Optional[int]], List[Tuple[float, _Request]]]" = (
-            OrderedDict())
-        self._pending = 0  # total queued samples, guarded by _lock
-        self._lock = threading.Lock()
-        self._stop = threading.Event()
-        self._prepare = cjit(gmm_estimator.prepare_bank, static_argnums=(3,))
+        self.mesh = mesh
         if use_pallas and mode != "all":
             # the fused kernel only computes the dense 'all'-mode combine;
             # silently serving 'all' results for a selection mode would be
             # wrong answers, not slow ones
             raise ValueError("use_pallas=True requires mode='all' "
                              f"(got mode={mode!r})")
-        if use_pallas:
+        if mesh is not None and mode != "all":
+            raise ValueError("mesh-backed serving computes the dense "
+                             f"'all'-mode merge (got mode={mode!r})")
+        self._init_runtime(max_batch, max_delay_ms, max_banks, snr_step_db,
+                           max_queue, coherence_alpha, alpha_val)
+        self._prepare = cjit(gmm_estimator.prepare_bank, static_argnums=(3,))
+        if mesh is not None:
+            # per-(alpha) compiled sharded programs; shapes are handled by
+            # jit's shape cache inside each cjit wrapper
+            from quantized_channel_estimation_tpu.parallel import mesh as pm
+            self._mesh_fns = {}
+
+            def mesh_fn(alpha: float):
+                if alpha not in self._mesh_fns:
+                    self._mesh_fns[alpha] = cjit(
+                        lambda b, rr: pm.estimate_sharded_kernel(
+                            mesh, b, rr, coherence_alpha=alpha))
+                return self._mesh_fns[alpha]
+
+            self._estimate = lambda b, rr: mesh_fn(1.0)(b, rr)
+            self._estimate_coherent = (
+                lambda b, rr, mode_, cs, alpha: mesh_fn(alpha)(b, rr))
+        elif use_pallas:
             import jax
             from quantized_channel_estimation_tpu.estimators import (
                 pallas_kernels as pk)
@@ -119,16 +201,55 @@ class EstimationService:
             # guaranteed on this branch); chunk is folded into the kernel's
             # own tiling; the alpha evidence blend rides in-kernel
             self._estimate_coherent = cjit(
-                lambda b, r, mode, cs: pk.estimate_fused_coherent(
-                    b, r, interpret=interp, alpha=coherence_alpha),
-                static_argnums=(2, 3))
+                lambda b, r, mode, cs, alpha: pk.estimate_fused_coherent(
+                    b, r, interpret=interp, alpha=alpha),
+                static_argnums=(2, 3, 4))
         else:
             self._estimate = cjit(gmm_estimator.estimate,
                                   static_argnums=(2, 3))
             self._estimate_coherent = cjit(
-                lambda b, r, mode, cs: gmm_estimator.estimate_coherent(
-                    b, r, mode, cs, coherence_alpha),
-                static_argnums=(2, 3))
+                gmm_estimator.estimate_coherent, static_argnums=(2, 3, 4))
+        self._start()
+
+    def _init_runtime(self, max_batch, max_delay_ms, max_banks, snr_step_db,
+                      max_queue, coherence_alpha=1.0, alpha_val=None):
+        """Queue/thread/cache/metrics state shared by every service flavor
+        (the GMM bank service and `VaeEstimationService` both call this —
+        a hand-copied twin would silently miss fields added later)."""
+        self.max_batch = max_batch
+        self.max_delay = max_delay_ms / 1000.0
+        self.max_banks = max_banks
+        self.snr_step = snr_step_db
+        self.max_queue = max_queue
+        self.coherence_alpha = coherence_alpha
+        if coherence_alpha == "auto":
+            if alpha_val is None:
+                raise ValueError(
+                    "coherence_alpha='auto' needs alpha_val: held-out REAL "
+                    "channel blocks (n, T, D) — model-drawn samples cannot "
+                    "reveal model mismatch, so there is nothing to select "
+                    "on without them")
+            alpha_val = np.asarray(alpha_val)
+            if alpha_val.ndim != 3:
+                raise ValueError(f"alpha_val must be (n, T, D) blocks; got "
+                                 f"shape {alpha_val.shape}")
+        elif not isinstance(coherence_alpha, (int, float)):
+            raise ValueError(f"coherence_alpha must be a float or 'auto'; "
+                             f"got {coherence_alpha!r}")
+        self.alpha_val = alpha_val
+        self._alpha_cache: dict = {}
+        self._banks: "OrderedDict[float, object]" = OrderedDict()
+        # queues are keyed by (snapped snr, T) — T=None for flat (n, M)
+        # requests — so coherence blocks only co-batch with same-T blocks
+        self._queues: "OrderedDict[Tuple[float, Optional[int]], List[Tuple[float, _Request]]]" = (
+            OrderedDict())
+        self._pending = 0  # total queued samples, guarded by _lock
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._closing = False
+        self._metrics = _Metrics()
+
+    def _start(self):
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -154,13 +275,46 @@ class EstimationService:
         clients sweeping many distinct SNRs."""
         if snr in self._banks:
             self._banks.move_to_end(snr)
+            self._metrics.bank_cache_hits += 1
             return self._banks[snr]
+        self._metrics.bank_cache_misses += 1
         q = Q.design_quantizer(snr, self.n_bits, self.quantizer_type)
         bank = self._prepare(self.params, snr, self.a, self.n_bits, q)
         self._banks[snr] = bank
         while len(self._banks) > self.max_banks:
             self._banks.popitem(last=False)
         return bank
+
+    def _resolve_alpha(self, snr: float, t_coh: int) -> float:
+        """Blend for a (snr, T) block queue: the fixed setting, or the
+        cached/auto-selected per-(SNR, T) grid winner."""
+        if self.coherence_alpha != "auto":
+            return float(self.coherence_alpha)
+        key = (snr, t_coh)
+        if key not in self._alpha_cache:
+            from quantized_channel_estimation_tpu.ops import observation
+            import jax
+            h_val = self.alpha_val
+            if h_val.shape[1] != t_coh:
+                raise ValueError(
+                    f"auto-alpha validation blocks have T={h_val.shape[1]} "
+                    f"but the request stream has T={t_coh}; provide "
+                    "alpha_val blocks matching the serving block length")
+            q = Q.design_quantizer(snr, self.n_bits, self.quantizer_type)
+            obs = cjit(observation.observe, static_argnums=(4,))
+            r_val = asnumpy(obs(jax.random.PRNGKey(0), h_val, snr, self.a,
+                                self.n_bits, q))
+            bank = self._bank(snr)
+
+            def est(rb, alpha):
+                return asnumpy(self._estimate_coherent(
+                    bank, rb, self.mode, max(1, 2048 // t_coh),
+                    float(alpha)))
+
+            best, scores = gmm_estimator.select_coherence_alpha(
+                est, r_val, h_val)
+            self._alpha_cache[key] = best
+        return self._alpha_cache[key]
 
     def submit(self, r: np.ndarray, snr: float,
                timeout: Optional[float] = 30.0) -> np.ndarray:
@@ -189,18 +343,25 @@ class EstimationService:
         snr = self._snap(snr)
         req = _Request(r)
         with self._lock:
+            if self._closing:
+                raise ServiceClosedError("service is closing; no new "
+                                         "requests accepted")
             if self._pending + n_snapshots > self.max_queue:
+                self._metrics.requests_shed += 1
                 raise ServiceOverloadedError(
                     f"pending queue at {self._pending} samples; request of "
                     f"{n_snapshots} exceeds the max_queue={self.max_queue} "
                     "high-water mark — retry with backoff or shrink the "
                     "request")
+            self._metrics.requests_submitted += 1
             self._pending += n_snapshots
             self._queues.setdefault((snr, t_coh), []).append(
                 (time.monotonic(), req))
         if not req.event.wait(timeout):
             raise TimeoutError("estimation request timed out")
         if req.error is not None:
+            if isinstance(req.error, ServiceClosedError):
+                raise req.error
             raise RuntimeError("estimation request failed") from req.error
         return req.result
 
@@ -212,84 +373,153 @@ class EstimationService:
             rs = np.concatenate([q.r for q in reqs], axis=0)
             n = rs.shape[0]
             bank = self._bank(snr)
+            alpha = (self._resolve_alpha(snr, t_coh)
+                     if t_coh is not None else None)
             # process in power-of-two microbatches capped at max_batch: pad
-            # sizes are drawn from the bounded set {16, 32, ..., cap}, so the
-            # compiled-program count is bounded AND a single oversized request
-            # (or a coalesced queue larger than max_batch) cannot force an
-            # arbitrarily large one-off XLA program. For coherence blocks the
-            # unit is a BLOCK (a block is never split across microbatches —
-            # the pooled posterior needs all T snapshots together), so the
-            # cap is scaled down by T to bound program size in SNAPSHOTS.
-            # largest power of two NOT exceeding max_batch (min 16), so the
-            # configured bound really caps the compiled program size
+            # sizes are drawn from a bounded set, so the compiled-program
+            # count is bounded AND a single oversized request (or a
+            # coalesced queue larger than max_batch) cannot force an
+            # arbitrarily large one-off XLA program. For coherence blocks
+            # the unit is a BLOCK (a block is never split across
+            # microbatches — the pooled posterior needs all T snapshots
+            # together) and the bounds are kept in SNAPSHOTS: the cap and
+            # the minimum pad both scale down by T (floor 1 block), so a
+            # large-T block request cannot compile a >=16*T-snapshot floor
+            # program (round-3 advisor finding).
             cap = 1 << max(4, self.max_batch.bit_length() - 1)
+            min_bits = 4
             if t_coh is not None:
-                cap = max(16, cap // t_coh)
+                cap = max(1, cap // t_coh)
+                min_bits = max(0, 4 - (t_coh - 1).bit_length())
             outs = []
             for off in range(0, n, cap):
                 chunk = rs[off:off + cap]
                 m = chunk.shape[0]
-                n_pad = 1 << max(4, (m - 1).bit_length())
+                n_pad = 1 << max(min_bits, (m - 1).bit_length())
                 rp = np.zeros((n_pad,) + rs.shape[1:], rs.dtype)
                 rp[:m] = chunk
-                out = self._compute(bank, rp, t_coh)
+                out = self._compute(bank, rp, t_coh, alpha)
                 outs.append(asnumpy(out)[:m])
+                self._metrics.microbatches += 1
             out_np = np.concatenate(outs, axis=0)
         except BaseException as e:  # propagate to the waiting clients
-            for q in reqs:
+            now = time.monotonic()
+            for ts, q in batch:
                 q.error = e
+                self._metrics.requests_failed += 1
+                self._metrics.observe_latency(now - ts)
                 q.event.set()
             return
         off = 0
-        for q in reqs:
+        now = time.monotonic()
+        for ts, q in batch:
             m = q.r.shape[0]
             q.result = out_np[off:off + m]
             off += m
+            self._metrics.requests_completed += 1
+            self._metrics.estimates_served += m * (t_coh or 1)
+            self._metrics.observe_latency(now - ts)
             q.event.set()
 
-    def _compute(self, bank, rp: np.ndarray, t_coh: Optional[int]):
+    def _compute(self, bank, rp: np.ndarray, t_coh: Optional[int],
+                 alpha: Optional[float]):
         """One padded microbatch through the estimator; the single hook a
         differently-backed service (e.g. `VaeEstimationService`) overrides."""
         n_pad = rp.shape[0]
         if t_coh is not None:
             return self._estimate_coherent(bank, rp, self.mode,
-                                           max(1, min(n_pad, 2048) // t_coh))
-        if self.use_pallas:
+                                           max(1, min(n_pad, 2048) // t_coh),
+                                           alpha)
+        if self.use_pallas and self.mesh is None:
+            return self._estimate(bank, rp)
+        if self.mesh is not None:
             return self._estimate(bank, rp)
         return self._estimate(bank, rp, self.mode, min(n_pad, 2048))
 
+    def _drain_work(self, force_all: bool):
+        """Collect due queues under the lock. force_all flushes everything
+        regardless of age/size (the close(drain=True) path)."""
+        work = []
+        now = time.monotonic()
+        with self._lock:
+            for key, queue in self._queues.items():
+                if not queue:
+                    continue
+                t_mul = key[1] or 1  # snapshots per request row
+                total = sum(q.r.shape[0] * t_mul for _, q in queue)
+                oldest = queue[0][0]
+                if (force_all or total >= self.max_batch
+                        or now - oldest >= self.max_delay):
+                    take, keep, acc = [], [], 0
+                    for item in queue:
+                        if force_all or acc < self.max_batch:
+                            take.append(item)
+                            acc += item[1].r.shape[0] * t_mul
+                        else:
+                            keep.append(item)
+                    self._queues[key] = keep
+                    self._pending -= acc
+                    work.append((key, take))
+        return work
+
     def _loop(self):
         while not self._stop.is_set():
-            flushed = False
-            with self._lock:
-                work = []
-                now = time.monotonic()
-                for key, queue in self._queues.items():
-                    if not queue:
-                        continue
-                    t_mul = key[1] or 1  # snapshots per request row
-                    total = sum(q.r.shape[0] * t_mul for _, q in queue)
-                    oldest = queue[0][0]
-                    if total >= self.max_batch or now - oldest >= self.max_delay:
-                        take, keep, acc = [], [], 0
-                        for item in queue:
-                            if acc < self.max_batch:
-                                take.append(item)
-                                acc += item[1].r.shape[0] * t_mul
-                            else:
-                                keep.append(item)
-                        self._queues[key] = keep
-                        self._pending -= acc
-                        work.append((key, take))
+            work = self._drain_work(force_all=False)
             for key, batch in work:
                 self._flush(key, batch)
-                flushed = True
-            if not flushed:
+            if not work:
                 time.sleep(0.0005)
+        # stop requested: either flush everything still queued (drain) or
+        # fail it fast — never leave clients hanging until their timeout
+        work = self._drain_work(force_all=True)
+        for key, batch in work:
+            if self._drain_on_close:
+                self._flush(key, batch)
+            else:
+                err = ServiceClosedError("service closed before this "
+                                         "request was processed")
+                now = time.monotonic()
+                for ts, q in batch:
+                    q.error = err
+                    self._metrics.requests_failed += 1
+                    self._metrics.observe_latency(now - ts)
+                    q.event.set()
 
-    def close(self):
+    def metrics(self) -> dict:
+        """Self-reported operational snapshot (thread-safe)."""
+        with self._lock:
+            m = self._metrics
+            total = sum(m.latency_counts)
+            return {
+                "requests_submitted": m.requests_submitted,
+                "requests_completed": m.requests_completed,
+                "requests_failed": m.requests_failed,
+                "requests_shed": m.requests_shed,
+                "estimates_served": m.estimates_served,
+                "microbatches": m.microbatches,
+                "bank_cache_hits": m.bank_cache_hits,
+                "bank_cache_misses": m.bank_cache_misses,
+                "banks_cached": len(self._banks),
+                "queue_depth_samples": self._pending,
+                "latency_count": total,
+                "latency_mean_s": (m.latency_sum / total) if total else 0.0,
+                "latency_p50_s": m.quantile(0.5),
+                "latency_p99_s": m.quantile(0.99),
+                "coherence_alpha_selected": dict(self._alpha_cache),
+            }
+
+    _drain_on_close = True
+
+    def close(self, drain: bool = True, timeout: float = 30.0):
+        """Stop the service. drain=True (default) flushes every queued
+        request before the worker exits; drain=False fails queued requests
+        fast with ServiceClosedError. Either way new submits are refused
+        immediately and no client is left waiting for its timeout."""
+        with self._lock:
+            self._closing = True
+        self._drain_on_close = drain
         self._stop.set()
-        self._thread.join(timeout=5)
+        self._thread.join(timeout=timeout)
 
 
 class VaeEstimationService(EstimationService):
@@ -306,6 +536,9 @@ class VaeEstimationService(EstimationService):
     — `estimators/vae.py:203-204` — which a client asking for an estimate
     cannot have) and is rejected up front. Coherence blocks pool the
     decoder's predicted spectra per block (`vae.estimate(coherence=T)`).
+    Queue/thread/metrics/lifecycle state comes from the shared
+    `_init_runtime`, so base-class serving features (drain, metrics,
+    backpressure) apply here unchanged.
     """
 
     def __init__(self, model, params, cfg, a, max_batch: int = 4096,
@@ -322,18 +555,11 @@ class VaeEstimationService(EstimationService):
         self.a = a
         self.n_bits = cfg.n_bits
         self.quantizer_type = cfg.quantizer_type
-        self.max_batch = max_batch
-        self.max_delay = max_delay_ms / 1000.0
         self.mode = "all"
         self.use_pallas = False
-        self.max_banks = max_banks
-        self.snr_step = snr_step_db
-        self.max_queue = max_queue
-        self._banks = OrderedDict()
-        self._queues = OrderedDict()
-        self._pending = 0
-        self._lock = threading.Lock()
-        self._stop = threading.Event()
+        self.mesh = None
+        self._init_runtime(max_batch, max_delay_ms, max_banks, snr_step_db,
+                           max_queue)
         self._chunk = chunk_size
         # one compiled program per (shape, T): snr/quantizer are dynamic
         self._est = cjit(
@@ -341,21 +567,23 @@ class VaeEstimationService(EstimationService):
                 model, p, cfg, rr, snr, self.a, q,
                 chunk_size=chunk_size, coherence=t),
             static_argnums=(4,))
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        self._start()
 
     def _bank(self, snr: float):
         """Per-SNR cached object = (snr, quantizer design)."""
         if snr in self._banks:
             self._banks.move_to_end(snr)
+            self._metrics.bank_cache_hits += 1
             return self._banks[snr]
+        self._metrics.bank_cache_misses += 1
         q = Q.design_quantizer(snr, self.n_bits, self.quantizer_type)
         self._banks[snr] = (snr, q)
         while len(self._banks) > self.max_banks:
             self._banks.popitem(last=False)
         return self._banks[snr]
 
-    def _compute(self, bank, rp: np.ndarray, t_coh: Optional[int]):
+    def _compute(self, bank, rp: np.ndarray, t_coh: Optional[int],
+                 alpha: Optional[float]):
         snr, q = bank
         if t_coh is not None:
             # vae.estimate pools T CONSECUTIVE rows; flatten block-major
