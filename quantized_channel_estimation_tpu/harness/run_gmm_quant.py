@@ -18,7 +18,7 @@ import jax
 
 from quantized_channel_estimation_tpu.harness import stages
 from quantized_channel_estimation_tpu.harness.run_gmm import (
-    GmmBenchConfig, _get_data)
+    GmmBenchConfig, _get_data, _model_tag, channel_dim)
 from quantized_channel_estimation_tpu.models import gmm
 from quantized_channel_estimation_tpu.ops import quantizer as Q
 from quantized_channel_estimation_tpu.utils import io as qio
@@ -30,6 +30,11 @@ class QuantGmmBenchConfig:
     n_components: int = 64
     n_summands_or_proba: Union[str, int, float] = "all"
     n_path: int = 1
+    # channel model: '3gpp' | 'urban-macro' | 'mimo' (round-4: lifted from
+    # run_gmm — the CSI-free quantized-EM can now train on macro/MIMO
+    # pilots; see run_gmm.GmmBenchConfig.channel_model)
+    channel_model: str = "3gpp"
+    n_antennas_ms: int = 1
     # >1: block-shaped validation + the block-pooled 'blmmse_gmm_quant_coh'
     # column (see run_gmm.GmmBenchConfig.n_coherence); the CSI-free
     # TRAINING stream stays flattened (block pooling in the EM is a
@@ -69,8 +74,10 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
             f"multiples of n_coherence={t_coh} (they count snapshots)")
     base_cfg = GmmBenchConfig(
         n_antennas=cfg.n_antennas, n_path=cfg.n_path, n_train=cfg.n_train,
+        channel_model=cfg.channel_model, n_antennas_ms=cfg.n_antennas_ms,
         n_val=cfg.n_val, path_sigma=cfg.path_sigma, cache_dir=cfg.cache_dir,
         use_cache=cfg.use_cache, n_coherence=t_coh)
+    dim = channel_dim(base_cfg)
     channels, _ = _get_data(base_cfg, k_data)
     if t_coh > 1:
         nb_train, nb_val = cfg.n_train // t_coh, cfg.n_val // t_coh
@@ -84,7 +91,7 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
         h_val = stages.tree_slice(channels, cfg.n_train,
                                   cfg.n_train + cfg.n_val)
 
-    a = stages.pilot_matrix(cfg.n_antennas, cfg.n_pilots, cfg.n_bits,
+    a = stages.pilot_matrix(dim, cfg.n_pilots, cfg.n_bits,
                             cfg.pilot_type)
     all_snrs = sorted(set(list(cfg.snrs) + [cfg.snr_train]))
     quantizers = {snr: Q.design_quantizer(snr, cfg.n_bits, cfg.quantizer_type)
@@ -145,7 +152,9 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
     stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     out_dir = os.path.join(cfg.results_dir, "3gpp")
     coh_tag = f"_coh={t_coh}" if t_coh > 1 else ""
-    base = (f"{stamp}_ant={cfg.n_antennas}_path={cfg.n_path}{coh_tag}"
+    model_tag = ("" if cfg.channel_model == "3gpp"
+                 else f"_model={_model_tag(base_cfg)}")
+    base = (f"{stamp}_ant={dim}{model_tag}_path={cfg.n_path}{coh_tag}"
             f"_ntr={cfg.n_train // 1000}k_comp={cfg.n_components}"
             f"_pilots={cfg.n_pilots}_bits={cfg.n_bits}"
             f"_0mean={cfg.zero_mean_gmm}_sums={cfg.n_summands_or_proba}"

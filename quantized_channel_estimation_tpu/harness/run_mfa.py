@@ -14,7 +14,7 @@ import jax
 
 from quantized_channel_estimation_tpu.harness import stages
 from quantized_channel_estimation_tpu.harness.run_gmm import (
-    GmmBenchConfig, _get_data)
+    GmmBenchConfig, _get_data, _model_tag, channel_dim)
 from quantized_channel_estimation_tpu.models import mfa
 from quantized_channel_estimation_tpu.ops import quantizer as Q
 from quantized_channel_estimation_tpu.utils import io as qio
@@ -27,6 +27,12 @@ class MfaBenchConfig:
     n_components: int = 64
     n_summands_or_proba: Union[str, int, float] = "all"
     n_path: int = 3
+    # channel model: '3gpp' | 'urban-macro' | 'mimo' (round-4: lifted from
+    # run_gmm so MFA benchmarks can run the macro/MIMO generators too —
+    # see run_gmm.GmmBenchConfig.channel_model). For 'mimo' the channel
+    # dim is n_antennas (BS) * n_antennas_ms (MS).
+    channel_model: str = "3gpp"
+    n_antennas_ms: int = 1
     # >1: block-shaped validation + the block-pooled 'blmmse_mfa_coh'
     # column (see run_gmm.GmmBenchConfig.n_coherence)
     n_coherence: int = 1
@@ -63,9 +69,12 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
             f"n_train={cfg.n_train} and n_val={cfg.n_val} must be "
             f"multiples of n_coherence={t_coh} (they count snapshots)")
     base = GmmBenchConfig(n_antennas=cfg.n_antennas, n_path=cfg.n_path,
+                          channel_model=cfg.channel_model,
+                          n_antennas_ms=cfg.n_antennas_ms,
                           n_train=cfg.n_train, n_val=cfg.n_val,
                           path_sigma=cfg.path_sigma, cache_dir=cfg.cache_dir,
                           use_cache=cfg.use_cache, n_coherence=t_coh)
+    dim = channel_dim(base)
     channels, _ = _get_data(base, k_data)
     if t_coh > 1:
         nb_train, nb_val = cfg.n_train // t_coh, cfg.n_val // t_coh
@@ -79,7 +88,7 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
         h_val = stages.tree_slice(channels, cfg.n_train,
                                   cfg.n_train + cfg.n_val)
 
-    a = stages.pilot_matrix(cfg.n_antennas, cfg.n_pilots, cfg.n_bits,
+    a = stages.pilot_matrix(dim, cfg.n_pilots, cfg.n_bits,
                             cfg.pilot_type)
     quantizers = {snr: Q.design_quantizer(snr, cfg.n_bits, cfg.quantizer_type)
                   for snr in cfg.snrs}
@@ -138,7 +147,9 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
     stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     out_dir = os.path.join(cfg.results_dir, "3gpp")
     coh_tag = f"_coh={t_coh}" if t_coh > 1 else ""
-    name = (f"{stamp}_ant={cfg.n_antennas}_path={cfg.n_path}{coh_tag}"
+    model_tag = ("" if cfg.channel_model == "3gpp"
+                 else f"_model={_model_tag(base)}")
+    name = (f"{stamp}_ant={dim}{model_tag}_path={cfg.n_path}{coh_tag}"
             f"_train={cfg.n_train}_comp={cfg.n_components}"
             f"_pil={cfg.n_pilots}_bits={cfg.n_bits}"
             f"_sums={cfg.n_summands_or_proba}_L={cfg.latent_dim}"

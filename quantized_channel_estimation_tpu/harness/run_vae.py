@@ -15,7 +15,7 @@ import numpy as np
 
 from quantized_channel_estimation_tpu.harness import stages
 from quantized_channel_estimation_tpu.harness.run_gmm import (
-    GmmBenchConfig, _get_data)
+    GmmBenchConfig, _get_data, _model_tag, channel_dim)
 from quantized_channel_estimation_tpu.models import vae
 from quantized_channel_estimation_tpu.ops import quantizer as Q
 from quantized_channel_estimation_tpu.ops.boundary import cjit
@@ -29,6 +29,12 @@ class VaeBenchConfig:
     vae_mode: str = "noisy"
     n_antennas: int = 64
     n_path: int = 3
+    # channel model: '3gpp' | 'urban-macro' | 'mimo' (round-4: lifted from
+    # run_gmm so the CSI-free VAE modes can train on macro/MIMO channels;
+    # see run_gmm.GmmBenchConfig.channel_model). For 'mimo' the VAE input
+    # dim is n_antennas * n_antennas_ms.
+    channel_model: str = "3gpp"
+    n_antennas_ms: int = 1
     n_pilots: int = 1
     n_bits: int = 2
     pilot_type: str = "angle_amp"
@@ -75,9 +81,12 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
             f"n_train={cfg.n_train} and n_val={cfg.n_val} must be "
             f"multiples of n_coherence={t_coh} (they count snapshots)")
     base = GmmBenchConfig(n_antennas=cfg.n_antennas, n_path=cfg.n_path,
+                          channel_model=cfg.channel_model,
+                          n_antennas_ms=cfg.n_antennas_ms,
                           n_train=cfg.n_train, n_val=cfg.n_val,
                           path_sigma=cfg.path_sigma, cache_dir=cfg.cache_dir,
                           use_cache=cfg.use_cache, n_coherence=t_coh)
+    dim = channel_dim(base)
     channels, _ = _get_data(base, k_data)
     if t_coh > 1:
         nb_train, nb_val = cfg.n_train // t_coh, cfg.n_val // t_coh
@@ -92,7 +101,7 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
         h_val = stages.tree_slice(channels, cfg.n_train,
                                   cfg.n_train + cfg.n_val)
 
-    a = stages.pilot_matrix(cfg.n_antennas, cfg.n_pilots, cfg.n_bits,
+    a = stages.pilot_matrix(dim, cfg.n_pilots, cfg.n_bits,
                             cfg.pilot_type)
     quantizers = [Q.design_quantizer(s, cfg.n_bits, cfg.quantizer_type)
                   for s in cfg.snrs]
@@ -100,7 +109,7 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
     cov = stages.sample_cov(h_train)
 
     vcfg = vae.VaeConfig(
-        n_antennas=cfg.n_antennas, n_pilots=cfg.n_pilots,
+        n_antennas=dim, n_pilots=cfg.n_pilots,
         latent_dim=cfg.latent_dim, n_layers=cfg.n_layers,
         vae_mode=cfg.vae_mode, zeromean=cfg.zeromean, fft_pre=cfg.fft_pre,
         n_pilot_convs=max(0, cfg.n_pilots // 2), n_bits=cfg.n_bits,
@@ -113,7 +122,11 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
     coh_tag = f"_coh{t_coh}" if t_coh > 1 else ""
     ckpt_dir = os.path.join(
         cfg.cache_dir,
-        f"vae_ckpt_{cfg.vae_mode}_ant={cfg.n_antennas}_bits={cfg.n_bits}"
+        f"vae_ckpt_{cfg.vae_mode}_ant={dim}"
+        # 3gpp keeps the historical key so existing checkpoints stay warm
+        + ("" if cfg.channel_model == "3gpp"
+           else f"_model={_model_tag(base)}")
+        + f"_bits={cfg.n_bits}"
         f"_train={cfg.n_train}_seed={cfg.seed}_lr={cfg.lr:g}"
         f"_bs={cfg.batch_size}{coh_tag}") if cfg.use_cache else None
     t0 = time.time()
@@ -166,8 +179,8 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
 
     stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
     out_dir = os.path.join(cfg.results_dir, "vae")
-    name = (f"{stamp}_vae{cfg.vae_mode}_3gpp_path={cfg.n_path}"
-            f"_ant={cfg.n_antennas}_bits={cfg.n_bits}_train={cfg.n_train}"
+    name = (f"{stamp}_vae{cfg.vae_mode}_{_model_tag(base)}_path={cfg.n_path}"
+            f"_ant={dim}_bits={cfg.n_bits}_train={cfg.n_train}"
             f"_pilot={cfg.n_pilots}_qtype={cfg.quantizer_type}")
     cols = dict(mse_cols)
     if cfg.eval_rate:

@@ -245,6 +245,67 @@ def _inv(u: jax.Array, blocks, method: str) -> jax.Array:
     return cplx.cmatmul(u, jnp.conj(f))   # (F^H u) = u @ conj(F)
 
 
+def _split_blocks(f_t: jax.Array):
+    """(2D, 2D) real block embedding of right-multiplication by a complex
+    matrix: [xr xi] @ [[Re, Im], [-Im, Re]] = [Re(x@f) Im(x@f)]."""
+    top = jnp.concatenate([jnp.real(f_t), jnp.imag(f_t)], axis=-1)
+    bot = jnp.concatenate([-jnp.imag(f_t), jnp.real(f_t)], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2).astype(jnp.float32)
+
+
+class _SplitBank(NamedTuple):
+    """All chunk-loop constants of the split-real DFT pipeline, prepared
+    ONCE outside the `lax.scan` body (a (2D, 2D) block-matrix construction
+    inside the scan is not guaranteed to be hoisted by the backend):
+    fwd/inv transform blocks, split log-prob coefficients, and the stacked
+    [Re, Im] combine matrices."""
+    b_fwd: jax.Array      # (2D, 2D) f32: right-mult by F^T
+    b_inv: jax.Array      # (2D, 2D) f32: right-mult by conj(F)
+    prec_t: jax.Array     # (D, K) f32
+    cm_re_t: jax.Array    # (D, K) f32: Re(conj(mean) * prec)^T
+    cm_im_t: jax.Array    # (D, K) f32: Im(conj(mean) * prec)^T
+    const_k: jax.Array    # (K,) f32: logw - mu2 + logdet - D log pi
+    bias2: jax.Array      # (K, 2D) f32: [Re bias_f, Im bias_f]
+    filt2: jax.Array      # (K, 2D) f32: [Re filt_f, Im filt_f]
+
+
+def _split_bank(bank: CirculantBank, d: int, blocks) -> _SplitBank:
+    f = _dft_matrix(d, blocks)
+    prec = 1.0 / bank.spec_cr
+    cm = jnp.conj(bank.mean_rf) * prec
+    mu2 = jnp.sum(jnp.abs(bank.mean_rf) ** 2 * prec, axis=-1)
+    logdet = -jnp.sum(jnp.log(bank.spec_cr), axis=-1)
+    const = (bank.log_weights - mu2 + logdet
+             - d * jnp.log(jnp.pi)).astype(jnp.float32)
+    pack = lambda x: jnp.concatenate(
+        [jnp.real(x), jnp.imag(x)], axis=-1).astype(jnp.float32)
+    return _SplitBank(_split_blocks(f.T), _split_blocks(jnp.conj(f)),
+                      prec.T.astype(jnp.float32),
+                      jnp.real(cm).T.astype(jnp.float32),
+                      jnp.imag(cm).T.astype(jnp.float32),
+                      const, pack(bank.bias_f), pack(bank.filt_f))
+
+
+def _estimate_chunk_split(sb_: _SplitBank, x2d: jax.Array, mode,
+                          d: int) -> jax.Array:
+    """One chunk fully in split-real form: x2d (n, 2D) = [Re r, Im r] ->
+    (n, 2D) = [Re h, Im h]. Every matmul is an f32 MXU GEMM; complex
+    arithmetic appears only as the elementwise filter application."""
+    u = x2d @ sb_.b_fwd                                   # (n, 2D)
+    ur, ui = u[:, :d], u[:, d:]
+    x2 = (ur * ur + ui * ui) @ sb_.prec_t                 # (n, K)
+    cross = ur @ sb_.cm_re_t - ui @ sb_.cm_im_t           # Re(u conj(m) p)
+    logits = sb_.const_k[None, :] + 2.0 * cross - x2
+    proba = jax.nn.softmax(logits, axis=-1)
+    w = _selection_weights(proba, mode).astype(jnp.float32)
+    bias = w @ sb_.bias2                                  # (n, 2D)
+    filt = w @ sb_.filt2
+    fr, fi = filt[:, :d], filt[:, d:]
+    hr = bias[:, :d] + fr * ur - fi * ui
+    hi = bias[:, d:] + fr * ui + fi * ur
+    return jnp.concatenate([hr, hi], axis=-1) @ sb_.b_inv
+
+
 def _log_prob_diag_split(u: jax.Array, means: jax.Array,
                          variances: jax.Array) -> jax.Array:
     """`gmm.log_prob_diag` restated with explicitly-real GEMMs (see
@@ -294,9 +355,20 @@ def estimate_circulant(bank: CirculantBank, r: jax.Array,
     intermediate exists, so the chunking only bounds the (chunk, K) logit
     tensor."""
     method = _resolve_method(method)
-    n = r.shape[0]
+    n, d = r.shape
     n_chunks = -(-n // chunk_size)
     pad = n_chunks * chunk_size - n
+    if method == "dft":
+        # fully split-real pipeline: split once, scan f32 chunks, join once
+        sb_ = _split_bank(bank, d, blocks)
+        x2d = jnp.concatenate(
+            [jnp.real(r), jnp.imag(r)], axis=-1).astype(jnp.float32)
+        xp = jnp.pad(x2d, ((0, pad), (0, 0))).reshape(n_chunks, chunk_size,
+                                                      2 * d)
+        out = jax.lax.map(
+            lambda xc: _estimate_chunk_split(sb_, xc, mode, d), xp)
+        out = out.reshape(n_chunks * chunk_size, 2 * d)[:n]
+        return (out[:, :d] + 1j * out[:, d:]).astype(r.dtype)
     rp = jnp.pad(r, ((0, pad), (0, 0))).reshape(n_chunks, chunk_size, -1)
 
     def one(rc):
