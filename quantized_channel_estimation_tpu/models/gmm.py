@@ -60,7 +60,9 @@ class GmmConfig(NamedTuple):
     n_init: int = 1         # EM restarts, best lower bound kept (sklearn n_init)
     axis_name: Optional[str] = None  # data-parallel axis under shard_map:
     # sufficient statistics are psum'd over it (EM's gradient-all-reduce
-    # analog); requires init='random' for a globally consistent start
+    # analog); both inits work — 'kmeans' runs the data-parallel k-means
+    # with psum'd assignment statistics (round-4; previously DP forced
+    # 'random' and gave up the k-means init quality)
     psum_segments: int = 1  # >1 pipelines the statistics all-reduce: the
     # chunk scan splits into S segments whose partial stats are psum'd as
     # each segment finishes, so segment i's collective can overlap segment
@@ -310,14 +312,17 @@ def _init_resp_stats(key, x, cfg: GmmConfig, diag: bool, chunk: int) -> _Stats:
     """Initial responsibilities folded straight into sufficient stats.
 
     init='kmeans': hard assignment from k-means on [Re; Im]-stacked data
-    (`gmm_cplx_bussgang.py:549-574`). init='random': uniform random
-    responsibilities (sklearn init_params='random',
-    `gmm_cplx_bussgang.py:568-570`) — the choice for shard_map data-parallel
-    fits, where per-shard k-means would give inconsistent centers."""
+    (`gmm_cplx_bussgang.py:549-574`); under shard_map (cfg.axis_name) the
+    k-means itself runs data-parallel with psum'd assignment statistics and
+    single-device-identical seeding (`models/kmeans.py`), so DP fits keep
+    the same init quality as single-device ones. init='random': uniform
+    random responsibilities (sklearn init_params='random',
+    `gmm_cplx_bussgang.py:568-570`)."""
     if cfg.init == "random":
         return _init_random_stats(key, x, cfg, diag, chunk)
     labels = kmeans(key, cplx2real(x, axis=-1).astype(jnp.float32),
-                    cfg.n_components, max_iter=cfg.kmeans_iter).labels
+                    cfg.n_components, max_iter=cfg.kmeans_iter,
+                    axis_name=cfg.axis_name).labels
     k = cfg.n_components
     d = x.shape[-1]
     xs, mask = _chunk(x, chunk)

@@ -219,16 +219,19 @@ def _dft_matrix(d: int, blocks) -> jax.Array:
 
 
 def _resolve_method(method: str) -> str:
-    """'auto' -> 'dft' (MXU GEMM against the explicit unitary DFT matrix)
-    on TPU, 'fft' elsewhere. Measured on the chip (2026-08-21): XLA's TPU
-    FFT lowering runs ~1000x off the HBM bound for batched length-1024
-    transforms (2.8 s for (16384, 1024) fwd+inv where the GEMM embedding
-    takes ~30 ms), so the DFT-as-GEMM is the production TPU path; the FFT
-    wins asymptotically on CPU and keeps O(D log D) semantics for parity
-    tests."""
+    """'auto' -> 'fft' everywhere. Measured on-chip with DEVICE-RESIDENT
+    inputs (2026-08-21, medians of 5 amortized roll-trick programs): at
+    D=64/K=64 the two lowerings tie (18.4 M est/s both) and at D=1024/K=8
+    the FFT wins 1.33 M vs 0.91 M est/s — the O(D log D) asymptotics are
+    real on TPU. ('dft' — one (N, 2D)x(2D, 2D) f32 MXU GEMM per transform
+    via the 2x2 block embedding — remains selectable; an earlier session
+    concluded the TPU FFT was ~1000x slow, but that measurement fed HOST
+    numpy arrays to every timed call, so it was clocking a 128 MB tunnel
+    re-transfer per call, not the FFT. Keep bench inputs device-resident —
+    CLAUDE.md.)"""
     if method != "auto":
         return method
-    return "dft" if jax.default_backend() == "tpu" else "fft"
+    return "fft"
 
 
 def _fwd(x: jax.Array, blocks, method: str) -> jax.Array:

@@ -1,11 +1,13 @@
 """Complex-array conventions and random sampling.
 
-TPU-first notes: complex64 is the working precision. XLA nominally lowers
-complex matmuls to real MXU matmul pairs, but that lowering cannot be
-relied on (a 2026-08-21 axon runtime measured native c64 GEMMs ~125x slower
-than equivalent-FLOP f32 — see `cmatmul`); hot complex GEMMs should go
-through the explicit real embeddings below. float64 paths exist only for
-CPU parity tests and are selected by the dtype of the inputs, never
+TPU-first notes: complex64 is the working precision (XLA lowers complex
+matmuls to real MXU matmul pairs — re-verified device-resident 2026-08-21:
+native c64 GEMMs run at full speed; an earlier "125x slower" measurement
+was a host-array tunnel-transfer artifact, see CLAUDE.md). The explicit
+real embeddings below (`cmatmul` and friends) are measured speed-EQUAL to
+native complex GEMMs on TPU and exist for split-real pipelines that avoid
+materializing complex intermediates. float64 paths exist only for CPU
+parity tests and are selected by the dtype of the inputs, never
 hard-coded.
 
 Reference behavior being reproduced: `modules/utils.py:13` (crandn),
@@ -41,15 +43,13 @@ def cmatmul(a: jax.Array, b: jax.Array) -> jax.Array:
     """Complex matmul a @ b through ONE real GEMM via the 2x2 block
     embedding: [ar ai] @ [[br, bi], [-bi, br]] = [cr, ci].
 
-    Why not `a @ b` directly: XLA *normally* lowers complex matmuls to real
-    MXU GEMM pairs, but the axon TPU runtime was measured (2026-08-21
-    session) lowering native c64 GEMMs ~125x slower than equivalent-FLOP
-    f32 GEMMs (2.7 s vs 27 ms for (16384,1024)x(1024,1024)) — a backend
-    regression this embedding sidesteps with identical math (it IS the
-    4-real-GEMM decomposition, fused into one MXU call whose 2K
-    contraction also avoids half-width tiles at K < 128, the same layout
-    the Pallas estimation kernel uses). Never slower on a healthy backend
-    (measured equal), so it is the default for hot complex GEMMs.
+    Measured speed-EQUAL to a native `a @ b` on the TPU (device-resident
+    medians; the same layout the Pallas estimation kernel uses — its 2K
+    contraction also avoids half-width MXU tiles at K < 128). Useful in
+    split-real pipelines that carry (re, im) instead of materialized
+    complex arrays; not a workaround for any backend deficiency (an
+    earlier session's "c64 GEMMs 125x slow" finding was a host-array
+    tunnel-transfer artifact — see CLAUDE.md).
 
     a (..., n, k) complex, b (..., k, m) complex -> (..., n, m) complex.
     """

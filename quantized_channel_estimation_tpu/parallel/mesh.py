@@ -77,8 +77,11 @@ def fit_gmm_shard_map(mesh: Mesh, key: jax.Array, h: jax.Array,
     the 'data' axis (gmm.accumulate_stats with cfg.axis_name), and the M-step
     runs replicated. One O(K D^2) all-reduce per EM iteration riding ICI.
 
-    Requires cfg.init='random' (per-shard k-means would give inconsistent
-    initial centers); the config is rewritten accordingly.
+    Both inits work: init='kmeans' (the default) runs the data-parallel
+    k-means — psum'd centroid sums/counts, single-device-identical
+    seeding (`models/kmeans.py`, round-4) — so DP training no longer
+    gives up the k-means init quality every single-device parity result
+    uses; init='random' stays bit-deterministic across layouts.
     """
     try:
         from jax import shard_map
@@ -87,7 +90,7 @@ def fit_gmm_shard_map(mesh: Mesh, key: jax.Array, h: jax.Array,
         from jax.experimental.shard_map import shard_map
         rep_kwargs = {"check_rep": False}
 
-    cfg = cfg._replace(axis_name=DATA_AXIS, init="random")
+    cfg = cfg._replace(axis_name=DATA_AXIS)
     n_shards = mesh.shape[DATA_AXIS]
     assert h.shape[0] % n_shards == 0, (
         f"n_samples {h.shape[0]} must divide over {n_shards} data shards")
@@ -117,6 +120,26 @@ def _shard_map_fn(mesh: Mesh, body, data_ndim: int, n_keys: int = 1):
                      **rep_kwargs)
 
 
+def kmeans_shard_map(mesh: Mesh, key: jax.Array, x: jax.Array, k: int,
+                     max_iter: int = 50, tol: float = 1e-4):
+    """Data-parallel k-means over the 'data' axis: psum'd centroid
+    sums/counts per Lloyd step, single-device-identical k-means++ seeding
+    (`models/kmeans.py` round-4). Returns (centers (K, D) replicated,
+    labels (N,) gathered in global row order)."""
+    from quantized_channel_estimation_tpu.models.kmeans import kmeans
+
+    n_shards = mesh.shape[DATA_AXIS]
+    assert x.shape[0] % n_shards == 0, (x.shape, n_shards)
+
+    def body(key, x_local):
+        res = kmeans(key, x_local, k, max_iter=max_iter, tol=tol,
+                     axis_name=DATA_AXIS)
+        return res.centers, jax.lax.all_gather(
+            res.labels, DATA_AXIS, tiled=True)
+
+    return jax.jit(_shard_map_fn(mesh, body, x.ndim))(key, x)
+
+
 def fit_mfa_shard_map(mesh: Mesh, key: jax.Array, x: jax.Array, cfg):
     """Data-parallel MFA EM with explicit collectives: the MFA reduces to
     the same GMM-shaped sufficient statistics (models/mfa.py docstring), so
@@ -140,11 +163,11 @@ def fit_gmm_quant_shard_map(mesh: Mesh, key: jax.Array, r: jax.Array,
     """Data-parallel quantized-training EM: the recovery statistics (1-bit
     requantized correlation, bin-occupancy counts) are data sums like the
     moments, so the whole covariance-recovery M-step runs replicated on
-    psum'd statistics. Requires init='random' (rewritten here, like
-    `fit_gmm_shard_map`)."""
+    psum'd statistics. Both inits work (the k-means init is data-parallel,
+    like `fit_gmm_shard_map` — round-4)."""
     from quantized_channel_estimation_tpu.models import gmm_quant
 
-    cfg = cfg._replace(axis_name=DATA_AXIS, init="random")
+    cfg = cfg._replace(axis_name=DATA_AXIS)
     n_shards = mesh.shape[DATA_AXIS]
     assert r.shape[0] % n_shards == 0, (r.shape, n_shards)
 
