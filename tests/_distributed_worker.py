@@ -84,4 +84,86 @@ got = pmesh.estimate_sharded_kernel(mesh_tp, bank_global, r_global,
                                     chunk_size=200)
 want = gmm_estimator.estimate(bank, jnp.asarray(r_np), "all", 200)
 np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+# DP k-means init across the REAL transport (round-4: the psum'd Lloyd
+# statistics + single-device-identical seeding replace the former
+# init='random' restriction)
+cfg_km = cfg._replace(init="kmeans")
+fit_km_dist = pmesh.fit_gmm_shard_map(mesh, jax.random.PRNGKey(6), h_global,
+                                      cfg_km)
+fit_km_single = gmm.fit(jax.random.PRNGKey(6), jnp.asarray(h_np), cfg_km)
+assert abs(float(fit_km_dist.lower_bound) - float(fit_km_single.lower_bound)) \
+    <= 1e-3 * abs(float(fit_km_single.lower_bound))
+np.testing.assert_allclose(np.asarray(fit_km_dist.params.covariances),
+                           np.asarray(fit_km_single.params.covariances),
+                           atol=5e-3)
+
+# TP COHERENT estimation (rank-3 blocks) incl. the alpha evidence blend —
+# previously virtual-mesh-only (round-3 weak #5); the per-block pmax/psum
+# state merge now rides the real inter-process collective
+rb_np = r_np[:384].reshape(96, 4, -1)
+rb_global = jax.make_array_from_process_local_data(
+    NamedSharding(mesh_tp, P()), rb_np, rb_np.shape)
+for alpha in (1.0, 0.25):
+    got_c = pmesh.estimate_sharded_kernel(mesh_tp, bank_global, rb_global,
+                                          chunk_size=96,
+                                          coherence_alpha=alpha)
+    want_c = gmm_estimator.estimate_coherent(bank, jnp.asarray(rb_np),
+                                             "all", 96, alpha)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               atol=1e-5)
+
+# DP MFA across real transport (shares the GMM-shaped psum'd statistics)
+from quantized_channel_estimation_tpu.models import mfa
+
+mcfg = mfa.MfaConfig(n_components=2, latent_dim=2, zero_mean=True,
+                     max_iter=6, tol=0.0, chunk_size=N // n_shards)
+mfa_dist = pmesh.fit_mfa_shard_map(mesh, jax.random.PRNGKey(8), h_global,
+                                   mcfg)
+mfa_single = mfa.fit(jax.random.PRNGKey(8), jnp.asarray(h_np),
+                     mcfg._replace(axis_name=None))
+np.testing.assert_allclose(float(mfa_dist.log_likelihood),
+                           float(mfa_single.log_likelihood), rtol=1e-3)
+np.testing.assert_allclose(np.asarray(mfa_dist.params.psis),
+                           np.asarray(mfa_single.params.psis), rtol=2e-2)
+
+# DP quantized-EM across real transport (recovery statistics psum like the
+# moments); k-means init on the quantized stream exercises the DP k-means
+# on a second data distribution
+from quantized_channel_estimation_tpu.models import gmm_quant
+
+sigma2 = 10 ** (-snr / 10)
+r_train_np = np.asarray(observation.observe(jax.random.PRNGKey(9),
+                                            jnp.asarray(h_np), snr, a,
+                                            n_bits, q))
+rq_global = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P(pmesh.DATA_AXIS)), r_train_np[sl],
+    r_train_np.shape)
+qcfg = gmm.GmmConfig(n_components=2, zero_mean=True, max_iter=4, tol=0.0,
+                     chunk_size=N // n_shards)
+q_dist = pmesh.fit_gmm_quant_shard_map(mesh, jax.random.PRNGKey(10),
+                                       rq_global, qcfg, n_bits, sigma2, q)
+q_single = gmm_quant.fit(jax.random.PRNGKey(10), jnp.asarray(r_train_np),
+                         qcfg, n_bits, sigma2, q)
+np.testing.assert_allclose(float(q_dist.lower_bound),
+                           float(q_single.lower_bound), rtol=1e-3)
+np.testing.assert_allclose(np.asarray(q_dist.params.covariances),
+                           np.asarray(q_single.params.covariances),
+                           atol=5e-3)
+
+# DP VAE training across real transport: per-step pmean'd gradients; the
+# loss must be finite and improve (exactness vs single device is the
+# virtual-mesh test's job — this validates the TRANSPORT)
+from quantized_channel_estimation_tpu.models import vae
+
+vcfg = vae.VaeConfig(n_antennas=D, latent_dim=2, n_layers=2,
+                     vae_mode="genie", batch_size=64, lr=2e-3)
+model, state = vae.init_vae(jax.random.PRNGKey(30), vcfg)
+_, losses = pmesh.vae_run_epochs_shard_map(
+    mesh, model, vcfg, None, jnp.asarray([5.0]),
+    [Q.design_quantizer(5.0, vcfg.n_bits)], state, h_global,
+    jax.random.PRNGKey(31), n_steps=6, n_epochs=3)
+losses = np.asarray(losses)
+assert np.all(np.isfinite(losses)) and losses[-1] < losses[0], losses
+
 print(f"WORKER_OK pid={pid} lb={lb_d:.4f}", flush=True)
