@@ -42,9 +42,13 @@ PATHS = {"3gpp-coh4": 1, "urban-macro-coh4": 6, "mimo16x4-coh4": 2}
 def run_model(tag: str):
     d = 64
     n_path = PATHS[tag]
-    chans, _ = qio.load_channels(os.path.join(
+    path = os.path.join(
         SAVES, f"saved_data_ant={d}_model={tag}_paths={n_path}"
-               f"_ntrain={N_TRAIN}_nchan={N_TRAIN + N_VAL}.npz"))
+               f"_ntrain={N_TRAIN}_nchan={N_TRAIN + N_VAL}.npz")
+    if "mimo" in tag:  # the mimo cache stores (channels, toep_bs, toep_ms)
+        chans = np.load(path)["channels"]
+    else:
+        chans, _ = qio.load_channels(path)
     params = stages.from_numpy(qio.load_gmm_params(os.path.join(
         SAVES, f"trained_gmm_ant={d}_comp=64_model={tag}_paths={n_path}"
                f"_ntrain={N_TRAIN}_covtype=full_zeromean=True.npz")))
