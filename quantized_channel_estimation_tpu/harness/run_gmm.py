@@ -86,6 +86,14 @@ class GmmBenchConfig:
     results_dir: str = "results"
     cache_dir: str = "results/saves"
     use_cache: bool = True
+    # FFT-domain structured estimation (round-4): 'auto' uses the
+    # O(K D + D log D)/sample circulant-bank path whenever it is EXACT —
+    # cov_type circulant/block-circulant with the single-pilot
+    # scaled-identity observation (any P=1 pilot type) — and the dense
+    # path otherwise; True forces it (Toeplitz fits then ride the
+    # Frobenius-best circulant approximation, +2.5% NMSE measured at
+    # D=1024 — BASELINE.md), False forces dense
+    use_structured_bank: Union[bool, str] = "auto"
     gmm_max_iter: int = 100
     # >1 splits the gmm_max_iter total budget into that many bounded program
     # executions (em_driver.fit_segmented) — for runtimes that bound
@@ -356,6 +364,14 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
                 qio.save_pytree_npz(gmm_path, stages.to_numpy(params))
         timings["gmm_fit"] = time.time() - t0
 
+        structured = (cfg.use_structured_bank if cfg.use_structured_bank
+                      != "auto" else
+                      (cfg.cov_type in ("circulant", "block-circulant")
+                       and cfg.n_pilots == 1))
+        if structured and cfg.n_pilots != 1:
+            raise ValueError("use_structured_bank requires the P=1 "
+                             "scaled-identity pilot (A = x0*I)")
+
         # per-SNR banks built once and shared between the blmmse_gmm and
         # blmmse_gmm_coh columns (the Cr Cholesky/filter preparation is
         # identical for both)
@@ -363,11 +379,21 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
 
         def get_bank(snr):
             if snr not in banks:
-                banks[snr] = stages.prepare_bank(params, snr, a, cfg.n_bits,
-                                                 quantizers[snr])
+                if structured:
+                    banks[snr] = stages.prepare_bank_circulant(
+                        params, snr, a, cfg.n_bits, quantizers[snr],
+                        cfg.blocks)
+                else:
+                    banks[snr] = stages.prepare_bank(params, snr, a,
+                                                     cfg.n_bits,
+                                                     quantizers[snr])
             return banks[snr]
 
         def gmm_est(snr, r):
+            if structured:
+                return stages.estimate_circulant(get_bank(snr), r,
+                                                 cfg.n_summands_or_proba,
+                                                 cfg.blocks)
             return stages.estimate_auto(get_bank(snr), r,
                                         cfg.n_summands_or_proba)
 
@@ -375,6 +401,12 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
 
         if t_coh > 1:
             alpha_by_snr = {}
+
+            def coh_est(bank, rb, mode, alpha):
+                if structured:
+                    return stages.estimate_circulant_coherent(
+                        bank, rb, mode, float(alpha), cfg.blocks)
+                return stages.estimate_coherent_auto(bank, rb, mode, alpha)
 
             def coherent_alpha(snr, i):
                 """Per-SNR blend: fixed value, or 'auto' grid selection on
@@ -388,9 +420,8 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
                         snr, a, cfg.n_bits, quantizers[snr])
                     best, scores = None, {}
                     for al in gmm_estimator.DEFAULT_ALPHA_GRID:
-                        h_hat = stages.estimate_coherent_auto(
-                            get_bank(snr), r_a, cfg.n_summands_or_proba,
-                            float(al))
+                        h_hat = coh_est(get_bank(snr), r_a,
+                                        cfg.n_summands_or_proba, float(al))
                         scores[float(al)] = stages.nmse(h_hat, alpha_val_h)
                     best = min(scores, key=scores.get)
                     alpha_by_snr[snr] = best
@@ -404,7 +435,7 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
             def gmm_coh_est(snr, r):
                 del r  # uses the block-shaped observations
                 i = list(cfg.snrs).index(snr)
-                return stages.flatten_coherence(stages.estimate_coherent_auto(
+                return stages.flatten_coherence(coh_est(
                     get_bank(snr), r_blocks_by_snr[snr],
                     cfg.n_summands_or_proba, coherent_alpha(snr, i)))
 

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from quantized_channel_estimation_tpu.estimators import blmmse, ls
-from quantized_channel_estimation_tpu.models import gmm, gmm_estimator, gmm_quant, mfa
+from quantized_channel_estimation_tpu.models import gmm, gmm_estimator, gmm_quant, mfa, structured_bank
 from quantized_channel_estimation_tpu.ops import observation, pilots, scm
 from quantized_channel_estimation_tpu.ops import scm_mimo
 from quantized_channel_estimation_tpu.ops.boundary import (
@@ -121,6 +121,22 @@ mfa_fit = cjit(mfa.fit, static_argnums=(2,))
 mfa_to_gmm = cjit(mfa.to_gmm_params, static_argnums=(1,))
 
 prepare_bank = cjit(gmm_estimator.prepare_bank, static_argnums=(3,))
+# FFT-domain structured banks (round-4): exact for circulant/block-circulant
+# fits with the P=1 scaled-identity pilot; measured faster than the fused
+# kernel at D=64 and 5.5x the dense path at D=1024 (BASELINE.md)
+prepare_bank_circulant = cjit(
+    lambda p_, snr, a_, nb, q_, blocks: structured_bank.prepare_bank_circulant(
+        p_, snr, a_, nb, q_, blocks=blocks),
+    static_argnums=(3, 5))
+estimate_circulant = cjit(
+    lambda b, r, mode, blocks: structured_bank.estimate_circulant(
+        b, r, mode, 16384, blocks),
+    static_argnums=(2, 3))
+estimate_circulant_coherent = cjit(
+    lambda b, r, mode, alpha, blocks:
+        structured_bank.estimate_circulant_coherent(
+            b, r, mode, 4096, alpha, blocks),
+    static_argnums=(2, 3, 4))
 estimate = cjit(gmm_estimator.estimate, static_argnums=(2, 3))
 estimate_coherent = cjit(gmm_estimator.estimate_coherent,
                          static_argnums=(2, 3, 4))

@@ -619,3 +619,38 @@ def test_mesh_rejects_selection_mode(service_setup):
     with pytest.raises(ValueError, match="mesh-backed"):
         serving.EstimationService(params, a, 2, mesh=mesh, mode=1,
                                   use_pallas=False)
+
+
+def test_structured_bank_service():
+    """structured=True serves through the FFT-domain circulant bank —
+    results must match the dense service on a circulant fit, flat and
+    coherent (round-4 structured-bank integration)."""
+    key = jax.random.PRNGKey(90)
+    h, _ = scm.generate_channels(key, 6000, scm.ScmConfig(N_ANT, 1))
+    fit = gmm.fit(jax.random.PRNGKey(91), h[:5000],
+                  gmm.GmmConfig(n_components=4, cov_type="circulant",
+                                max_iter=12, chunk_size=2048))
+    a = pilots.pilot_matrix(N_ANT, 1, 2)
+    snr = 5.0
+    q = Q.design_quantizer(snr, 2)
+    r = np.asarray(observation.observe(jax.random.PRNGKey(92), h[5000:5100],
+                                       snr, a, 2, q))
+    svc_s = serving.EstimationService(fit.params, a, 2, max_delay_ms=1.0,
+                                      structured=True)
+    svc_d = serving.EstimationService(fit.params, a, 2, max_delay_ms=1.0,
+                                      use_pallas=False)
+    try:
+        got_s = svc_s.submit(r, snr)
+        got_d = svc_d.submit(r, snr)
+        np.testing.assert_allclose(got_s, got_d, atol=2e-4)
+        rb = r[:96].reshape(24, 4, N_ANT)
+        got_sb = svc_s.submit(rb, snr)
+        got_db = svc_d.submit(rb, snr)
+        np.testing.assert_allclose(got_sb, got_db, atol=2e-4)
+    finally:
+        svc_s.close()
+        svc_d.close()
+    with pytest.raises(ValueError, match="structured"):
+        from quantized_channel_estimation_tpu.parallel import mesh as pm
+        serving.EstimationService(fit.params, a, 2, structured=True,
+                                  mesh=pm.make_mesh(4, 2))
