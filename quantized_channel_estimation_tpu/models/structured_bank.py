@@ -406,6 +406,100 @@ def _estimate_coherent_chunk_f(bank: CirculantBank, u: jax.Array, mode,
         + cplx.rcmatmul(w, bank.filt_f) * u
 
 
+def _stats_chunk_f(bank: CirculantBank, u: jax.Array):
+    """Un-normalized online-softmax estimation state over THIS bank's
+    components for one DFT-domain chunk u (n, D) — the structured analog of
+    `gmm_estimator._stats_chunk`. Logits include the component log-weight
+    and log-determinant (both component-specific, so shard-consistent);
+    dead components (-inf weight) clamp to -1e30 like the dense path."""
+    lp = _log_prob_diag_split(u, bank.mean_rf, bank.spec_cr)
+    logits = (lp + jnp.maximum(bank.log_weights, -1e30)[None, :]).astype(
+        jnp.float32)
+    m = jnp.max(logits, axis=-1)
+    p = jnp.exp(logits - m[:, None])
+    den = jnp.sum(p, axis=-1)
+    acc = cplx.rcmatmul(p, bank.bias_f) + cplx.rcmatmul(p, bank.filt_f) * u
+    return m, den, acc
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+@highest_precision
+def estimate_circulant_stats(bank: CirculantBank, r: jax.Array,
+                             chunk_size: int = 16384, blocks=None,
+                             method: str = "auto"):
+    """'all'-mode estimation state (m, den, acc) for a (component shard of
+    a) circulant bank: merging shard states with pmax/psum (or
+    `pallas_kernels.merge_stats`) and taking acc/den reproduces the full
+    `estimate_circulant(..., 'all')` in the DFT DOMAIN — apply
+    `unitary_ifft` to the merged quotient (the inverse transform commutes
+    with the per-row normalization, so it runs ONCE after the merge).
+    Shapes: m (N,) f32, den (N,) f32, acc (N, D) complex (DFT domain)."""
+    method = _resolve_method(method)
+    n = r.shape[0]
+    n_chunks = -(-n // chunk_size)
+    pad = n_chunks * chunk_size - n
+    rp = jnp.pad(r, ((0, pad), (0, 0))).reshape(n_chunks, chunk_size, -1)
+    m, den, acc = jax.lax.map(
+        lambda rc: _stats_chunk_f(bank, _fwd(rc, blocks, method)), rp)
+    return (m.reshape(-1)[:n], den.reshape(-1)[:n],
+            acc.reshape(n_chunks * chunk_size, -1)[:n])
+
+
+def _coherent_stats_chunk_f(bank: CirculantBank, u: jax.Array,
+                            alpha: float):
+    """Block online-softmax state for DFT-domain coherence blocks
+    u (B, T, D): structured analog of
+    `gmm_estimator._coherent_stats_chunk` (same per-block/per-snapshot
+    state convention and merge semantics)."""
+    b, t, d = u.shape
+    lp3 = _log_prob_diag_split(u.reshape(b * t, d), bank.mean_rf,
+                               bank.spec_cr).reshape(b, t, -1)
+    lw = jnp.maximum(bank.log_weights, -1e30)
+    lp_sum = jnp.sum(lp3, axis=1)
+    if alpha >= 1.0:
+        logits = (lw[None, :] + lp_sum).astype(jnp.float32)     # (B, K)
+        m = jnp.max(logits, axis=-1)
+        p = jnp.exp(logits - m[:, None])
+        den = jnp.sum(p, axis=-1)
+        acc = cplx.rcmatmul(p, bank.bias_f)[:, None, :] \
+            + cplx.rcmatmul(p, bank.filt_f)[:, None, :] * u
+        return m, den, acc
+    lg = (lw[None, None, :] + lp3
+          + alpha * (lp_sum[:, None, :] - lp3)).astype(jnp.float32)
+    m = jnp.max(lg, axis=-1)                                    # (B, T)
+    p = jnp.exp(lg - m[..., None])
+    den = jnp.sum(p, axis=-1)
+    acc = cplx.rcmatmul(p, bank.bias_f) + cplx.rcmatmul(p, bank.filt_f) * u
+    return m, den, acc
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@highest_precision
+def estimate_circulant_coherent_stats(bank: CirculantBank, r: jax.Array,
+                                      chunk_size: int = 4096,
+                                      alpha: float = 1.0, blocks=None,
+                                      method: str = "auto"):
+    """BLOCK estimation state for circulant banks over coherence blocks
+    r (B, T, M): per-block (m, den) at alpha=1, per-snapshot below, acc
+    (B, T, D) complex in the DFT domain — merge across component shards
+    with the identical pmax/psum recurrence as the dense coherent stats,
+    then `unitary_ifft` the quotient once."""
+    if r.ndim != 3:
+        raise ValueError(f"expected (B, T, M) blocks, got {r.shape}")
+    method = _resolve_method(method)
+    n = r.shape[0]
+    n_chunks = -(-n // chunk_size)
+    pad = n_chunks * chunk_size - n
+    rp = jnp.pad(r, ((0, pad), (0, 0), (0, 0)))
+    rp = rp.reshape(n_chunks, chunk_size, r.shape[1], r.shape[2])
+    m, den, acc = jax.lax.map(
+        lambda rc: _coherent_stats_chunk_f(
+            bank, _fwd(rc, blocks, method), alpha), rp)
+    lead = (-1,) if alpha >= 1.0 else (-1, r.shape[1])
+    return (m.reshape(lead)[:n], den.reshape(lead)[:n],
+            acc.reshape(n_chunks * chunk_size, r.shape[1], -1)[:n])
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 @highest_precision
 def estimate_circulant_coherent(bank: CirculantBank, r: jax.Array,

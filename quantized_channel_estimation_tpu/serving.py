@@ -171,9 +171,6 @@ class EstimationService:
         self.mesh = mesh
         self.structured = structured
         self.structured_blocks = structured_blocks
-        if structured and mesh is not None:
-            raise ValueError("structured serving is single-device for now "
-                             "(no TP stats form for circulant banks)")
         if use_pallas and mode != "all":
             # the fused kernel only computes the dense 'all'-mode combine;
             # silently serving 'all' results for a selection mode would be
@@ -194,14 +191,34 @@ class EstimationService:
                 lambda p, snr, a_, nb, q: sb.prepare_bank_circulant(
                     p, snr, a_, nb, q, blocks=blocks),
                 static_argnums=(3,))
-            self._estimate = cjit(
-                lambda b, r, mode, cs: sb.estimate_circulant(
-                    b, r, mode, 16384, blocks),
-                static_argnums=(2, 3))
-            self._estimate_coherent = cjit(
-                lambda b, r, mode, cs, alpha: sb.estimate_circulant_coherent(
-                    b, r, mode, 4096, alpha, blocks),
-                static_argnums=(2, 3, 4))
+            if mesh is not None:
+                # tensor-parallel FFT-domain route: K-sharded circulant
+                # bank, pmax/psum merge, one post-merge inverse transform
+                from quantized_channel_estimation_tpu.parallel import (
+                    mesh as pm)
+                self._mesh_fns = {}
+
+                def smesh_fn(alpha: float):
+                    if alpha not in self._mesh_fns:
+                        self._mesh_fns[alpha] = cjit(
+                            lambda b, rr: pm.estimate_sharded_circulant(
+                                mesh, b, rr, coherence_alpha=alpha,
+                                blocks=blocks))
+                    return self._mesh_fns[alpha]
+
+                self._estimate = lambda b, rr: smesh_fn(1.0)(b, rr)
+                self._estimate_coherent = (
+                    lambda b, rr, mode_, cs, alpha: smesh_fn(alpha)(b, rr))
+            else:
+                self._estimate = cjit(
+                    lambda b, r, mode, cs: sb.estimate_circulant(
+                        b, r, mode, 16384, blocks),
+                    static_argnums=(2, 3))
+                self._estimate_coherent = cjit(
+                    lambda b, r, mode, cs, alpha:
+                        sb.estimate_circulant_coherent(
+                            b, r, mode, 4096, alpha, blocks),
+                    static_argnums=(2, 3, 4))
         elif mesh is not None:
             # per-(alpha) compiled sharded programs; shapes are handled by
             # jit's shape cache inside each cjit wrapper

@@ -2,6 +2,7 @@
 import threading
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -650,7 +651,23 @@ def test_structured_bank_service():
     finally:
         svc_s.close()
         svc_d.close()
-    with pytest.raises(ValueError, match="structured"):
-        from quantized_channel_estimation_tpu.parallel import mesh as pm
-        serving.EstimationService(fit.params, a, 2, structured=True,
-                                  mesh=pm.make_mesh(4, 2))
+    # mesh-backed structured serving: the TP FFT-domain route
+    # (estimate_sharded_circulant) on the virtual mesh
+    from quantized_channel_estimation_tpu.parallel import mesh as pm
+    svc_m = serving.EstimationService(fit.params, a, 2, max_delay_ms=1.0,
+                                      structured=True,
+                                      mesh=pm.make_mesh(4, 2))
+    try:
+        got_m = svc_m.submit(r[:96], snr)
+        q5 = Q.design_quantizer(snr, 2)
+        from quantized_channel_estimation_tpu.models import (
+            structured_bank as sbm)
+        bank = sbm.prepare_bank_circulant(fit.params, snr, 1.0 + 0.0j, 2, q5)
+        want_m = np.asarray(sbm.estimate_circulant(bank, jnp.asarray(r[:96])))
+        np.testing.assert_allclose(got_m, want_m, atol=2e-4)
+        got_mb = svc_m.submit(r[:96].reshape(24, 4, N_ANT), snr)
+        want_mb = np.asarray(sbm.estimate_circulant_coherent(
+            bank, jnp.asarray(r[:96]).reshape(24, 4, N_ANT)))
+        np.testing.assert_allclose(got_mb, want_mb, atol=2e-4)
+    finally:
+        svc_m.close()

@@ -294,3 +294,62 @@ def test_bank_memory_is_linear_in_d(circ_fit):
     bank = sb.prepare_bank_circulant(fit.params, 10.0, 1.0 + 0.0j, "inf")
     n_elems = sum(np.prod(x.shape) for x in bank)
     assert n_elems == K + 4 * K * D  # logw + four (K, D) spectra/vectors
+
+
+# ---------------------------------------------------------------------------
+# stats form + tensor-parallel merge
+# ---------------------------------------------------------------------------
+
+def test_stats_shard_merge_matches_estimate(circ_fit):
+    """Splitting the circulant bank into two component shards and merging
+    the DFT-domain online-softmax states must reproduce estimate_circulant
+    exactly (the structured analog of the dense flash-style merge)."""
+    fit, h = circ_fit
+    q = Q.design_quantizer(5.0, 2, "uniform")
+    r = _observe(h[:256], 5.0, 2, q)
+    bank = sb.prepare_bank_circulant(fit.params, 5.0, 1.0 + 0.0j, 2, q)
+    want = sb.estimate_circulant(bank, r)
+    half = K // 2
+    states = []
+    for lo, hi in ((0, half), (half, K)):
+        shard = sb.CirculantBank(*[x[lo:hi] for x in bank])
+        states.append(sb.estimate_circulant_stats(shard, r))
+    m1, d1, a1 = states[0]
+    m2, d2, a2 = states[1]
+    m = np.maximum(m1, m2)
+    w1, w2 = np.exp(m1 - m), np.exp(m2 - m)
+    den = d1 * w1 + d2 * w2
+    acc = a1 * w1[:, None] + a2 * w2[:, None]
+    got = sb.unitary_ifft(jnp.asarray(acc / den[:, None]))
+    assert _rel(got, want) < 1e-5
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (8, 1)])
+def test_estimate_sharded_circulant(circ_fit, mesh_shape):
+    from quantized_channel_estimation_tpu.parallel import mesh as pmesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    fit, h = circ_fit
+    q = Q.design_quantizer(5.0, 2, "uniform")
+    r = _observe(h[:256], 5.0, 2, q)
+    bank = sb.prepare_bank_circulant(fit.params, 5.0, 1.0 + 0.0j, 2, q)
+    m = pmesh.make_mesh(*mesh_shape)
+    got = pmesh.estimate_sharded_circulant(m, bank, r, chunk_size=64)
+    want = sb.estimate_circulant(bank, r)
+    assert _rel(got, want) < 1e-5
+
+
+@pytest.mark.parametrize("alpha", [1.0, 0.25])
+def test_estimate_sharded_circulant_coherent(circ_fit, alpha):
+    from quantized_channel_estimation_tpu.parallel import mesh as pmesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    fit, h = circ_fit
+    q = Q.design_quantizer(5.0, 2, "uniform")
+    rb = _observe(h[:512], 5.0, 2, q).reshape(128, 4, D)
+    bank = sb.prepare_bank_circulant(fit.params, 5.0, 1.0 + 0.0j, 2, q)
+    m = pmesh.make_mesh(2, 4)
+    got = pmesh.estimate_sharded_circulant(m, bank, rb, chunk_size=64,
+                                           coherence_alpha=alpha)
+    want = sb.estimate_circulant_coherent(bank, rb, alpha=alpha)
+    assert _rel(got, want) < 1e-5
