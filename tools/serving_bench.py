@@ -31,6 +31,22 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
+def synthetic_circulant_params(k: int, d: int, seed: int = 0):
+    """Random CIRCULANT-covariance GmmParams (host numpy): C = F^H diag(s) F.
+    The structured service only reads weights/means/covariances (spectra are
+    re-extracted exactly), so prec_chol is a zero placeholder."""
+    from quantized_channel_estimation_tpu.models.gmm import GmmParams
+    rng = np.random.default_rng(seed)
+    spec = rng.uniform(0.2, 2.0, (k, d)).astype(np.float32)
+    f = np.fft.fft(np.eye(d)) / np.sqrt(d)
+    covs = np.einsum("df,kf,fe->kde", f.conj().T, spec, f,
+                     optimize=True).astype(np.complex64)  # F^H diag(s) F
+    weights = np.full((k,), 1.0 / k, np.float32)
+    means = np.zeros((k, d), np.complex64)
+    prec = np.zeros((k, d, d), np.complex64)
+    return GmmParams(weights, means, covs, prec)
+
+
 def synthetic_params(k: int, d: int, seed: int = 0):
     """Random PSD-covariance GmmParams as HOST numpy arrays.
 
@@ -84,6 +100,9 @@ def main():
                          "EstimationService.from_mfa (densified on the "
                          "host CPU backend)")
     ap.add_argument("--latent", type=int, default=16)
+    ap.add_argument("--structured", action="store_true",
+                    help="serve through the FFT-domain circulant bank "
+                         "(round-4 structured path)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -107,6 +126,10 @@ def main():
             svc = EstimationService.from_mfa(mfa_params, a, args.n_bits,
                                              max_batch=args.max_batch)
             svc.params = jax.tree_util.tree_map(np.asarray, svc.params)
+    elif args.structured:
+        params = synthetic_circulant_params(args.n_components, d)
+        svc = EstimationService(params, a, args.n_bits, structured=True,
+                                max_batch=args.max_batch)
     else:
         params = synthetic_params(args.n_components, d)
         svc = EstimationService(params, a, args.n_bits,
@@ -199,7 +222,7 @@ def main():
         "clients": args.clients,
         "req_size": args.req_size,
         "coherence": t_coh,
-        "bank": "mfa" if args.mfa else "gmm",
+        "bank": ("mfa" if args.mfa else "structured" if args.structured else "gmm"),
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))
