@@ -60,6 +60,11 @@ class QuantGmmBenchConfig:
     results_dir: str = "results"
     cache_dir: str = "results/saves"
     use_cache: bool = True
+    # FFT-domain structured estimation (round-4, see
+    # run_gmm.GmmBenchConfig.use_structured_bank): quantized-trained
+    # circulant fits produce exactly-circulant covariances, so the same
+    # O(K D) bank applies to the CSI-free training path
+    use_structured_bank: object = "auto"
 
 
 def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
@@ -113,6 +118,14 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
         print(f"quant-GMM fit: {int(fit.n_iter)} iters "
               f"lb={float(fit.lower_bound):.4f} ({fit_time:.1f}s)")
 
+    structured = (cfg.use_structured_bank if cfg.use_structured_bank
+                  != "auto" else
+                  (cfg.cov_type in ("circulant", "block-circulant")
+                   and cfg.n_pilots == 1))
+    if structured and cfg.n_pilots != 1:
+        raise ValueError("use_structured_bank requires the P=1 "
+                         "scaled-identity pilot (A = x0*I)")
+
     mse_cols = {"blmmse_gmm_quant": []}
     rate_cols = {"blmmse_gmm_quant_rstat": []}
     if t_coh > 1:
@@ -120,15 +133,27 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
         rate_cols["blmmse_gmm_quant_coh_rstat"] = []
     for i, snr in enumerate(cfg.snrs):
         k_snr = jax.random.fold_in(k_obs, i)
-        bank = stages.prepare_bank(fit.params, snr, a, cfg.n_bits,
-                                   quantizers[snr])
+        if structured:
+            bank = stages.prepare_bank_circulant(fit.params, snr, a,
+                                                 cfg.n_bits,
+                                                 quantizers[snr], cfg.blocks)
+        else:
+            bank = stages.prepare_bank(fit.params, snr, a, cfg.n_bits,
+                                       quantizers[snr])
         if t_coh > 1:
             r_blocks = stages.observe(k_snr, h_val_blocks, snr, a,
                                       cfg.n_bits, quantizers[snr])
             r_val = stages.flatten_coherence(r_blocks)
-            res_coh = stages.flatten_coherence(stages.estimate_coherent_auto(
-                bank, r_blocks, cfg.n_summands_or_proba,
-                cfg.coherence_alpha))
+            if structured:
+                res_coh = stages.flatten_coherence(
+                    stages.estimate_circulant_coherent(
+                        bank, r_blocks, cfg.n_summands_or_proba,
+                        float(cfg.coherence_alpha), cfg.blocks))
+            else:
+                res_coh = stages.flatten_coherence(
+                    stages.estimate_coherent_auto(
+                        bank, r_blocks, cfg.n_summands_or_proba,
+                        cfg.coherence_alpha))
             mse_cols["blmmse_gmm_quant_coh"].append(
                 stages.nmse(res_coh, h_val))
             if cfg.eval_rate:
@@ -138,7 +163,12 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
         else:
             r_val = stages.observe(k_snr, h_val, snr, a, cfg.n_bits,
                                    quantizers[snr])
-        res = stages.estimate_auto(bank, r_val, cfg.n_summands_or_proba)
+        if structured:
+            res = stages.estimate_circulant(bank, r_val,
+                                            cfg.n_summands_or_proba,
+                                            cfg.blocks)
+        else:
+            res = stages.estimate_auto(bank, r_val, cfg.n_summands_or_proba)
         mse_cols["blmmse_gmm_quant"].append(stages.nmse(res, h_val))
         if cfg.eval_rate:
             rate_cols["blmmse_gmm_quant_rstat"].append(

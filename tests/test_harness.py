@@ -194,3 +194,20 @@ def test_channel_model_knob_vae(tmp_results):
     m, _, _ = run_vae.run(cfg, verbose=False)
     assert all(np.isfinite(v) and 0 < v < 2.0 for v in m["vae_noisy"])
     assert m["vae_noisy"][1] < m["vae_noisy"][0]
+
+
+def test_run_gmm_quant_structured_bank(tmp_results):
+    """The CSI-free circulant quantized-EM fit serves through the
+    FFT-domain bank identically to the dense path (round-4)."""
+    results_dir, cache_dir = tmp_results
+    common = dict(n_antennas=16, n_components=4, n_train=8000, n_val=800,
+                  snrs=(5,), max_iter=10, results_dir=results_dir,
+                  cache_dir=cache_dir, use_cache=False,
+                  cov_type="circulant")
+    m_s, _, _ = run_gmm_quant.run(
+        run_gmm_quant.QuantGmmBenchConfig(**common), verbose=False)
+    m_d, _, _ = run_gmm_quant.run(
+        run_gmm_quant.QuantGmmBenchConfig(use_structured_bank=False,
+                                          **common), verbose=False)
+    np.testing.assert_allclose(m_s["blmmse_gmm_quant"],
+                               m_d["blmmse_gmm_quant"], rtol=1e-4)
