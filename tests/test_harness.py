@@ -211,3 +211,21 @@ def test_run_gmm_quant_structured_bank(tmp_results):
                                           **common), verbose=False)
     np.testing.assert_allclose(m_s["blmmse_gmm_quant"],
                                m_d["blmmse_gmm_quant"], rtol=1e-4)
+
+
+def test_run_mfa_auto_alpha(tmp_results):
+    """run_mfa coherence_alpha='auto' (round-4 follow-on): per-SNR grid
+    selection on held-out train blocks, chosen alphas recorded."""
+    from quantized_channel_estimation_tpu.models.gmm_estimator import (
+        DEFAULT_ALPHA_GRID)
+    results_dir, cache_dir = tmp_results
+    m, _, tim = run_mfa.run(run_mfa.MfaBenchConfig(
+        n_antennas=16, n_components=4, latent_dim=4, max_iter=10,
+        n_train=8000, n_val=800, snrs=(0, 10), n_coherence=4,
+        coherence_alpha="auto", alpha_val_blocks=200,
+        results_dir=results_dir, cache_dir=cache_dir, use_cache=False),
+        verbose=False)
+    alphas = tim["coherence_alpha_by_snr"]
+    assert set(alphas) == {0, 10}
+    assert all(a in DEFAULT_ALPHA_GRID for a in alphas.values())
+    assert all(np.isfinite(v) for v in m["blmmse_mfa_coh"])
