@@ -63,6 +63,10 @@ class VaeBenchConfig:
     # n_trials > 1, `run_search` redraws lr/batch_size per trial; the fixed
     # lr/batch_size above are then ignored
     n_trials: int = 1
+    # route vae.estimate through the per-sample circulant (DFT-domain)
+    # fast path — exact for the P=1 scaled-identity pilot ('auto' engages
+    # it exactly then); O(D log D)/sample instead of the dense O(D^3)
+    use_structured_bank: object = "auto"
     # >1: validation channels arrive as T-snapshot coherence blocks and an
     # extra 'vae_<mode>_coh' column pools the decoder's predicted spectra
     # over each block (`vae.estimate(coherence=T)` — new design, see
@@ -147,12 +151,15 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
     # one compiled eval program reused across the sweep: snr and the
     # quantizer tables are dynamic arguments
     # genie mode is genie-aided at eval: the encoder sees the true channel
+    structured = (cfg.use_structured_bank if cfg.use_structured_bank
+                  != "auto" else cfg.n_pilots == 1)
     est_fn = cjit(lambda params, rr, aa, snr_db, q, hh:
                   vae.estimate(model, params, vcfg, rr, snr_db, aa, q,
-                               h_true=hh))
+                               h_true=hh, structured=structured))
     est_coh_fn = cjit(lambda params, rr, aa, snr_db, q, hh:
                       vae.estimate(model, params, vcfg, rr, snr_db, aa, q,
-                                   h_true=hh, coherence=t_coh))
+                                   h_true=hh, coherence=t_coh,
+                                   structured=structured))
     for i, snr in enumerate(cfg.snrs):
         q = quantizer_by_snr[snr]
         r = stages.observe(jax.random.fold_in(k_obs, i), h_val, snr, a,

@@ -590,7 +590,13 @@ class VaeEstimationService(EstimationService):
     def __init__(self, model, params, cfg, a, max_batch: int = 4096,
                  max_delay_ms: float = 5.0, max_banks: int = 64,
                  snr_step_db: Optional[float] = 0.1,
-                 max_queue: int = 262_144, chunk_size: int = 512):
+                 max_queue: int = 262_144, chunk_size: int = 512,
+                 structured: Union[bool, str] = "auto"):
+        """structured: route `vae.estimate` through its per-sample
+        circulant (DFT-domain) fast path — exact when A = x0*I, which
+        'auto' detects from the concrete pilot matrix (the decoder's
+        covariance is circulant by construction, so the O(D^3)/sample
+        dense build collapses to O(D log D))."""
         if cfg.vae_mode == "genie":
             raise ValueError(
                 "genie-mode VAE estimation is genie-AIDED (the encoder "
@@ -604,6 +610,14 @@ class VaeEstimationService(EstimationService):
         self.mode = "all"
         self.use_pallas = False
         self.mesh = None
+        if structured == "auto":
+            an = np.asarray(a.re) + 1j * np.asarray(a.im) \
+                if hasattr(a, "re") else np.asarray(a)
+            structured = bool(
+                an.ndim == 2 and an.shape[0] == an.shape[1]
+                and np.allclose(an, an[0, 0] * np.eye(an.shape[0]),
+                                atol=1e-6 * max(1.0, abs(an[0, 0]))))
+        self.structured = bool(structured)
         self._init_runtime(max_batch, max_delay_ms, max_banks, snr_step_db,
                            max_queue)
         self._chunk = chunk_size
@@ -611,7 +625,8 @@ class VaeEstimationService(EstimationService):
         self._est = cjit(
             lambda p, rr, snr, q, t: vae.estimate(
                 model, p, cfg, rr, snr, self.a, q,
-                chunk_size=chunk_size, coherence=t),
+                chunk_size=chunk_size, coherence=t,
+                structured=self.structured),
             static_argnums=(4,))
         self._start()
 

@@ -305,3 +305,48 @@ def test_obs_to_input_shapes(data):
     cfg_real = _cfg("real")
     x2 = vae.obs_to_input(cfg_real, r)
     assert x2.shape == (32, 2 * N_ANT)
+
+
+def test_estimate_structured_matches_dense():
+    """Round-4 structured VAE estimation: the decoder's covariance is
+    circulant by construction, so for A = x0*I the dense per-sample
+    O(D^3) LMMSE collapses to DFT-domain elementwise algebra — results
+    must match to FFT rounding for every bit-width, with coherence
+    pooling, and with a nonzero-mean decoder (1-bit a touch looser: the
+    arcsine derivative amplifies rounding near +-1)."""
+    import dataclasses
+    from quantized_channel_estimation_tpu.ops import observation, pilots, scm
+    from quantized_channel_estimation_tpu.ops import quantizer as Q
+    d = 16
+    h, _ = scm.generate_channels(jax.random.PRNGKey(50), 3000,
+                                 scm.ScmConfig(d, 1))
+    for zeromean in (True, False):
+        cfg = vae.VaeConfig(n_antennas=d, latent_dim=4, n_layers=2,
+                            vae_mode="noisy", batch_size=32, epochs=2,
+                            zeromean=zeromean)
+        a2 = pilots.pilot_matrix(d, 1, 2)
+        qz = [Q.design_quantizer(5.0, 2)]
+        model, state, _ = vae.train(jax.random.PRNGKey(51), cfg, h[:2500],
+                                    a2, [5.0], qz, verbose=False)
+        for n_bits in ([1, 2, "inf"] if zeromean else [2]):
+            cfg_b = cfg._replace(n_bits=n_bits)
+            q = Q.design_quantizer(5.0, n_bits)
+            ab = pilots.pilot_matrix(d, 1, n_bits)
+            r = observation.observe(jax.random.PRNGKey(52), h[2500:2756],
+                                    5.0, ab, n_bits, q)
+            hd = vae.estimate(model, state.params, cfg_b, r, 5.0, ab, q)
+            hs = vae.estimate(model, state.params, cfg_b, r, 5.0, ab, q,
+                              structured=True)
+            tol = 2e-3 if n_bits == 1 else 2e-5
+            rel = float(jnp.linalg.norm(hd - hs) / jnp.linalg.norm(hd))
+            assert rel < tol, (zeromean, n_bits, rel)
+        if zeromean:
+            q = qz[0]
+            r = observation.observe(jax.random.PRNGKey(53), h[2500:2756],
+                                    5.0, a2, 2, q)
+            hd = vae.estimate(model, state.params, cfg, r, 5.0, a2, q,
+                              coherence=4)
+            hs = vae.estimate(model, state.params, cfg, r, 5.0, a2, q,
+                              coherence=4, structured=True)
+            assert float(jnp.linalg.norm(hd - hs)
+                         / jnp.linalg.norm(hd)) < 2e-5
