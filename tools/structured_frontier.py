@@ -29,7 +29,8 @@ from quantized_channel_estimation_tpu.ops.cplx import crandn
 
 D = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-N_TRAIN, N_VAL, SNR, NB = 60_000, 2_000, 10.0, 2
+N_TRAIN = int(os.environ.get("FRONTIER_NTRAIN", 60_000))
+N_VAL, SNR, NB = 2_000, 10.0, 2
 
 t0 = time.time()
 gen_chunk = max(128, (4096 * 256) // D)
