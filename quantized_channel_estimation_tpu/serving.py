@@ -347,6 +347,16 @@ class EstimationService:
                     f"but the request stream has T={t_coh}; provide "
                     "alpha_val blocks matching the serving block length")
             q = Q.design_quantizer(snr, self.n_bits, self.quantizer_type)
+            if self.mesh is not None:
+                # the TP route shards blocks over the data axis; trim the
+                # validation set to a divisible count
+                n_d = self.mesh.shape["data"]
+                n_keep = (h_val.shape[0] // n_d) * n_d
+                if n_keep == 0:
+                    raise ValueError(
+                        f"alpha_val has {h_val.shape[0]} blocks; the mesh "
+                        f"data axis needs at least {n_d}")
+                h_val = h_val[:n_keep]
             obs = cjit(observation.observe, static_argnums=(4,))
             r_val = asnumpy(obs(jax.random.PRNGKey(0), h_val, snr, self.a,
                                 self.n_bits, q))
@@ -437,6 +447,12 @@ class EstimationService:
             if t_coh is not None:
                 cap = max(1, cap // t_coh)
                 min_bits = max(0, 4 - (t_coh - 1).bit_length())
+            if self.mesh is not None:
+                # the TP route shards microbatch rows over the data axis;
+                # pads are powers of two, so a power-of-two floor >= n_data
+                # guarantees divisibility
+                min_bits = max(min_bits,
+                               (self.mesh.shape["data"] - 1).bit_length())
             outs = []
             for off in range(0, n, cap):
                 chunk = rs[off:off + cap]

@@ -671,3 +671,46 @@ def test_structured_bank_service():
         np.testing.assert_allclose(got_mb, want_mb, atol=2e-4)
     finally:
         svc_m.close()
+
+
+def test_mesh_backed_large_t_divisibility(service_setup):
+    """Mesh + large-T coherent requests: the T-aware microbatch floor can
+    drop to 1 block, but the TP route needs row counts divisible by the
+    data axis — the mesh-aware floor must keep pads divisible (round-4
+    self-review fix). Also: auto-alpha selection batches are trimmed to a
+    divisible block count."""
+    from quantized_channel_estimation_tpu.parallel import mesh as pm
+    params, a, h_val = service_setup
+    mesh = pm.make_mesh(n_data=4, n_component=2)
+    snr, t = 5.0, 16
+    q = Q.design_quantizer(snr, 2)
+    r = np.asarray(observation.observe(jax.random.PRNGKey(75), h_val[:48],
+                                       snr, a, 2, q))
+    rb = r.reshape(3, t, N_ANT)   # 3 blocks -> pads to 4 (= n_data)
+    svc = serving.EstimationService(params, a, 2, max_delay_ms=1.0,
+                                    mesh=mesh, use_pallas=False)
+    try:
+        got = svc.submit(rb, snr)
+        bank = gmm_estimator.prepare_bank(params, snr, a, 2, q)
+        want = np.asarray(gmm_estimator.estimate_coherent(bank, rb))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    finally:
+        svc.close()
+    # auto-alpha with a mesh: selection blocks trimmed to divisibility
+    cfgT = 4
+    h_blocks, _ = scm.generate_channels(
+        jax.random.PRNGKey(76), 103, scm.ScmConfig(N_ANT, 1,
+                                                   n_coherence=cfgT))
+    svc2 = serving.EstimationService(params, a, 2, max_delay_ms=1.0,
+                                     mesh=mesh, use_pallas=False,
+                                     coherence_alpha="auto",
+                                     alpha_val=np.asarray(h_blocks[:50]))
+    try:
+        rb2 = np.asarray(observation.observe(
+            jax.random.PRNGKey(77), h_blocks[50:98], snr, a, 2, q))
+        out = svc2.submit(rb2, snr)
+        assert out.shape == (48, cfgT, N_ANT)
+        sel = svc2.metrics()["coherence_alpha_selected"]
+        assert (snr, cfgT) in sel
+    finally:
+        svc2.close()
