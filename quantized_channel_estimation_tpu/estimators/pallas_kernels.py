@@ -915,3 +915,145 @@ def reference_estimate_packed(kb: KernelBank, r_re, r_im):
     z = jnp.einsum("nm,kmd->knd", r, wt) + b[:, None, :]
     h = jnp.einsum("kn,knd->nd", w.astype(z.dtype), z)
     return jnp.real(h), jnp.imag(h)
+
+
+# ---------------------------------------------------------------------------
+# structured (circulant / FFT-domain) fused kernel
+# ---------------------------------------------------------------------------
+
+class CircKernelBank(NamedTuple):
+    """`structured_bank.CirculantBank` lowered for a single-pass fused
+    kernel. Everything the chunk pipeline does — forward DFT, split
+    log-prob, softmax, combine, inverse DFT — is straight-line math whose
+    constants total ~O(D^2 + K D) floats, so the WHOLE bank stays
+    VMEM-resident and one sample tile needs exactly seven small GEMMs and
+    one softmax, with no HBM intermediate between them (the XLA pipeline
+    writes u/logits/combine rounds through HBM between fused regions).
+
+    Lane-dim slicing inside the kernel is avoided by PRE-SPLITTING the
+    constants (Mosaic is fragile on sub-128 lane slices — CLAUDE.md): the
+    forward transform is two (2D, D) GEMMs producing ur/ui directly, the
+    logit coefficients are pre-stacked to one (3D, K) operand consumed by
+    a concat, and the inverse transform consumes concat([hr, hi]).
+
+    bfwd_r/bfwd_i: (2D, D) f32   right-mult by F^T, split output columns
+    lcoef:         (3D, K) f32   [2 Re(cm)^T; -2 Im(cm)^T; -prec^T],
+                                 cm = conj(mean_rf) * prec
+    const:         (1, K) f32    logw - mu2 + logdet (row-constant terms
+                                 of the softmax cancel; dead components
+                                 clamped to -1e30)
+    bias_r/bias_i: (K, D) f32    Re/Im bias_f
+    filt_r/filt_i: (K, D) f32    Re/Im filt_f
+    binv:          (2D, 2D) f32  right-mult by conj(F) (2x2 block)
+    """
+    bfwd_r: jax.Array
+    bfwd_i: jax.Array
+    lcoef: jax.Array
+    const: jax.Array
+    bias_r: jax.Array
+    bias_i: jax.Array
+    filt_r: jax.Array
+    filt_i: jax.Array
+    binv: jax.Array
+
+
+@highest_precision
+def circ_kernel_bank(bank) -> CircKernelBank:
+    """Lower a CirculantBank (jittable)."""
+    from quantized_channel_estimation_tpu.models import structured_bank as sb
+    d = bank.spec_cr.shape[-1]
+    f = sb._dft_matrix(d, None)
+    ft = f.T
+    # [xr xi] @ [[Re, Im], [-Im, Re]] = [Re(x@ft) Im(x@ft)]; split columns
+    bfwd_r = jnp.concatenate([jnp.real(ft), -jnp.imag(ft)],
+                             axis=0).astype(jnp.float32)
+    bfwd_i = jnp.concatenate([jnp.imag(ft), jnp.real(ft)],
+                             axis=0).astype(jnp.float32)
+    fi = jnp.conj(f)
+    top = jnp.concatenate([jnp.real(fi), jnp.imag(fi)], axis=-1)
+    bot = jnp.concatenate([-jnp.imag(fi), jnp.real(fi)], axis=-1)
+    binv = jnp.concatenate([top, bot], axis=-2).astype(jnp.float32)
+    prec = 1.0 / bank.spec_cr
+    cm = jnp.conj(bank.mean_rf) * prec
+    mu2 = jnp.sum(jnp.abs(bank.mean_rf) ** 2 * prec, axis=-1)
+    logdet = -jnp.sum(jnp.log(bank.spec_cr), axis=-1)
+    const = jnp.maximum(bank.log_weights - mu2 + logdet,
+                        -1e30).astype(jnp.float32)[None, :]
+    lcoef = jnp.concatenate(
+        [2.0 * jnp.real(cm).T, -2.0 * jnp.imag(cm).T, -prec.T],
+        axis=0).astype(jnp.float32)
+    return CircKernelBank(
+        bfwd_r, bfwd_i, lcoef, const,
+        jnp.real(bank.bias_f).astype(jnp.float32),
+        jnp.imag(bank.bias_f).astype(jnp.float32),
+        jnp.real(bank.filt_f).astype(jnp.float32),
+        jnp.imag(bank.filt_f).astype(jnp.float32), binv)
+
+
+def _circ_kernel(bfwd_r, bfwd_i, lcoef, const, bias_r, bias_i,
+                 filt_r, filt_i, binv, x_ref, out_ref):
+    """One sample tile, straight-line: fwd DFT -> logits -> softmax ->
+    combine -> inverse DFT, all in VMEM."""
+    x = x_ref[:]                                           # (TN, 2D)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    ur = dot(x, bfwd_r[:])                                 # (TN, D)
+    ui = dot(x, bfwd_i[:])
+    z = jnp.concatenate([ur, ui, ur * ur + ui * ui], axis=-1)
+    logits = dot(z, lcoef[:]) + const[:]                   # (TN, K)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    w = p / jnp.sum(p, axis=-1, keepdims=True)
+    br = dot(w, bias_r[:])
+    bi = dot(w, bias_i[:])
+    fr = dot(w, filt_r[:])
+    fi = dot(w, filt_i[:])
+    hr = br + fr * ur - fi * ui
+    hi = bi + fr * ui + fi * ur
+    out_ref[:] = dot(jnp.concatenate([hr, hi], axis=-1), binv[:])
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def estimate_circ_packed(ckb: CircKernelBank, x2d: jax.Array,
+                         tile_n: int = 1024, interpret: bool = False):
+    """Fused structured estimation: x2d (N, 2D) f32 [Re | Im] ->
+    (N, 2D) f32 [Re | Im]. N must be a multiple of tile_n."""
+    n, d2 = x2d.shape
+    d = d2 // 2
+    if n % tile_n:
+        raise ValueError(f"N={n} must be a multiple of tile_n={tile_n}")
+    k_comp = ckb.const.shape[-1]
+    bank_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    data_spec = pl.BlockSpec((tile_n, d2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    flops = 2 * n * (2 * d2 * d + 3 * d * k_comp + 4 * k_comp * d
+                     + d2 * d2)
+    return pl.pallas_call(
+        _circ_kernel,
+        grid=(n // tile_n,),
+        in_specs=[bank_spec] * 9 + [data_spec],
+        out_specs=data_spec,
+        out_shape=jax.ShapeDtypeStruct((n, d2), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (2 * n * d2 + 3 * d2 * d2),
+            transcendentals=n * k_comp),
+        interpret=interpret,
+    )(ckb.bfwd_r, ckb.bfwd_i, ckb.lcoef, ckb.const, ckb.bias_r, ckb.bias_i,
+      ckb.filt_r, ckb.filt_i, ckb.binv, x2d)
+
+
+def estimate_fused_circulant(bank, r: jax.Array, tile_n: int = 1024,
+                             interpret: bool = False) -> jax.Array:
+    """Fused 'all'-mode structured estimation of r (N, M) complex through a
+    `structured_bank.CirculantBank` — the kernel analog of
+    `structured_bank.estimate_circulant` (flat-basis circulant only;
+    block-circulant and selection modes stay on the XLA path)."""
+    ckb = circ_kernel_bank(bank)
+    n = r.shape[0]
+    n_pad = -(-n // tile_n) * tile_n
+    rp = jnp.pad(r, ((0, n_pad - n), (0, 0)))
+    x2d = jnp.concatenate([jnp.real(rp), jnp.imag(rp)],
+                          axis=-1).astype(jnp.float32)
+    out = estimate_circ_packed(ckb, x2d, tile_n, interpret)
+    d = r.shape[-1]
+    return (out[:n, :d] + 1j * out[:n, d:]).astype(r.dtype)

@@ -219,7 +219,10 @@ def _dft_matrix(d: int, blocks) -> jax.Array:
 
 
 def _resolve_method(method: str) -> str:
-    """'auto' -> 'fft' everywhere. Measured on-chip with DEVICE-RESIDENT
+    """'auto' -> 'fft' for the chunked XLA pipeline ('all'-mode flat-basis
+    requests on TPU short-circuit to the fused Pallas kernel BEFORE this
+    resolution — see `estimate_circulant`). Measured on-chip with
+    DEVICE-RESIDENT
     inputs (2026-08-21, medians of 5 amortized roll-trick programs): at
     D=64/K=64 the two lowerings tie (18.4 M est/s both) and at D=1024/K=8
     the FFT wins 1.33 M vs 0.91 M est/s — the O(D log D) asymptotics are
@@ -357,6 +360,23 @@ def estimate_circulant(bank: CirculantBank, r: jax.Array,
     dense path's O(N K D^2) — see `_resolve_method`); no (N, K, D)
     intermediate exists, so the chunking only bounds the (chunk, K) logit
     tensor."""
+    if method == "kernel" or (method == "auto" and mode == "all"
+                              and blocks is None
+                              and jax.default_backend() == "tpu"):
+        if mode != "all" or blocks is not None:
+            raise ValueError("method='kernel' supports mode='all' on the "
+                             "flat circulant basis (got "
+                             f"mode={mode!r}, blocks={blocks!r})")
+        # single-pass fused Pallas kernel: +16% over the XLA pipeline on
+        # v5e (21.2 vs 18.3 M est/s at D=64/K=64) with the whole bank
+        # VMEM-resident; 0.3-0.4% elementwise vs XLA on-chip =
+        # softmax-amplified f32 accumulation-order noise, quality-neutral
+        # (NMSE-vs-truth equal/marginally better —
+        # results/parity_r4/circ_kernel_onchip.log)
+        from quantized_channel_estimation_tpu.estimators import (
+            pallas_kernels as pk)
+        return pk.estimate_fused_circulant(
+            bank, r, interpret=jax.default_backend() != "tpu")
     method = _resolve_method(method)
     n, d = r.shape
     n_chunks = -(-n // chunk_size)

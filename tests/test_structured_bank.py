@@ -353,3 +353,22 @@ def test_estimate_sharded_circulant_coherent(circ_fit, alpha):
                                            coherence_alpha=alpha)
     want = sb.estimate_circulant_coherent(bank, rb, alpha=alpha)
     assert _rel(got, want) < 1e-5
+
+
+def test_fused_circulant_kernel_matches_xla(circ_fit):
+    """The single-pass fused structured kernel (interpret mode on CPU)
+    must match the XLA pipeline; on hardware it runs at +16% with
+    quality-neutral accumulation noise (results/parity_r4)."""
+    from quantized_channel_estimation_tpu.estimators import (
+        pallas_kernels as pk)
+    fit, h = circ_fit
+    q = Q.design_quantizer(5.0, 2, "uniform")
+    r = _observe(h[:300], 5.0, 2, q)     # non-multiple of tile_n: pads
+    bank = sb.prepare_bank_circulant(fit.params, 5.0, 1.0 + 0.0j, 2, q)
+    want = sb.estimate_circulant(bank, r, "all", 16384, None, "fft")
+    got = pk.estimate_fused_circulant(bank, r, interpret=True)
+    assert _rel(got, want) < 2e-4
+    got_m = sb.estimate_circulant(bank, r, "all", 16384, None, "kernel")
+    assert _rel(got_m, want) < 2e-4
+    with pytest.raises(ValueError, match="kernel"):
+        sb.estimate_circulant(bank, r, 1, 16384, None, "kernel")
