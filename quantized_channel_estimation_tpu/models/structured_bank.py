@@ -360,13 +360,22 @@ def estimate_circulant(bank: CirculantBank, r: jax.Array,
     dense path's O(N K D^2) — see `_resolve_method`); no (N, K, D)
     intermediate exists, so the chunking only bounds the (chunk, K) logit
     tensor."""
-    if method == "kernel" or (method == "auto" and mode == "all"
-                              and blocks is None
+    d_ = r.shape[-1]
+    k_ = bank.log_weights.shape[0]
+    # resident-bank VMEM rule (CLAUDE.md): the kernel's constants — two
+    # (2D, D) forward blocks, the (2D, 2D) inverse block, (3D, K) logit
+    # coefficients, 4 (K, D) combine mats — must fit the ~13 MiB scoped
+    # budget; beyond that (D >= ~640) the chunked XLA pipeline takes over
+    kernel_bytes = 4 * (8 * d_ * d_ + 3 * d_ * k_ + 4 * k_ * d_ + 2 * k_)
+    kernel_ok = (mode == "all" and blocks is None
+                 and kernel_bytes <= 13 * 1024 * 1024)
+    if method == "kernel" or (method == "auto" and kernel_ok
                               and jax.default_backend() == "tpu"):
-        if mode != "all" or blocks is not None:
+        if not kernel_ok:
             raise ValueError("method='kernel' supports mode='all' on the "
-                             "flat circulant basis (got "
-                             f"mode={mode!r}, blocks={blocks!r})")
+                             "flat circulant basis within the VMEM budget "
+                             f"(got mode={mode!r}, blocks={blocks!r}, "
+                             f"bank bytes {kernel_bytes})")
         # single-pass fused Pallas kernel: +16% over the XLA pipeline on
         # v5e (21.2 vs 18.3 M est/s at D=64/K=64) with the whole bank
         # VMEM-resident; 0.3-0.4% elementwise vs XLA on-chip =
