@@ -1057,3 +1057,101 @@ def estimate_fused_circulant(bank, r: jax.Array, tile_n: int = 1024,
     out = estimate_circ_packed(ckb, x2d, tile_n, interpret)
     d = r.shape[-1]
     return (out[:n, :d] + 1j * out[:n, d:]).astype(r.dtype)
+
+
+def _circ_kernel_coh(bfwd_r, bfwd_i, lcoef, const, bias_r, bias_i,
+                     filt_r, filt_i, binv, x_ref, out_ref, *,
+                     t_coh: int, alpha: float):
+    """Coherent variant: rows are T-major per tile (`_blocks_to_tmajor`),
+    per-snapshot logits pool over T static sublane slices of bp rows
+    before the softmax (the dense coherent kernel's hardware-validated
+    pattern, T <= 8), with the leave-one-out alpha blend as one extra VPU
+    fma. `const` must be pre-divided by (1 - alpha + alpha*T) so the
+    mixture log-weight enters once per block after pooling."""
+    x = x_ref[:]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    ur = dot(x, bfwd_r[:])
+    ui = dot(x, bfwd_i[:])
+    z = jnp.concatenate([ur, ui, ur * ur + ui * ui], axis=-1)
+    logits = dot(z, lcoef[:]) + const[:]                   # (TN, K)
+    bp = logits.shape[0] // t_coh
+    s = logits[0:bp]
+    for j in range(1, t_coh):
+        s = s + logits[j * bp:(j + 1) * bp]
+    pooled = jnp.concatenate([s] * t_coh, axis=0)
+    lg = logits + alpha * (pooled - logits) if alpha < 1.0 else pooled
+    m = jnp.max(lg, axis=-1, keepdims=True)
+    p = jnp.exp(lg - m)
+    w = p / jnp.sum(p, axis=-1, keepdims=True)
+    br = dot(w, bias_r[:])
+    bi = dot(w, bias_i[:])
+    fr = dot(w, filt_r[:])
+    fi = dot(w, filt_i[:])
+    hr = br + fr * ur - fi * ui
+    hi = bi + fr * ui + fi * ur
+    out_ref[:] = dot(jnp.concatenate([hr, hi], axis=-1), binv[:])
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def estimate_circ_packed_coh(ckb: CircKernelBank, x2d: jax.Array,
+                             tile_n: int, t_coh: int, alpha: float,
+                             interpret: bool = False):
+    """T-major coherent fused structured estimation; x2d (N, 2D) f32 with
+    N a multiple of tile_n and tile_n // t_coh a multiple of 8."""
+    n, d2 = x2d.shape
+    _check_t_coh(tile_n, t_coh)
+    if n % tile_n:
+        raise ValueError(f"N={n} must be a multiple of tile_n={tile_n}")
+    k_comp = ckb.const.shape[-1]
+    d = d2 // 2
+    bank_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    data_spec = pl.BlockSpec((tile_n, d2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    kern = functools.partial(_circ_kernel_coh, t_coh=t_coh, alpha=alpha)
+    flops = 2 * n * (2 * d2 * d + 3 * d * k_comp + 4 * k_comp * d
+                     + d2 * d2)
+    return pl.pallas_call(
+        kern,
+        grid=(n // tile_n,),
+        in_specs=[bank_spec] * 9 + [data_spec],
+        out_specs=data_spec,
+        out_shape=jax.ShapeDtypeStruct((n, d2), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (2 * n * d2 + 3 * d2 * d2),
+            transcendentals=n * k_comp),
+        interpret=interpret,
+    )(ckb.bfwd_r, ckb.bfwd_i, ckb.lcoef, ckb.const, ckb.bias_r, ckb.bias_i,
+      ckb.filt_r, ckb.filt_i, ckb.binv, x2d)
+
+
+def estimate_fused_circulant_coherent(bank, r: jax.Array,
+                                      alpha: float = 1.0,
+                                      interpret: bool = False) -> jax.Array:
+    """Fused coherent structured estimation of blocks r (B, T, M) ->
+    (B, T, D): kernel analog of
+    `structured_bank.estimate_circulant_coherent` ('all' mode, flat
+    circulant basis, hardware-validated T <= 8; callers check
+    eligibility and fall back to the XLA path)."""
+    b, t, m_dim = r.shape
+    if t == 1:
+        return estimate_fused_circulant(bank, r[:, 0, :],
+                                        interpret=interpret)[:, None, :]
+    # pre-divide the mixture log-weight so it enters once per block after
+    # the in-kernel pooling (`kernel_bank_block` trick): const carries
+    # logw + (logdet - mu2); only logw must be scaled, so split it out
+    lw_div = 1.0 - alpha + alpha * t
+    ckb = circ_kernel_bank(bank)
+    lw = jnp.maximum(bank.log_weights, -1e30).astype(jnp.float32)
+    ckb = ckb._replace(const=ckb.const - lw[None, :]
+                       + (lw / lw_div)[None, :])
+    base = 2048 if b * t >= 2048 else 256
+    tile_n = _coherent_tile_n(base, t)
+    rows, b_pad = _blocks_to_tmajor(r, tile_n)
+    x2d = jnp.concatenate([jnp.real(rows), jnp.imag(rows)],
+                          axis=-1).astype(jnp.float32)
+    out = estimate_circ_packed_coh(ckb, x2d, tile_n, t, float(alpha),
+                                   interpret)
+    d = m_dim
+    out_b = _tmajor_to_blocks(out, t, tile_n, b)          # (B, T, 2D)
+    return (out_b[..., :d] + 1j * out_b[..., d:]).astype(r.dtype)

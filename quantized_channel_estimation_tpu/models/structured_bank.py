@@ -544,6 +544,26 @@ def estimate_circulant_coherent(bank: CirculantBank, r: jax.Array,
     if r.ndim != 3:
         raise ValueError(f"estimate_circulant_coherent expects (B, T, M) "
                          f"blocks, got shape {r.shape}")
+    d_ = r.shape[-1]
+    k_ = bank.log_weights.shape[0]
+    t_ = r.shape[1]
+    kernel_bytes = 4 * (8 * d_ * d_ + 3 * d_ * k_ + 4 * k_ * d_ + 2 * k_)
+    # same eligibility as the flat kernel, plus the hardware-validated
+    # T <= 8 in-kernel pooling range (pallas_kernels._check_t_coh)
+    kernel_ok = (mode == "all" and blocks is None and 1 <= t_ <= 8
+                 and kernel_bytes <= 13 * 1024 * 1024)
+    if method == "kernel" or (method == "auto" and kernel_ok
+                              and jax.default_backend() == "tpu"):
+        if not kernel_ok:
+            raise ValueError("method='kernel' needs mode='all', the flat "
+                             "circulant basis, T <= 8, and the VMEM "
+                             f"budget (got mode={mode!r}, T={t_}, "
+                             f"bank bytes {kernel_bytes})")
+        from quantized_channel_estimation_tpu.estimators import (
+            pallas_kernels as pk)
+        return pk.estimate_fused_circulant_coherent(
+            bank, r, alpha=alpha,
+            interpret=jax.default_backend() != "tpu")
     method = _resolve_method(method)
     n = r.shape[0]
     n_chunks = -(-n // chunk_size)

@@ -372,3 +372,21 @@ def test_fused_circulant_kernel_matches_xla(circ_fit):
     assert _rel(got_m, want) < 2e-4
     with pytest.raises(ValueError, match="kernel"):
         sb.estimate_circulant(bank, r, 1, 16384, None, "kernel")
+
+
+@pytest.mark.parametrize("t,alpha", [(4, 1.0), (4, 0.25), (8, 1.0)])
+def test_fused_circulant_coherent_kernel(circ_fit, t, alpha):
+    from quantized_channel_estimation_tpu.estimators import (
+        pallas_kernels as pk)
+    fit, h = circ_fit
+    q = Q.design_quantizer(5.0, 2, "uniform")
+    r = _observe(h[:800], 5.0, 2, q).reshape(-1, t, D)[:100]
+    bank = sb.prepare_bank_circulant(fit.params, 5.0, 1.0 + 0.0j, 2, q)
+    want = sb.estimate_circulant_coherent(bank, r, "all", 4096, alpha,
+                                          None, "fft")
+    got = pk.estimate_fused_circulant_coherent(bank, r, alpha=alpha,
+                                               interpret=True)
+    assert _rel(got, want) < 2e-4
+    got_m = sb.estimate_circulant_coherent(bank, r, "all", 4096, alpha,
+                                           None, "kernel")
+    assert _rel(got_m, want) < 2e-4
