@@ -1155,3 +1155,75 @@ def estimate_fused_circulant_coherent(bank, r: jax.Array,
     d = m_dim
     out_b = _tmajor_to_blocks(out, t, tile_n, b)          # (B, T, 2D)
     return (out_b[..., :d] + 1j * out_b[..., d:]).astype(r.dtype)
+
+
+def _circ_kernel_stats(bfwd_r, bfwd_i, lcoef, const, bias_r, bias_i,
+                       filt_r, filt_i, binv, x_ref, out_m, out_den,
+                       out_acc):
+    """Stats variant of `_circ_kernel`: un-normalized online-softmax state
+    (m, den, acc) per row for cross-shard pmax/psum merging — acc stays in
+    the DFT DOMAIN (the inverse transform commutes with the normalization
+    and runs once after the merge). Same logit convention per shard, so
+    kernel-state merges with kernel-state exactly."""
+    x = x_ref[:]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    ur = dot(x, bfwd_r[:])
+    ui = dot(x, bfwd_i[:])
+    z = jnp.concatenate([ur, ui, ur * ur + ui * ui], axis=-1)
+    logits = dot(z, lcoef[:]) + const[:]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    den = jnp.sum(p, axis=-1, keepdims=True)
+    br = dot(p, bias_r[:])
+    bi = dot(p, bias_i[:])
+    fr = dot(p, filt_r[:])
+    fi = dot(p, filt_i[:])
+    out_m[:] = m
+    out_den[:] = den
+    out_acc[:] = jnp.concatenate(
+        [br + fr * ur - fi * ui, bi + fr * ui + fi * ur], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def estimate_circ_packed_stats(ckb: CircKernelBank, x2d: jax.Array,
+                               tile_n: int = 1024,
+                               interpret: bool = False):
+    """(m (N, 1), den (N, 1), acc (N, 2D)) f32, DFT-domain."""
+    n, d2 = x2d.shape
+    if n % tile_n:
+        raise ValueError(f"N={n} must be a multiple of tile_n={tile_n}")
+    bank_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    data_spec = pl.BlockSpec((tile_n, d2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _circ_kernel_stats,
+        grid=(n // tile_n,),
+        in_specs=[bank_spec] * 9 + [data_spec],
+        out_specs=[col_spec, col_spec, data_spec],
+        out_shape=[jax.ShapeDtypeStruct((n, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n, d2), jnp.float32)],
+        interpret=interpret,
+    )(ckb.bfwd_r, ckb.bfwd_i, ckb.lcoef, ckb.const, ckb.bias_r, ckb.bias_i,
+      ckb.filt_r, ckb.filt_i, ckb.binv, x2d)
+
+
+def estimate_fused_circulant_stats(bank, r: jax.Array,
+                                   tile_n: int = 1024,
+                                   interpret: bool = False):
+    """Kernel analog of `structured_bank.estimate_circulant_stats`:
+    (m (N,) f32, den (N,) f32, acc (N, D) complex, DFT domain). Merge
+    kernel states with kernel states (the shared row-constant -D log pi is
+    dropped from the kernel logit convention, like the dense stats
+    kernel)."""
+    ckb = circ_kernel_bank(bank)
+    n, d = r.shape
+    n_pad = -(-n // tile_n) * tile_n
+    rp = jnp.pad(r, ((0, n_pad - n), (0, 0)))
+    x2d = jnp.concatenate([jnp.real(rp), jnp.imag(rp)],
+                          axis=-1).astype(jnp.float32)
+    m, den, acc = estimate_circ_packed_stats(ckb, x2d, tile_n, interpret)
+    return (m[:n, 0], den[:n, 0],
+            (acc[:n, :d] + 1j * acc[:n, d:]).astype(jnp.complex64))

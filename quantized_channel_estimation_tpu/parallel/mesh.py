@@ -123,7 +123,8 @@ def _shard_map_fn(mesh: Mesh, body, data_ndim: int, n_keys: int = 1):
 def estimate_sharded_circulant(mesh: Mesh, bank, r: jax.Array,
                                chunk_size: int = 16384,
                                coherence_alpha: float = 1.0,
-                               blocks=None) -> jax.Array:
+                               blocks=None,
+                               use_kernel: Optional[bool] = None) -> jax.Array:
     """Tensor-parallel FFT-domain estimation: each device holds a K-shard
     of the `structured_bank.CirculantBank` (O(K D) floats — the whole
     shard trivially fits VMEM-side caches), computes the DFT-domain
@@ -133,7 +134,12 @@ def estimate_sharded_circulant(mesh: Mesh, bank, r: jax.Array,
     the merged quotient per device. Per sample the collective payload is
     one f32 pair + one complex D-vector, independent of K — same as the
     dense TP route, with ~K x fewer local FLOPs. Rank-3 `r` = coherence
-    blocks (per-block state at alpha=1, per-snapshot below)."""
+    blocks (per-block state at alpha=1, per-snapshot below).
+    `use_kernel=None` picks the fused structured stats kernel
+    (`pallas_kernels.estimate_fused_circulant_stats`) per shard on TPU for
+    FLAT flat-basis requests, the XLA stats path otherwise — shards must
+    share one implementation (the logit conventions differ by a
+    row-constant)."""
     from quantized_channel_estimation_tpu.models import structured_bank as sb
     try:
         from jax import shard_map
@@ -154,11 +160,20 @@ def estimate_sharded_circulant(mesh: Mesh, bank, r: jax.Array,
     r = shard_data(mesh, r)
     coherent = r.ndim == 3
 
+    if use_kernel is None:
+        use_kernel = (jax.default_backend() == "tpu" and not coherent
+                      and blocks is None)
+
     def body(bank_local, r_local):
         if coherent:
             m, den, acc = sb.estimate_circulant_coherent_stats(
                 bank_local, r_local, max(1, chunk_size // r_local.shape[1]),
                 coherence_alpha, blocks)
+        elif use_kernel:
+            from quantized_channel_estimation_tpu.estimators import (
+                pallas_kernels as pk)
+            m, den, acc = pk.estimate_fused_circulant_stats(
+                bank_local, r_local)
         else:
             m, den, acc = sb.estimate_circulant_stats(bank_local, r_local,
                                                       chunk_size, blocks)
