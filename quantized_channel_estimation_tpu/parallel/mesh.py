@@ -173,7 +173,8 @@ def estimate_sharded_circulant(mesh: Mesh, bank, r: jax.Array,
             from quantized_channel_estimation_tpu.estimators import (
                 pallas_kernels as pk)
             m, den, acc = pk.estimate_fused_circulant_stats(
-                bank_local, r_local)
+                bank_local, r_local,
+                interpret=jax.default_backend() != "tpu")
         else:
             m, den, acc = sb.estimate_circulant_stats(bank_local, r_local,
                                                       chunk_size, blocks)

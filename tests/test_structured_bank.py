@@ -390,3 +390,20 @@ def test_fused_circulant_coherent_kernel(circ_fit, t, alpha):
     got_m = sb.estimate_circulant_coherent(bank, r, "all", 4096, alpha,
                                            None, "kernel")
     assert _rel(got_m, want) < 2e-4
+
+
+def test_estimate_sharded_circulant_kernel_stats(circ_fit):
+    """The TP route with the fused structured STATS kernel per shard
+    (interpret mode on the virtual mesh) must match the XLA stats route
+    and the plain estimator."""
+    from quantized_channel_estimation_tpu.parallel import mesh as pmesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    fit, h = circ_fit
+    q = Q.design_quantizer(5.0, 2, "uniform")
+    r = _observe(h[:256], 5.0, 2, q)
+    bank = sb.prepare_bank_circulant(fit.params, 5.0, 1.0 + 0.0j, 2, q)
+    m = pmesh.make_mesh(2, 4)
+    got = pmesh.estimate_sharded_circulant(m, bank, r, use_kernel=True)
+    want = sb.estimate_circulant(bank, r, "all", 16384, None, "fft")
+    assert _rel(got, want) < 2e-4
