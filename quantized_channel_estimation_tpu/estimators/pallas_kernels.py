@@ -290,13 +290,16 @@ def _check_t_coh(tile_n: int, t_coh: int):
         raise ValueError(
             f"t_coh={t_coh} needs tile_n ({tile_n}) divisible by it with a "
             f"per-tile block count that is a multiple of 8 (got bp={bp})")
-    if t_coh > 8:
+    if t_coh > 16:
         raise NotImplementedError(
             f"t_coh={t_coh}: the in-kernel pool statically unrolls T "
-            "sublane slices; T <= 8 is the hardware-validated range "
-            "(results/parity_r3) and Mosaic's compile helper hard-crashes "
-            "on long static unrolls (CLAUDE.md) — the auto-dispatch "
-            "falls back to the einsum path above it")
+            "sublane slices; T <= 16 is the hardware-validated range "
+            "(T<=8 round-3; T=16 compiled, ran, and calibrated "
+            "quality-neutral on real fits 2026-08-21 — "
+            "results/parity_r4/t16_calibration.log; the unroll slices are "
+            "bp-ROW sublane slices, not the single-lane slices Mosaic "
+            "crashes on) — the auto-dispatch falls back to the einsum "
+            "path above it")
 
 
 def _blocks_to_tmajor(r: jax.Array, tile_n: int):
@@ -823,11 +826,13 @@ def _coherent_kernel_eligible(bank: PreparedBank, t: int) -> bool:
     k_comp, d, m_dim = bank.filters.shape
     per_k = 4 * (2 * m_dim) * (2 * m_dim + 2 * d)
     chunk_budget = (10 if 2 * m_dim <= 256 else 8) * 1024 * 1024
-    # T <= 8 is the hardware-validated unroll range (T=8 exercised on-chip,
-    # results/parity_r3/tp_coherent_onchip.log); beyond it Mosaic's compile
-    # helper risks a no-error-text hard crash (CLAUDE.md), so dispatch falls
-    # back to the einsum coherent path instead of gambling the compile.
-    return 1 < t <= 8 and chunk_budget // per_k >= 4
+    # T <= 16 is the hardware-validated unroll range: T<=8 round-3, T=16
+    # compiled + ran + calibrated quality-neutral on a real fit round-4
+    # (NMSE-vs-truth within ±0.08% of the einsum path —
+    # results/parity_r4/t16_calibration.log). The pooling unroll slices
+    # are bp-ROW sublane slices, not the single-lane slices Mosaic's
+    # compile helper crashes on (CLAUDE.md).
+    return 1 < t <= 16 and chunk_budget // per_k >= 4
 
 
 def estimate_fused_coherent_stats(bank: PreparedBank, r: jax.Array,
@@ -844,7 +849,7 @@ def estimate_fused_coherent_stats(bank: PreparedBank, r: jax.Array,
     softmax (`_grouped_stream(t_coh=)`), so the (B*T, K) logit tensor the
     XLA path materializes per chunk never exists. Returns (m (B,) f32,
     den (B,) f32, acc (B, T, D) complex64). Falls back to the einsum stats
-    path for T beyond the hardware-validated unroll range (>8) or
+    path for T beyond the hardware-validated unroll range (>16) or
     degenerate huge-D banks."""
     if r.ndim != 3:
         raise ValueError(f"expected (B, T, M) blocks, got {r.shape}")

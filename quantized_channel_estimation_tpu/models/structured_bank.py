@@ -549,8 +549,10 @@ def estimate_circulant_coherent(bank: CirculantBank, r: jax.Array,
     t_ = r.shape[1]
     kernel_bytes = 4 * (8 * d_ * d_ + 3 * d_ * k_ + 4 * k_ * d_ + 2 * k_)
     # same eligibility as the flat kernel, plus the hardware-validated
-    # T <= 8 in-kernel pooling range (pallas_kernels._check_t_coh)
-    kernel_ok = (mode == "all" and blocks is None and 1 <= t_ <= 8
+    # T <= 16 in-kernel pooling range (pallas_kernels._check_t_coh;
+    # T=16 calibrated quality-neutral on a real fit —
+    # results/parity_r4/t16_calibration.log)
+    kernel_ok = (mode == "all" and blocks is None and 1 <= t_ <= 16
                  and kernel_bytes <= 13 * 1024 * 1024)
     if method == "kernel" or (method == "auto" and kernel_ok
                               and jax.default_backend() == "tpu"):
