@@ -963,11 +963,13 @@ class CircKernelBank(NamedTuple):
 
 
 @highest_precision
-def circ_kernel_bank(bank) -> CircKernelBank:
-    """Lower a CirculantBank (jittable)."""
+def circ_kernel_bank(bank, blocks=None) -> CircKernelBank:
+    """Lower a CirculantBank (jittable). `blocks=(n1, n2)` builds the
+    kron(F_n1, F_n2) basis, so block-circulant (MIMO) banks ride the same
+    kernel — the transform is a GEMM either way."""
     from quantized_channel_estimation_tpu.models import structured_bank as sb
     d = bank.spec_cr.shape[-1]
-    f = sb._dft_matrix(d, None)
+    f = sb._dft_matrix(d, blocks)
     ft = f.T
     # [xr xi] @ [[Re, Im], [-Im, Re]] = [Re(x@ft) Im(x@ft)]; split columns
     bfwd_r = jnp.concatenate([jnp.real(ft), -jnp.imag(ft)],
@@ -1048,12 +1050,14 @@ def estimate_circ_packed(ckb: CircKernelBank, x2d: jax.Array,
 
 
 def estimate_fused_circulant(bank, r: jax.Array, tile_n: int = 1024,
-                             interpret: bool = False) -> jax.Array:
+                             interpret: bool = False,
+                             blocks=None) -> jax.Array:
     """Fused 'all'-mode structured estimation of r (N, M) complex through a
     `structured_bank.CirculantBank` — the kernel analog of
-    `structured_bank.estimate_circulant` (flat-basis circulant only;
-    block-circulant and selection modes stay on the XLA path)."""
-    ckb = circ_kernel_bank(bank)
+    `structured_bank.estimate_circulant` ('all' mode; `blocks` selects the
+    kron basis for block-circulant/MIMO banks; selection modes stay on the
+    XLA path)."""
+    ckb = circ_kernel_bank(bank, blocks)
     n = r.shape[0]
     n_pad = -(-n // tile_n) * tile_n
     rp = jnp.pad(r, ((0, n_pad - n), (0, 0)))
@@ -1132,7 +1136,8 @@ def estimate_circ_packed_coh(ckb: CircKernelBank, x2d: jax.Array,
 
 def estimate_fused_circulant_coherent(bank, r: jax.Array,
                                       alpha: float = 1.0,
-                                      interpret: bool = False) -> jax.Array:
+                                      interpret: bool = False,
+                                      blocks=None) -> jax.Array:
     """Fused coherent structured estimation of blocks r (B, T, M) ->
     (B, T, D): kernel analog of
     `structured_bank.estimate_circulant_coherent` ('all' mode, flat
@@ -1141,12 +1146,13 @@ def estimate_fused_circulant_coherent(bank, r: jax.Array,
     b, t, m_dim = r.shape
     if t == 1:
         return estimate_fused_circulant(bank, r[:, 0, :],
-                                        interpret=interpret)[:, None, :]
+                                        interpret=interpret,
+                                        blocks=blocks)[:, None, :]
     # pre-divide the mixture log-weight so it enters once per block after
     # the in-kernel pooling (`kernel_bank_block` trick): const carries
     # logw + (logdet - mu2); only logw must be scaled, so split it out
     lw_div = 1.0 - alpha + alpha * t
-    ckb = circ_kernel_bank(bank)
+    ckb = circ_kernel_bank(bank, blocks)
     lw = jnp.maximum(bank.log_weights, -1e30).astype(jnp.float32)
     ckb = ckb._replace(const=ckb.const - lw[None, :]
                        + (lw / lw_div)[None, :])

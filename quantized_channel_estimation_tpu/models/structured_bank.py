@@ -367,15 +367,13 @@ def estimate_circulant(bank: CirculantBank, r: jax.Array,
     # coefficients, 4 (K, D) combine mats — must fit the ~13 MiB scoped
     # budget; beyond that (D >= ~640) the chunked XLA pipeline takes over
     kernel_bytes = 4 * (8 * d_ * d_ + 3 * d_ * k_ + 4 * k_ * d_ + 2 * k_)
-    kernel_ok = (mode == "all" and blocks is None
-                 and kernel_bytes <= 13 * 1024 * 1024)
+    kernel_ok = (mode == "all" and kernel_bytes <= 13 * 1024 * 1024)
     if method == "kernel" or (method == "auto" and kernel_ok
                               and jax.default_backend() == "tpu"):
         if not kernel_ok:
-            raise ValueError("method='kernel' supports mode='all' on the "
-                             "flat circulant basis within the VMEM budget "
-                             f"(got mode={mode!r}, blocks={blocks!r}, "
-                             f"bank bytes {kernel_bytes})")
+            raise ValueError("method='kernel' supports mode='all' within "
+                             "the VMEM budget (got "
+                             f"mode={mode!r}, bank bytes {kernel_bytes})")
         # single-pass fused Pallas kernel: +16% over the XLA pipeline on
         # v5e (21.2 vs 18.3 M est/s at D=64/K=64) with the whole bank
         # VMEM-resident; 0.3-0.4% elementwise vs XLA on-chip =
@@ -385,7 +383,8 @@ def estimate_circulant(bank: CirculantBank, r: jax.Array,
         from quantized_channel_estimation_tpu.estimators import (
             pallas_kernels as pk)
         return pk.estimate_fused_circulant(
-            bank, r, interpret=jax.default_backend() != "tpu")
+            bank, r, interpret=jax.default_backend() != "tpu",
+            blocks=blocks)
     method = _resolve_method(method)
     n, d = r.shape
     n_chunks = -(-n // chunk_size)
@@ -552,20 +551,19 @@ def estimate_circulant_coherent(bank: CirculantBank, r: jax.Array,
     # T <= 16 in-kernel pooling range (pallas_kernels._check_t_coh;
     # T=16 calibrated quality-neutral on a real fit —
     # results/parity_r4/t16_calibration.log)
-    kernel_ok = (mode == "all" and blocks is None and 1 <= t_ <= 16
+    kernel_ok = (mode == "all" and 1 <= t_ <= 16
                  and kernel_bytes <= 13 * 1024 * 1024)
     if method == "kernel" or (method == "auto" and kernel_ok
                               and jax.default_backend() == "tpu"):
         if not kernel_ok:
-            raise ValueError("method='kernel' needs mode='all', the flat "
-                             "circulant basis, T <= 8, and the VMEM "
-                             f"budget (got mode={mode!r}, T={t_}, "
-                             f"bank bytes {kernel_bytes})")
+            raise ValueError("method='kernel' needs mode='all', T <= 16, "
+                             f"and the VMEM budget (got mode={mode!r}, "
+                             f"T={t_}, bank bytes {kernel_bytes})")
         from quantized_channel_estimation_tpu.estimators import (
             pallas_kernels as pk)
         return pk.estimate_fused_circulant_coherent(
             bank, r, alpha=alpha,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu", blocks=blocks)
     method = _resolve_method(method)
     n = r.shape[0]
     n_chunks = -(-n // chunk_size)

@@ -407,3 +407,37 @@ def test_estimate_sharded_circulant_kernel_stats(circ_fit):
     got = pmesh.estimate_sharded_circulant(m, bank, r, use_kernel=True)
     want = sb.estimate_circulant(bank, r, "all", 16384, None, "fft")
     assert _rel(got, want) < 2e-4
+
+
+def test_fused_kernel_block_circulant():
+    """The fused structured kernels carry the kron basis too (MIMO
+    block-circulant banks): the transform is a GEMM either way."""
+    from quantized_channel_estimation_tpu.estimators import (
+        pallas_kernels as pk)
+    d, blocks, k = 32, (4, 8), 4
+    fb = jnp.kron(linalg.unitary_dft(4), linalg.unitary_dft(8))
+    sk = jax.random.uniform(jax.random.PRNGKey(0), (k, d), minval=0.1,
+                            maxval=2.0, dtype=jnp.float32)
+    comp = jax.random.randint(jax.random.PRNGKey(1), (6000,), 0, k)
+    w = (jax.random.normal(jax.random.PRNGKey(2), (6000, d)) +
+         1j * jax.random.normal(jax.random.PRNGKey(3), (6000, d))
+         ) / np.sqrt(2)
+    h = ((jnp.sqrt(sk)[comp] * (w @ fb.T)) @ jnp.conj(fb)).astype(
+        jnp.complex64)
+    fit = gmm.fit(jax.random.PRNGKey(4), h,
+                  gmm.GmmConfig(n_components=k, cov_type="block-circulant",
+                                blocks=blocks, max_iter=20))
+    q = Q.design_quantizer(10.0, 2, "uniform")
+    r = _observe(h[:256], 10.0, 2, q)
+    bank = sb.prepare_bank_circulant(fit.params, 10.0, 1.0 + 0.0j, 2, q,
+                                     blocks=blocks)
+    want = sb.estimate_circulant(bank, r, "all", 16384, blocks, "fft")
+    got = pk.estimate_fused_circulant(bank, r, interpret=True, blocks=blocks)
+    assert _rel(got, want) < 2e-4
+    rb = r.reshape(64, 4, d)
+    wantc = sb.estimate_circulant_coherent(bank, rb, "all", 4096, 0.25,
+                                           blocks, "fft")
+    gotc = pk.estimate_fused_circulant_coherent(bank, rb, alpha=0.25,
+                                                interpret=True,
+                                                blocks=blocks)
+    assert _rel(gotc, wantc) < 2e-4
