@@ -962,6 +962,27 @@ class CircKernelBank(NamedTuple):
     binv: jax.Array
 
 
+def _circ_bank_bytes(d: int, k: int) -> int:
+    """Resident-constant footprint of CircKernelBank (f32)."""
+    return 4 * (8 * d * d + 3 * d * k + 4 * k * d + 2 * k)
+
+
+def _circ_tile_n(d: int, k: int, requested=None) -> int:
+    """Largest power-of-two sample tile keeping bank constants + per-tile
+    intermediates inside the ~13 MiB scoped-VMEM budget (measured at
+    D=512: a 1024-row tile overflows to 26.3 MB — per-row live set is
+    ~10 D floats across x/u/z/logits/combine/out buffers)."""
+    if requested is not None:
+        return requested
+    budget = 13 * 1024 * 1024 - _circ_bank_bytes(d, k) - 2 * 1024 * 1024
+    per_row = 4 * (10 * d + 2 * k)
+    cap = max(64, budget // per_row)
+    t = 64
+    while t * 2 <= min(cap, 2048):
+        t *= 2
+    return t
+
+
 @highest_precision
 def circ_kernel_bank(bank, blocks=None) -> CircKernelBank:
     """Lower a CirculantBank (jittable). `blocks=(n1, n2)` builds the
@@ -1049,7 +1070,7 @@ def estimate_circ_packed(ckb: CircKernelBank, x2d: jax.Array,
       ckb.filt_r, ckb.filt_i, ckb.binv, x2d)
 
 
-def estimate_fused_circulant(bank, r: jax.Array, tile_n: int = 1024,
+def estimate_fused_circulant(bank, r: jax.Array, tile_n=None,
                              interpret: bool = False,
                              blocks=None) -> jax.Array:
     """Fused 'all'-mode structured estimation of r (N, M) complex through a
@@ -1058,6 +1079,7 @@ def estimate_fused_circulant(bank, r: jax.Array, tile_n: int = 1024,
     kron basis for block-circulant/MIMO banks; selection modes stay on the
     XLA path)."""
     ckb = circ_kernel_bank(bank, blocks)
+    tile_n = _circ_tile_n(r.shape[-1], bank.log_weights.shape[0], tile_n)
     n = r.shape[0]
     n_pad = -(-n // tile_n) * tile_n
     rp = jnp.pad(r, ((0, n_pad - n), (0, 0)))
@@ -1156,7 +1178,9 @@ def estimate_fused_circulant_coherent(bank, r: jax.Array,
     lw = jnp.maximum(bank.log_weights, -1e30).astype(jnp.float32)
     ckb = ckb._replace(const=ckb.const - lw[None, :]
                        + (lw / lw_div)[None, :])
-    base = 2048 if b * t >= 2048 else 256
+    base = _circ_tile_n(m_dim, bank.log_weights.shape[0])
+    if b * t < base:
+        base = max(64, 256)
     tile_n = _coherent_tile_n(base, t)
     rows, b_pad = _blocks_to_tmajor(r, tile_n)
     x2d = jnp.concatenate([jnp.real(rows), jnp.imag(rows)],
@@ -1222,7 +1246,7 @@ def estimate_circ_packed_stats(ckb: CircKernelBank, x2d: jax.Array,
 
 
 def estimate_fused_circulant_stats(bank, r: jax.Array,
-                                   tile_n: int = 1024,
+                                   tile_n=None,
                                    interpret: bool = False):
     """Kernel analog of `structured_bank.estimate_circulant_stats`:
     (m (N,) f32, den (N,) f32, acc (N, D) complex, DFT domain). Merge
@@ -1231,6 +1255,7 @@ def estimate_fused_circulant_stats(bank, r: jax.Array,
     kernel)."""
     ckb = circ_kernel_bank(bank)
     n, d = r.shape
+    tile_n = _circ_tile_n(d, bank.log_weights.shape[0], tile_n)
     n_pad = -(-n // tile_n) * tile_n
     rp = jnp.pad(r, ((0, n_pad - n), (0, 0)))
     x2d = jnp.concatenate([jnp.real(rp), jnp.imag(rp)],

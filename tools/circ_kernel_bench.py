@@ -101,7 +101,21 @@ def leg_tp():
           bank, r, 131072)
 
 
+def leg_d512():
+    """Mid-range: D=512/K=16 — the kernel's resident constants (8.4 MB)
+    still fit the 13 MiB gate; D>=~640 falls back to the XLA pipeline."""
+    print("== flat D=512/K=16 ==", flush=True)
+    d, k = 512, 16
+    bank, r = synthetic_bank(d, k), packed_randn((32768, d))
+    bench("fused circ kernel", lambda b, x: pk.estimate_fused_circulant(
+        b, x), bank, r, 32768)
+    bench("xla structured (fft)",
+          lambda b, x: sb.estimate_circulant(b, x, "all", 16384, None,
+                                             "fft"), bank, r, 32768)
+
+
 if __name__ == "__main__":
-    legs = sys.argv[1:] or ["flat", "coherent", "tp"]
+    legs = sys.argv[1:] or ["flat", "coherent", "tp", "d512"]
     for leg in legs:
-        {"flat": leg_flat, "coherent": leg_coherent, "tp": leg_tp}[leg]()
+        {"flat": leg_flat, "coherent": leg_coherent, "tp": leg_tp,
+         "d512": leg_d512}[leg]()
