@@ -1263,3 +1263,96 @@ def estimate_fused_circulant_stats(bank, r: jax.Array,
     m, den, acc = estimate_circ_packed_stats(ckb, x2d, tile_n, interpret)
     return (m[:n, 0], den[:n, 0],
             (acc[:n, :d] + 1j * acc[:n, d:]).astype(jnp.complex64))
+
+
+def _circ_kernel_coh_stats(bfwd_r, bfwd_i, lcoef, const, bias_r, bias_i,
+                           filt_r, filt_i, binv, x_ref, out_m, out_den,
+                           out_acc, *, t_coh: int, alpha: float):
+    """Stats variant of `_circ_kernel_coh`: T-major per-row blended logits,
+    un-normalized (m, den, acc) with acc in the DFT domain (block-constant
+    m/den rows at alpha=1 — callers slice per block)."""
+    x = x_ref[:]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    ur = dot(x, bfwd_r[:])
+    ui = dot(x, bfwd_i[:])
+    z = jnp.concatenate([ur, ui, ur * ur + ui * ui], axis=-1)
+    logits = dot(z, lcoef[:]) + const[:]
+    bp = logits.shape[0] // t_coh
+    s = logits[0:bp]
+    for j in range(1, t_coh):
+        s = s + logits[j * bp:(j + 1) * bp]
+    pooled = jnp.concatenate([s] * t_coh, axis=0)
+    lg = logits + alpha * (pooled - logits) if alpha < 1.0 else pooled
+    m = jnp.max(lg, axis=-1, keepdims=True)
+    p = jnp.exp(lg - m)
+    den = jnp.sum(p, axis=-1, keepdims=True)
+    br = dot(p, bias_r[:])
+    bi = dot(p, bias_i[:])
+    fr = dot(p, filt_r[:])
+    fi = dot(p, filt_i[:])
+    out_m[:] = m
+    out_den[:] = den
+    out_acc[:] = jnp.concatenate(
+        [br + fr * ur - fi * ui, bi + fr * ui + fi * ur], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def estimate_circ_packed_coh_stats(ckb: CircKernelBank, x2d: jax.Array,
+                                   tile_n: int, t_coh: int, alpha: float,
+                                   interpret: bool = False):
+    n, d2 = x2d.shape
+    _check_t_coh(tile_n, t_coh)
+    if n % tile_n:
+        raise ValueError(f"N={n} must be a multiple of tile_n={tile_n}")
+    bank_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    data_spec = pl.BlockSpec((tile_n, d2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    kern = functools.partial(_circ_kernel_coh_stats, t_coh=t_coh,
+                             alpha=alpha)
+    return pl.pallas_call(
+        kern,
+        grid=(n // tile_n,),
+        in_specs=[bank_spec] * 9 + [data_spec],
+        out_specs=[col_spec, col_spec, data_spec],
+        out_shape=[jax.ShapeDtypeStruct((n, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n, d2), jnp.float32)],
+        interpret=interpret,
+    )(ckb.bfwd_r, ckb.bfwd_i, ckb.lcoef, ckb.const, ckb.bias_r, ckb.bias_i,
+      ckb.filt_r, ckb.filt_i, ckb.binv, x2d)
+
+
+def estimate_fused_circulant_coherent_stats(bank, r: jax.Array,
+                                            alpha: float = 1.0,
+                                            interpret: bool = False,
+                                            blocks=None):
+    """Kernel analog of
+    `structured_bank.estimate_circulant_coherent_stats`: per-block state
+    (m (B,), den (B,)) at alpha=1, per-snapshot ((B, T)) below, acc
+    (B, T, D) complex in the DFT domain. Merge kernel states with kernel
+    states (shared per-shard logit convention)."""
+    b, t, m_dim = r.shape
+    lw_div = 1.0 - alpha + alpha * t
+    ckb = circ_kernel_bank(bank, blocks)
+    lw = jnp.maximum(bank.log_weights, -1e30).astype(jnp.float32)
+    ckb = ckb._replace(const=ckb.const - lw[None, :]
+                       + (lw / lw_div)[None, :])
+    base = _circ_tile_n(m_dim, bank.log_weights.shape[0])
+    if b * t < base:
+        base = 256
+    tile_n = _coherent_tile_n(base, t)
+    rows, b_pad = _blocks_to_tmajor(r, tile_n)
+    x2d = jnp.concatenate([jnp.real(rows), jnp.imag(rows)],
+                          axis=-1).astype(jnp.float32)
+    m, den, acc = estimate_circ_packed_coh_stats(ckb, x2d, tile_n, t,
+                                                 float(alpha), interpret)
+    d = m_dim
+    acc_b = _tmajor_to_blocks(acc, t, tile_n, b)
+    acc_c = (acc_b[..., :d] + 1j * acc_b[..., d:]).astype(jnp.complex64)
+    m_b = _tmajor_to_blocks(m[:, 0], t, tile_n, b)
+    den_b = _tmajor_to_blocks(den[:, 0], t, tile_n, b)
+    if alpha >= 1.0:
+        return m_b[:, 0], den_b[:, 0], acc_c
+    return m_b, den_b, acc_c

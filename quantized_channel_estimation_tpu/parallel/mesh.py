@@ -161,11 +161,17 @@ def estimate_sharded_circulant(mesh: Mesh, bank, r: jax.Array,
     coherent = r.ndim == 3
 
     if use_kernel is None:
-        use_kernel = (jax.default_backend() == "tpu" and not coherent
-                      and blocks is None)
+        use_kernel = (jax.default_backend() == "tpu"
+                      and (not coherent or 1 < r.shape[1] <= 16))
 
     def body(bank_local, r_local):
-        if coherent:
+        if coherent and use_kernel:
+            from quantized_channel_estimation_tpu.estimators import (
+                pallas_kernels as pk)
+            m, den, acc = pk.estimate_fused_circulant_coherent_stats(
+                bank_local, r_local, coherence_alpha,
+                interpret=jax.default_backend() != "tpu", blocks=blocks)
+        elif coherent:
             m, den, acc = sb.estimate_circulant_coherent_stats(
                 bank_local, r_local, max(1, chunk_size // r_local.shape[1]),
                 coherence_alpha, blocks)

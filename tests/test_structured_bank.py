@@ -441,3 +441,24 @@ def test_fused_kernel_block_circulant():
                                                 interpret=True,
                                                 blocks=blocks)
     assert _rel(gotc, wantc) < 2e-4
+
+
+@pytest.mark.parametrize("alpha", [1.0, 0.25])
+def test_estimate_sharded_circulant_coherent_kernel_stats(circ_fit, alpha):
+    """TP coherent route with the fused coherent stats kernel per shard
+    (interpret mode, virtual mesh) must match the plain coherent
+    estimator."""
+    from quantized_channel_estimation_tpu.parallel import mesh as pmesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    fit, h = circ_fit
+    q = Q.design_quantizer(5.0, 2, "uniform")
+    rb = _observe(h[:512], 5.0, 2, q).reshape(128, 4, D)
+    bank = sb.prepare_bank_circulant(fit.params, 5.0, 1.0 + 0.0j, 2, q)
+    m = pmesh.make_mesh(2, 4)
+    got = pmesh.estimate_sharded_circulant(m, bank, rb, chunk_size=64,
+                                           coherence_alpha=alpha,
+                                           use_kernel=True)
+    want = sb.estimate_circulant_coherent(bank, rb, "all", 4096, alpha,
+                                          None, "fft")
+    assert _rel(got, want) < 2e-4
