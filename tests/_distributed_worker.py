@@ -113,6 +113,32 @@ for alpha in (1.0, 0.25):
     np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
                                atol=1e-5)
 
+# TP STRUCTURED (FFT-domain) estimation across the real transport: the
+# O(K D) circulant-bank shards merge with the same pmax/psum recurrence
+# (round-4; XLA stats path on CPU workers)
+from quantized_channel_estimation_tpu.models import structured_bank as sbm
+
+cfit = gmm.fit(jax.random.PRNGKey(12), jnp.asarray(h_np),
+               gmm.GmmConfig(n_components=4, cov_type="circulant",
+                             max_iter=8, chunk_size=N))
+cbank = sbm.prepare_bank_circulant(cfit.params, snr, 1.0 + 0.0j, n_bits, q)
+cbank_global = sbm.CirculantBank(*[
+    jax.make_array_from_process_local_data(
+        NamedSharding(mesh_tp, P(pmesh.COMPONENT_AXIS)),
+        np.asarray(x)[pid * 2:(pid + 1) * 2], np.asarray(x).shape)
+    for x in cbank])
+got_s = pmesh.estimate_sharded_circulant(mesh_tp, cbank_global, r_global,
+                                         chunk_size=200)
+want_s = sbm.estimate_circulant(cbank, jnp.asarray(r_np), "all", 16384,
+                                None, "fft")
+np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), atol=1e-5)
+got_sc = pmesh.estimate_sharded_circulant(
+    mesh_tp, cbank_global, rb_global, chunk_size=96, coherence_alpha=0.25)
+want_sc = sbm.estimate_circulant_coherent(cbank, jnp.asarray(rb_np), "all",
+                                          4096, 0.25, None, "fft")
+np.testing.assert_allclose(np.asarray(got_sc), np.asarray(want_sc),
+                           atol=1e-5)
+
 # DP MFA across real transport (shares the GMM-shaped psum'd statistics)
 from quantized_channel_estimation_tpu.models import mfa
 

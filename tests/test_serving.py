@@ -714,3 +714,32 @@ def test_mesh_backed_large_t_divisibility(service_setup):
         assert (snr, cfgT) in sel
     finally:
         svc2.close()
+
+
+def test_structured_auto_alpha_service():
+    """structured=True composes with coherence_alpha='auto' (selection runs
+    through the structured coherent estimator)."""
+    key = jax.random.PRNGKey(95)
+    t = 4
+    h, _ = scm.generate_channels(key, 5000, scm.ScmConfig(N_ANT, 1))
+    fit = gmm.fit(jax.random.PRNGKey(96), h[:4000],
+                  gmm.GmmConfig(n_components=4, cov_type="circulant",
+                                max_iter=12, chunk_size=2048))
+    hb, _ = scm.generate_channels(jax.random.PRNGKey(97), 200,
+                                  scm.ScmConfig(N_ANT, 1, n_coherence=t))
+    a = pilots.pilot_matrix(N_ANT, 1, 2)
+    snr = 0.0
+    q = Q.design_quantizer(snr, 2)
+    rb = np.asarray(observation.observe(jax.random.PRNGKey(98), hb[:120],
+                                        snr, a, 2, q))
+    svc = serving.EstimationService(fit.params, a, 2, max_delay_ms=1.0,
+                                    structured=True,
+                                    coherence_alpha="auto",
+                                    alpha_val=np.asarray(hb[120:]))
+    try:
+        out = svc.submit(rb, snr)
+        assert out.shape == (120, t, N_ANT)
+        sel = svc.metrics()["coherence_alpha_selected"]
+        assert (snr, t) in sel
+    finally:
+        svc.close()
