@@ -462,3 +462,18 @@ def test_estimate_sharded_circulant_coherent_kernel_stats(circ_fit, alpha):
     want = sb.estimate_circulant_coherent(bank, rb, "all", 4096, alpha,
                                           None, "fft")
     assert _rel(got, want) < 2e-4
+
+
+def test_circ_kernel_tile_budget():
+    """The auto tile keeps bank constants + per-tile intermediates inside
+    the scoped-VMEM budget at every eligible (D, K) (a fixed 1024-row tile
+    measured 26.3 MB at D=512 — results/parity_r4)."""
+    from quantized_channel_estimation_tpu.estimators.pallas_kernels import (
+        _circ_bank_bytes, _circ_tile_n)
+    for d, k in [(32, 8), (64, 64), (128, 64), (256, 32), (512, 16)]:
+        if _circ_bank_bytes(d, k) > 13 * 1024 * 1024:
+            continue
+        t = _circ_tile_n(d, k)
+        assert t >= 64 and (t & (t - 1)) == 0, (d, k, t)
+        total = _circ_bank_bytes(d, k) + t * 4 * (10 * d + 2 * k)
+        assert total <= 13 * 1024 * 1024, (d, k, t, total)
