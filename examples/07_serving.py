@@ -71,7 +71,13 @@ blocks = req.reshape(8, 4, N_ANT)
 out = svc.submit(blocks, 0.0)
 print(f"coherent request: {blocks.shape} -> {out.shape} "
       "(T snapshots share one component posterior)")
-svc.close()
+# the service self-reports (round-4): counters, latency histogram, queue
+# depth, bank-cache stats; close() DRAINS queued requests by default
+m = svc.metrics()
+print(f"metrics: {m['requests_completed']} requests, "
+      f"{m['estimates_served']} estimates, p50 {m['latency_p50_s']*1e3:.0f} ms, "
+      f"banks cached {m['banks_cached']}")
+svc.close()  # drains; close(drain=False) fails queued requests fast
 
 # 3. the same service over an MFA prior --------------------------------------
 mfit = mfa.fit(jax.random.PRNGKey(2), jax.numpy.asarray(stages.to_numpy(h_train)[:8000]),
