@@ -40,8 +40,10 @@ class QuantGmmBenchConfig:
     # TRAINING stream stays flattened (block pooling in the EM is a
     # measured no-op — PARITY_NOTES.md)
     n_coherence: int = 1
-    # evidence-blend exponent for the coherent column (see run_gmm.GmmBenchConfig.coherence_alpha)
-    coherence_alpha: float = 1.0
+    # evidence-blend exponent for the coherent column; 'auto' selects per
+    # SNR on held-out train blocks (see run_gmm.GmmBenchConfig)
+    coherence_alpha: object = 1.0
+    alpha_val_blocks: int = 1024
     n_pilots: int = 1
     n_bits: int = 2
     cov_type: str = "full"
@@ -77,6 +79,9 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
         raise ValueError(
             f"n_train={cfg.n_train} and n_val={cfg.n_val} must be "
             f"multiples of n_coherence={t_coh} (they count snapshots)")
+    auto_alpha = cfg.coherence_alpha == "auto"
+    if auto_alpha and t_coh <= 1:
+        raise ValueError("coherence_alpha='auto' requires n_coherence > 1")
     base_cfg = GmmBenchConfig(
         n_antennas=cfg.n_antennas, n_path=cfg.n_path, n_train=cfg.n_train,
         channel_model=cfg.channel_model, n_antennas_ms=cfg.n_antennas_ms,
@@ -84,10 +89,16 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
         use_cache=cfg.use_cache, n_coherence=t_coh)
     dim = channel_dim(base_cfg)
     channels, _ = _get_data(base_cfg, k_data)
+    alpha_val_h = None
     if t_coh > 1:
         nb_train, nb_val = cfg.n_train // t_coh, cfg.n_val // t_coh
+        nb_fit = nb_train
+        if auto_alpha:
+            nb_alpha = max(1, min(cfg.alpha_val_blocks, nb_train // 10))
+            nb_fit = nb_train - nb_alpha
+            alpha_val_h = stages.tree_slice(channels, nb_fit, nb_train)
         h_train = stages.flatten_coherence(
-            stages.tree_slice(channels, 0, nb_train))
+            stages.tree_slice(channels, 0, nb_fit))
         h_val_blocks = stages.tree_slice(channels, nb_train,
                                          nb_train + nb_val)
         h_val = stages.flatten_coherence(h_val_blocks)
@@ -128,6 +139,32 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
 
     mse_cols = {"blmmse_gmm_quant": []}
     rate_cols = {"blmmse_gmm_quant_rstat": []}
+    alpha_by_snr = {}
+
+    def coh_est(bank, rb, alpha):
+        if structured:
+            return stages.estimate_circulant_coherent(
+                bank, rb, cfg.n_summands_or_proba, float(alpha), cfg.blocks)
+        return stages.estimate_coherent_auto(bank, rb,
+                                             cfg.n_summands_or_proba, alpha)
+
+    def coherent_alpha(bank, snr, i):
+        if not auto_alpha:
+            return cfg.coherence_alpha
+        if snr not in alpha_by_snr:
+            from quantized_channel_estimation_tpu.models import gmm_estimator
+            r_a = stages.observe(jax.random.fold_in(k_obs, 10_000 + i),
+                                 alpha_val_h, snr, a, cfg.n_bits,
+                                 quantizers[snr])
+            scores = {}
+            for al in gmm_estimator.DEFAULT_ALPHA_GRID:
+                scores[float(al)] = stages.nmse(coh_est(bank, r_a, al),
+                                                alpha_val_h)
+            alpha_by_snr[snr] = min(scores, key=scores.get)
+            if verbose:
+                print(f"  alpha[{snr} dB] = {alpha_by_snr[snr]}")
+        return alpha_by_snr[snr]
+
     if t_coh > 1:
         mse_cols["blmmse_gmm_quant_coh"] = []
         rate_cols["blmmse_gmm_quant_coh_rstat"] = []
@@ -144,16 +181,8 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
             r_blocks = stages.observe(k_snr, h_val_blocks, snr, a,
                                       cfg.n_bits, quantizers[snr])
             r_val = stages.flatten_coherence(r_blocks)
-            if structured:
-                res_coh = stages.flatten_coherence(
-                    stages.estimate_circulant_coherent(
-                        bank, r_blocks, cfg.n_summands_or_proba,
-                        float(cfg.coherence_alpha), cfg.blocks))
-            else:
-                res_coh = stages.flatten_coherence(
-                    stages.estimate_coherent_auto(
-                        bank, r_blocks, cfg.n_summands_or_proba,
-                        cfg.coherence_alpha))
+            res_coh = stages.flatten_coherence(
+                coh_est(bank, r_blocks, coherent_alpha(bank, snr, i)))
             mse_cols["blmmse_gmm_quant_coh"].append(
                 stages.nmse(res_coh, h_val))
             if cfg.eval_rate:
@@ -195,7 +224,10 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
         cols.update(rate_cols)
     qio.write_result_csv(os.path.join(out_dir, base + ".csv"),
                          cfg.snrs, cols)
-    return mse_cols, rate_cols, {"fit": fit_time, "total": time.time() - t_start}
+    timings = {"fit": fit_time, "total": time.time() - t_start}
+    if auto_alpha:
+        timings["coherence_alpha_by_snr"] = dict(alpha_by_snr)
+    return mse_cols, rate_cols, timings
 
 
 if __name__ == "__main__":

@@ -229,3 +229,20 @@ def test_run_mfa_auto_alpha(tmp_results):
     assert set(alphas) == {0, 10}
     assert all(a in DEFAULT_ALPHA_GRID for a in alphas.values())
     assert all(np.isfinite(v) for v in m["blmmse_mfa_coh"])
+
+
+def test_run_gmm_quant_auto_alpha(tmp_results):
+    """run_gmm_quant coherence_alpha='auto' (round-4: all coherent
+    harnesses carry the selection)."""
+    from quantized_channel_estimation_tpu.models.gmm_estimator import (
+        DEFAULT_ALPHA_GRID)
+    results_dir, cache_dir = tmp_results
+    m, _, tim = run_gmm_quant.run(run_gmm_quant.QuantGmmBenchConfig(
+        n_antennas=16, n_components=4, n_train=8000, n_val=800,
+        snrs=(0, 10), max_iter=8, n_coherence=4, coherence_alpha="auto",
+        alpha_val_blocks=200, results_dir=results_dir, cache_dir=cache_dir,
+        use_cache=False), verbose=False)
+    alphas = tim["coherence_alpha_by_snr"]
+    assert set(alphas) == {0, 10}
+    assert all(a in DEFAULT_ALPHA_GRID for a in alphas.values())
+    assert all(np.isfinite(v) for v in m["blmmse_gmm_quant_coh"])

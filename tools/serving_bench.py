@@ -226,6 +226,14 @@ def main():
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))
+    # second line: the service's SELF-reported view (round-4 metrics
+    # surface) — lets operators cross-check the external harness
+    sm = svc.metrics()
+    print(json.dumps({"service_metrics": {
+        k: sm[k] for k in ("requests_completed", "estimates_served",
+                           "requests_shed", "microbatches",
+                           "bank_cache_misses", "latency_p50_s",
+                           "latency_p99_s")}}))
 
 
 if __name__ == "__main__":
