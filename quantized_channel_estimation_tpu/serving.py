@@ -9,9 +9,11 @@ flushed either when a batch fills or when the oldest request exceeds
 
 The estimator bank is prepared per SNR once and cached (pure pytrees — cheap
 to hold many). The compute path is the fused Pallas kernel when available,
-falling back to the einsum estimator; a `mesh` turns `_compute` into
-tensor-parallel sharded estimation so serving can use every chip of a host
-(`parallel.mesh.estimate_sharded_kernel`).
+falling back to the einsum estimator; `structured=True` serves through the
+FFT-domain circulant bank (O(K·D) memory, its own fused kernels — the
+fastest single-chip path for circulant fits, BASELINE.md); a `mesh` turns
+`_compute` into tensor-parallel sharded estimation so serving can use every
+chip of a host (`estimate_sharded_kernel` / `estimate_sharded_circulant`).
 
 Coherence blocks are first-class: a (n, T, M) request routes through
 block-pooled joint estimation (`gmm_estimator.estimate_coherent` /
