@@ -3,7 +3,10 @@
 Standard config (reference `Bussgang_GMM.py:34-52`): N=64 antennas, K=64
 components, 1 pilot, 2-bit uniform quantizer, zero-mean full-covariance bank,
 'all' component weighting. Compute path: the fused Pallas estimation kernel
-(estimators/pallas_kernels.py).
+(estimators/pallas_kernels.py). The metric is held fixed at this
+full-covariance config for cross-round comparability; circulant fits serve
+~35% faster still through the round-4 structured kernel (21.2 M est/s,
+tools/circ_kernel_bench.py — BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
