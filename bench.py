@@ -5,8 +5,8 @@ components, 1 pilot, 2-bit uniform quantizer, zero-mean full-covariance bank,
 'all' component weighting. Compute path: the fused Pallas estimation kernel
 (estimators/pallas_kernels.py). The metric is held fixed at this
 full-covariance config for cross-round comparability; circulant fits serve
-~35% faster still through the round-4 structured kernel (21.2 M est/s,
-tools/circ_kernel_bench.py — BASELINE.md).
+~40-50% faster still through the round-4 structured kernel (21.2 M est/s
+at K=64, 22.3 M at K=256; tools/circ_kernel_bench.py — BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
