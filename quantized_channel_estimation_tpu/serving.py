@@ -125,7 +125,7 @@ class EstimationService:
                  coherence_alpha: Union[float, str] = 1.0,
                  alpha_val: Optional[np.ndarray] = None,
                  mesh=None, structured: bool = False,
-                 structured_blocks=None):
+                 structured_blocks=None, factored: bool = False):
         """max_banks: LRU cap on cached per-SNR PreparedBanks (each is
         K*M^2 complex + K*D*M plus a per-shape compiled-program set — a
         client sweeping arbitrary float SNRs must not grow memory without
@@ -155,9 +155,16 @@ class EstimationService:
         circulant/block-circulant fits with the P=1 scaled-identity pilot;
         measured faster than the fused kernel at D=64 and 5.5x the dense
         path at D=1024, BASELINE.md); `structured_blocks` selects the
-        kron basis for block-circulant fits."""
-        if structured:
-            use_pallas = False   # the FFT path replaces the kernel
+        kron basis for block-circulant fits. factored: `params` is an
+        `mfa.MfaParams` and estimation runs through the low-rank+diagonal
+        Woodbury bank (`models/mfa_bank.py` — O(K D M) memory, O(N K D M)
+        estimation; exact for n-bit/inf-bit with the P=1 scaled-identity
+        pilot; use `from_mfa(factored=True)`)."""
+        if structured and factored:
+            raise ValueError("structured and factored are mutually "
+                             "exclusive bank representations")
+        if structured or factored:
+            use_pallas = False   # these paths replace the dense kernel
         if use_pallas is None:
             # auto: the fused kernel serves 'all'-mode requests on TPU;
             # selection modes and kernel-less backends take the einsum path
@@ -173,6 +180,7 @@ class EstimationService:
         self.mesh = mesh
         self.structured = structured
         self.structured_blocks = structured_blocks
+        self.factored = factored
         if use_pallas and mode != "all":
             # the fused kernel only computes the dense 'all'-mode combine;
             # silently serving 'all' results for a selection mode would be
@@ -185,6 +193,38 @@ class EstimationService:
         self._init_runtime(max_batch, max_delay_ms, max_banks, snr_step_db,
                            max_queue, coherence_alpha, alpha_val)
         self._prepare = cjit(gmm_estimator.prepare_bank, static_argnums=(3,))
+        if factored:
+            from quantized_channel_estimation_tpu.models import (
+                mfa_bank as mb)
+            self._prepare = cjit(mb.prepare_bank_factored,
+                                 static_argnums=(3,))
+            if mesh is not None:
+                from quantized_channel_estimation_tpu.parallel import (
+                    mesh as pm)
+                self._mesh_fns = {}
+
+                def fmesh_fn(alpha: float):
+                    if alpha not in self._mesh_fns:
+                        self._mesh_fns[alpha] = cjit(
+                            lambda b, rr: pm.estimate_sharded_factored(
+                                mesh, b, rr, coherence_alpha=alpha))
+                    return self._mesh_fns[alpha]
+
+                self._estimate = lambda b, rr: fmesh_fn(1.0)(b, rr)
+                self._estimate_coherent = (
+                    lambda b, rr, mode_, cs, alpha: fmesh_fn(alpha)(b, rr))
+            else:
+                self._estimate = cjit(
+                    lambda b, r, mode, cs: mb.estimate_factored(
+                        b, r, mode, 4096),
+                    static_argnums=(2, 3))
+                self._estimate_coherent = cjit(
+                    lambda b, r, mode, cs, alpha:
+                        mb.estimate_factored_coherent(b, r, mode, 1024,
+                                                      alpha),
+                    static_argnums=(2, 3, 4))
+            self._start()
+            return
         if structured:
             from quantized_channel_estimation_tpu.models import (
                 structured_bank as sb)
@@ -302,14 +342,33 @@ class EstimationService:
         self._thread.start()
 
     @classmethod
-    def from_mfa(cls, mfa_params, a, n_bits, reg: float = 1e-6, **kwargs):
-        """Serve an MFA prior: densify the factor model to a full-covariance
-        bank once (`mfa.to_gmm_params`, reference
-        `mofa_cplx_bussgang.py:117-216` uses dense covariances at
-        prediction too) and run the identical bank machinery — the MFA's
-        low-rank structure pays at FIT time (O(KNDM) E-step), not at the
-        per-SNR LMMSE prepare, which needs Cr^{-1} anyway."""
+    def from_mfa(cls, mfa_params, a, n_bits, reg: float = 1e-6,
+                 factored: Optional[bool] = None, **kwargs):
+        """Serve an MFA prior. factored=True (the default for n-bit/inf-bit)
+        keeps the factor model FACTORED end to end: per-SNR prepare through
+        M x M Woodbury factorizations and O(N K D M) estimation
+        (`models/mfa_bank.py`) — the estimation-time analog of the
+        factored E-step, where the reference densifies
+        (`mofa_cplx_bussgang.py:117-216` predicts through dense
+        covariances). factored=False (and always for 1-bit, whose arcsine
+        map destroys low rank) densifies once via `mfa.to_gmm_params` and
+        runs the dense bank machinery."""
         from quantized_channel_estimation_tpu.models import mfa
+        from quantized_channel_estimation_tpu.ops.quantizer import (
+            is_inf_bits)
+        if factored is None:
+            factored = is_inf_bits(n_bits) or n_bits != 1
+            if factored:
+                try:  # the factored bank needs the A = x0*I pilot
+                    from quantized_channel_estimation_tpu.models import (
+                        structured_bank as sb)
+                    sb._pilot_scalar(a, mfa_params.psis.shape[-1])
+                except ValueError:
+                    factored = False
+            if factored and kwargs.get("use_pallas"):
+                factored = False  # explicit kernel request -> dense bank
+        if factored:
+            return cls(mfa_params, a, n_bits, factored=True, **kwargs)
         return cls(mfa.to_gmm_params(mfa_params, reg), a, n_bits, **kwargs)
 
     def _snap(self, snr: float) -> float:
@@ -389,7 +448,13 @@ class EstimationService:
         Shape-validates up front so one malformed request fails alone
         instead of poisoning every co-batched request at its SNR."""
         r = np.asarray(r)
-        m = self.a.re.shape[0] if hasattr(self.a, "re") else self.a.shape[0]
+        a_np = np.asarray(self.a.re if hasattr(self.a, "re") else self.a)
+        if a_np.ndim == 0:
+            # scalar x0*I pilot (factored/structured banks): M = D
+            m = self.params.psis.shape[-1] if getattr(
+                self, "factored", False) else self.params.means.shape[-1]
+        else:
+            m = a_np.shape[0]
         if r.ndim not in (2, 3) or r.shape[-1] != m:
             raise ValueError(f"observations must have shape (n, {m}) or "
                              f"(n, T, {m}); got {r.shape} (a 1-D vector "
