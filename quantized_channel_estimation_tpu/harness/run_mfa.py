@@ -58,6 +58,14 @@ class MfaBenchConfig:
     results_dir: str = "results"
     cache_dir: str = "results/saves"
     use_cache: bool = True
+    # Factored (low-rank+diagonal) estimation banks (round-4): 'auto' keeps
+    # the fitted factor model FACTORED at estimation time — O(K D M) bank,
+    # O(N K D M) estimation through the Woodbury pipeline
+    # (models/mfa_bank.py) — whenever it is EXACT: n_bits != 1 (the 1-bit
+    # arcsine map destroys low rank) with the P=1 scaled-identity pilot.
+    # True forces it (raises when ineligible), False densifies like the
+    # reference (`mofa_cplx_bussgang.py:117-216`).
+    use_factored_bank: Union[bool, str] = "auto"
 
 
 def run(cfg: MfaBenchConfig, verbose: bool = True):
@@ -112,13 +120,25 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
         n_components=cfg.n_components, latent_dim=cfg.latent_dim,
         ppca=cfg.ppca, lock_psis=cfg.lock_psis, zero_mean=cfg.zero_mean,
         rs_clip=rs_clip, max_iter=cfg.max_iter)
+    factored = (cfg.use_factored_bank if isinstance(cfg.use_factored_bank,
+                                                    bool)
+                else (cfg.n_bits != 1 and cfg.n_pilots == 1))
+    if factored and cfg.n_pilots != 1:
+        raise ValueError("use_factored_bank requires the P=1 "
+                         "scaled-identity pilot")
+    if factored and cfg.n_bits == 1:
+        raise ValueError("use_factored_bank does not support 1-bit "
+                         "(arcsine destroys low rank); set it False")
     t0 = time.time()
     res_fit = stages.mfa_fit(k_fit, h_train, mcfg)
-    params = stages.mfa_to_gmm(res_fit.params, 1e-6)
+    # only densify when the factored path is off — the factored bank keeps
+    # the O(K D M) representation end to end
+    params = None if factored else stages.mfa_to_gmm(res_fit.params, 1e-6)
     fit_time = time.time() - t0
     if verbose:
         print(f"MFA fit: {int(res_fit.n_iter)} iters "
-              f"ll={float(res_fit.log_likelihood):.1f} ({fit_time:.1f}s)")
+              f"ll={float(res_fit.log_likelihood):.1f} ({fit_time:.1f}s)"
+              + (" [factored bank]" if factored else ""))
 
     mse_cols = {"blmmse_mfa": []}
     rate_cols = {"mfa_rstat": []}
@@ -126,6 +146,13 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
     if t_coh > 1:
         mse_cols["blmmse_mfa_coh"] = []
         rate_cols["mfa_coh_rstat"] = []
+
+    if factored:
+        est_flat = stages.estimate_factored
+        est_coh = stages.estimate_factored_coherent
+    else:
+        est_flat = stages.estimate_auto
+        est_coh = stages.estimate_coherent_auto
 
     def coherent_alpha(bank, snr, i):
         """Fixed blend, or per-SNR 'auto' grid selection on the held-out
@@ -139,8 +166,8 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
                                  quantizers[snr])
             scores = {}
             for al in gmm_estimator.DEFAULT_ALPHA_GRID:
-                h_hat = stages.estimate_coherent_auto(
-                    bank, r_a, cfg.n_summands_or_proba, float(al))
+                h_hat = est_coh(bank, r_a, cfg.n_summands_or_proba,
+                                float(al))
                 scores[float(al)] = stages.nmse(h_hat, alpha_val_h)
             alpha_by_snr[snr] = min(scores, key=scores.get)
             if verbose:
@@ -149,13 +176,17 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
 
     for i, snr in enumerate(cfg.snrs):
         k_snr = jax.random.fold_in(k_obs, i)
-        bank = stages.prepare_bank(params, snr, a, cfg.n_bits,
-                                   quantizers[snr])
+        if factored:
+            bank = stages.prepare_bank_factored(res_fit.params, snr, a,
+                                                cfg.n_bits, quantizers[snr])
+        else:
+            bank = stages.prepare_bank(params, snr, a, cfg.n_bits,
+                                       quantizers[snr])
         if t_coh > 1:
             r_blocks = stages.observe(k_snr, h_val_blocks, snr, a,
                                       cfg.n_bits, quantizers[snr])
             r_val = stages.flatten_coherence(r_blocks)
-            res_coh = stages.flatten_coherence(stages.estimate_coherent_auto(
+            res_coh = stages.flatten_coherence(est_coh(
                 bank, r_blocks, cfg.n_summands_or_proba,
                 coherent_alpha(bank, snr, i)))
             mse_cols["blmmse_mfa_coh"].append(stages.nmse(res_coh, h_val))
@@ -166,7 +197,7 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
         else:
             r_val = stages.observe(k_snr, h_val, snr, a, cfg.n_bits,
                                    quantizers[snr])
-        res = stages.estimate_auto(bank, r_val, cfg.n_summands_or_proba)
+        res = est_flat(bank, r_val, cfg.n_summands_or_proba)
         mse_cols["blmmse_mfa"].append(stages.nmse(res, h_val))
         if cfg.eval_rate:
             rate_cols["mfa_rstat"].append(

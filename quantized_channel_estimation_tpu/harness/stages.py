@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 
 from quantized_channel_estimation_tpu.estimators import blmmse, ls
-from quantized_channel_estimation_tpu.models import gmm, gmm_estimator, gmm_quant, mfa, structured_bank
+from quantized_channel_estimation_tpu.models import (
+    gmm, gmm_estimator, gmm_quant, mfa, mfa_bank, structured_bank)
 from quantized_channel_estimation_tpu.ops import observation, pilots, scm
 from quantized_channel_estimation_tpu.ops import scm_mimo
 from quantized_channel_estimation_tpu.ops.boundary import (
@@ -140,6 +141,20 @@ estimate_circulant_coherent = cjit(
 estimate = cjit(gmm_estimator.estimate, static_argnums=(2, 3))
 estimate_coherent = cjit(gmm_estimator.estimate_coherent,
                          static_argnums=(2, 3, 4))
+# Factored (low-rank+diagonal) MFA banks (round-4): exact for n-bit/inf-bit
+# with the P=1 scaled-identity pilot; O(K D M) bank, O(N K D M) estimation
+# (models/mfa_bank.py; 1-bit densifies — arcsine destroys low rank)
+prepare_bank_factored = cjit(
+    lambda p_, snr, a_, nb, q_: mfa_bank.prepare_bank_factored(
+        p_, snr, a_, nb, q_),
+    static_argnums=(3,))
+estimate_factored = cjit(
+    lambda b, r, mode: mfa_bank.estimate_factored(b, r, mode, 4096),
+    static_argnums=(2,))
+estimate_factored_coherent = cjit(
+    lambda b, r, mode, alpha: mfa_bank.estimate_factored_coherent(
+        b, r, mode, 1024, alpha),
+    static_argnums=(2, 3))
 
 
 _fused = None

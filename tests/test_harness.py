@@ -77,6 +77,26 @@ def test_run_mfa_end_to_end(tmp_results):
     assert mse["blmmse_mfa"][1] < 1.0
 
 
+def test_run_mfa_factored_matches_densified(tmp_results):
+    """use_factored_bank 'auto' (on for 2-bit/P=1) must reproduce the
+    densified path's MSE columns to f32 rounding — the Woodbury bank is
+    exact algebra, not an approximation."""
+    results_dir, cache_dir = tmp_results
+    cfg = run_mfa.MfaBenchConfig(
+        n_antennas=16, n_components=8, latent_dim=4, n_train=10000,
+        n_val=1000, max_iter=20, snrs=(0, 10), n_coherence=4,
+        coherence_alpha=0.25, results_dir=results_dir, cache_dir=cache_dir)
+    mse_f, _, _ = run_mfa.run(cfg, verbose=False)
+    mse_d, _, _ = run_mfa.run(
+        dataclasses.replace(cfg, use_factored_bank=False), verbose=False)
+    for col in ("blmmse_mfa", "blmmse_mfa_coh"):
+        for vf, vd in zip(mse_f[col], mse_d[col]):
+            assert abs(vf - vd) / vd < 1e-3, (col, mse_f[col], mse_d[col])
+    with pytest.raises(ValueError, match="1-bit"):
+        run_mfa.run(dataclasses.replace(cfg, use_factored_bank=True,
+                                        n_bits=1), verbose=False)
+
+
 def test_run_mfa_coherence_column(tmp_results):
     results_dir, cache_dir = tmp_results
     cfg = run_mfa.MfaBenchConfig(
