@@ -153,6 +153,31 @@ np.testing.assert_allclose(float(mfa_dist.log_likelihood),
 np.testing.assert_allclose(np.asarray(mfa_dist.params.psis),
                            np.asarray(mfa_single.params.psis), rtol=2e-2)
 
+# TP FACTORED (low-rank+diagonal) MFA estimation across the real
+# transport: O(K D M) Woodbury-bank shards merge with the same pmax/psum
+# recurrence (round-4 follow-on; flat + coherent alpha)
+from quantized_channel_estimation_tpu.models import mfa_bank as mbm
+
+fbank = mbm.prepare_bank_factored(mfa_single.params, snr, 1.0 + 0.0j,
+                                  n_bits, q)
+k_f = 2 // jax.process_count()
+fbank_global = mbm.FactoredBank(*[
+    jax.make_array_from_process_local_data(
+        NamedSharding(mesh_tp, P(pmesh.COMPONENT_AXIS)),
+        np.asarray(x)[pid * k_f:(pid + 1) * k_f], np.asarray(x).shape)
+    for x in fbank])
+got_f = pmesh.estimate_sharded_factored(mesh_tp, fbank_global, r_global,
+                                        chunk_size=200)
+want_f = mbm.estimate_factored(fbank, jnp.asarray(r_np), "all")
+np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                           atol=1e-5)
+got_fc = pmesh.estimate_sharded_factored(
+    mesh_tp, fbank_global, rb_global, chunk_size=96, coherence_alpha=0.25)
+want_fc = mbm.estimate_factored_coherent(fbank, jnp.asarray(rb_np), "all",
+                                         1024, 0.25)
+np.testing.assert_allclose(np.asarray(got_fc), np.asarray(want_fc),
+                           atol=1e-5)
+
 # DP quantized-EM across real transport (recovery statistics psum like the
 # moments); k-means init on the quantized stream exercises the DP k-means
 # on a second data distribution

@@ -84,9 +84,11 @@ def bank_bytes(bank):
 def run_leg(d, k, m, n_train, n_val, batch, label, n_path=2,
             dense_kernel=False, dense=True, max_iter=60):
     print(f"== {label}: D={d}, K={k}, M={m} MFA fit ==", flush=True)
+    # generation chunk shrinks with D (the SCM coloring peaks at
+    # chunk x D^2 intermediates; same rule as tools/structured_frontier.py)
     h, t = stages.generate_channels(jax.random.PRNGKey(0), n_train + n_val,
                                     scm.ScmConfig(d, n_path),
-                                    chunk=min(8192, n_train))
+                                    chunk=max(128, (4096 * 256) // d))
     h_train = stages.tree_slice(h, 0, n_train)
     h_val = stages.tree_slice(h, n_train, n_train + n_val)
     cfg = mfa.MfaConfig(n_components=k, latent_dim=m, zero_mean=True,
