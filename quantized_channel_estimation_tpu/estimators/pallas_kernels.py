@@ -1356,3 +1356,294 @@ def estimate_fused_circulant_coherent_stats(bank, r: jax.Array,
     if alpha >= 1.0:
         return m_b[:, 0], den_b[:, 0], acc_c
     return m_b, den_b, acc_c
+
+
+# ---------------------------------------------------------------------------
+# factored (low-rank+diagonal / MFA) fused kernel
+# ---------------------------------------------------------------------------
+
+class FactKernelBank(NamedTuple):
+    """`mfa_bank.FactoredBank` lowered for a single-pass fused kernel.
+
+    Same architecture as `CircKernelBank` — forward GEMMs, a
+    stacked-coefficient logit GEMM, softmax, combine GEMMs, all in VMEM —
+    with the DFT transform replaced by the Woodbury coefficient GEMMs
+    (beta = T r, gamma = P2 r as (TN, 2KM) split-real arrays) and the
+    per-component M-row reduction of |beta - T mu|^2 realized as ONE
+    block-indicator GEMM (MXU-shaped; no sub-128 lane slicing, no
+    reshapes of the lane dim — CLAUDE.md Mosaic rules). KM = K*M.
+
+    fwd_t/fwd_p: (2D, 2KM) f32  [xr|xi] @ . -> [beta_r|beta_i] / gamma
+    tmu2:        (1, 2KM) f32   [Re T mu | Im T mu]
+    lcoef:       (3D, K) f32    [2(Re mu_r inv_e)^T; 2(Im ..)^T; -inv_e^T]
+    const:       (1, K) f32     logw - logdet - mu2 (dead comps -1e30)
+    ind:         (2KM, K) f32   both halves' M-blocks -> component column
+    indt2:       (K, 2KM) f32   w broadcast K -> 2KM
+    cstack_r/i:  (4KM, D) f32   [wkm*gam | wkm*beta] @ . -> Re/Im combine
+                                (Lambda rows; MINUS-R rows folded in)
+    bias_r/i:    (K, D) f32
+    a1_r/i:      (K, D) f32
+    """
+    fwd_t: jax.Array
+    fwd_p: jax.Array
+    tmu2: jax.Array
+    lcoef: jax.Array
+    const: jax.Array
+    ind: jax.Array
+    indt2: jax.Array
+    cstack_r: jax.Array
+    cstack_i: jax.Array
+    bias_r: jax.Array
+    bias_i: jax.Array
+    a1_r: jax.Array
+    a1_i: jax.Array
+
+
+def _fact_bank_bytes(d: int, k: int, m: int) -> int:
+    km = k * m
+    return 4 * (2 * (2 * d) * (2 * km) + 2 * km + 3 * d * k + k
+                + 2 * (2 * km) * k + 2 * (4 * km) * d + 4 * k * d)
+
+
+def _fact_tile_n(d: int, k: int, m: int, requested=None) -> int:
+    """Largest power-of-two sample tile keeping constants + per-tile
+    intermediates inside the ~13 MiB scoped-VMEM budget (same accounting
+    as `_circ_tile_n`: per-row live set spans x/z/beta/gamma/diff/op/
+    logits/combine buffers)."""
+    if requested is not None:
+        return requested
+    km = k * m
+    budget = 13 * 1024 * 1024 - _fact_bank_bytes(d, k, m) - 2 * 1024 * 1024
+    per_row = 4 * (10 * d + 12 * km + 4 * k)
+    cap = max(64, budget // per_row)
+    t = 64
+    while t * 2 <= min(cap, 2048):
+        t *= 2
+    return t
+
+
+def _split_cols(ct):
+    """(D, KM) complex right-multiplier -> (2D, 2KM) f32 block matrix:
+    [xr|xi] @ block = [Re(x@ct) | Im(x@ct)]."""
+    top = jnp.concatenate([jnp.real(ct), jnp.imag(ct)], axis=-1)
+    bot = jnp.concatenate([-jnp.imag(ct), jnp.real(ct)], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2).astype(jnp.float32)
+
+
+@highest_precision
+def fact_kernel_bank(bank) -> FactKernelBank:
+    """Lower a `mfa_bank.FactoredBank` (jittable)."""
+    k, m, d = bank.t_mat.shape
+    km = k * m
+    t_flat = bank.t_mat.reshape(km, d)
+    p_flat = bank.p2_mat.reshape(km, d)
+    fwd_t = _split_cols(t_flat.T)
+    fwd_p = _split_cols(p_flat.T)
+    tmu = bank.t_mu.reshape(1, km)
+    tmu2 = jnp.concatenate([jnp.real(tmu), jnp.imag(tmu)],
+                           axis=-1).astype(jnp.float32)
+    cm_r = (jnp.real(bank.means_r) * bank.inv_e).T       # (D, K)
+    cm_i = (jnp.imag(bank.means_r) * bank.inv_e).T
+    lcoef = jnp.concatenate([2.0 * cm_r, 2.0 * cm_i, -bank.inv_e.T],
+                            axis=0).astype(jnp.float32)
+    mu2 = jnp.sum(jnp.abs(bank.means_r) ** 2 * bank.inv_e, axis=-1)
+    const = jnp.maximum(bank.log_weights - bank.logdet - mu2,
+                        -1e30).astype(jnp.float32)[None, :]
+    eye = jnp.eye(k, dtype=jnp.float32)
+    blk = jnp.repeat(eye, m, axis=0)                     # (KM, K)
+    ind = jnp.concatenate([blk, blk], axis=0)            # (2KM, K)
+    indt2 = ind.T
+    lam_flat = bank.lam_t.reshape(km, d)
+    r_flat = bank.r_t.reshape(km, d)
+    cstack_r = jnp.concatenate(
+        [jnp.real(lam_flat), -jnp.imag(lam_flat),
+         -jnp.real(r_flat), jnp.imag(r_flat)], axis=0).astype(jnp.float32)
+    cstack_i = jnp.concatenate(
+        [jnp.imag(lam_flat), jnp.real(lam_flat),
+         -jnp.imag(r_flat), -jnp.real(r_flat)], axis=0).astype(jnp.float32)
+    return FactKernelBank(
+        fwd_t, fwd_p, tmu2, lcoef, const, ind, indt2, cstack_r, cstack_i,
+        jnp.real(bank.bias).astype(jnp.float32),
+        jnp.imag(bank.bias).astype(jnp.float32),
+        jnp.real(bank.a1).astype(jnp.float32),
+        jnp.imag(bank.a1).astype(jnp.float32))
+
+
+def _fact_kernel(fwd_t, fwd_p, tmu2, lcoef, const, ind, indt2,
+                 cstack_r, cstack_i, bias_r, bias_i, a1_r, a1_i,
+                 xr_ref, xi_ref, out_ref):
+    """One sample tile, straight-line: Woodbury coefficient GEMMs ->
+    logits -> softmax -> combine, all in VMEM."""
+    xr = xr_ref[:]                                         # (TN, D)
+    xi = xi_ref[:]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    x2 = jnp.concatenate([xr, xi], axis=-1)                # (TN, 2D)
+    beta = dot(x2, fwd_t[:])                               # (TN, 2KM)
+    gam = dot(x2, fwd_p[:])
+    z = jnp.concatenate([xr, xi, xr * xr + xi * xi], axis=-1)
+    diff = beta - tmu2[:]
+    logits = dot(z, lcoef[:]) + dot(diff * diff, ind[:]) + const[:]
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - mx)
+    w = p / jnp.sum(p, axis=-1, keepdims=True)             # (TN, K)
+    wkm = dot(w, indt2[:])                                 # (TN, 2KM)
+    op = jnp.concatenate([wkm * gam, wkm * beta], axis=-1)  # (TN, 4KM)
+    ar = dot(w, a1_r[:])
+    ai = dot(w, a1_i[:])
+    hr = dot(op, cstack_r[:]) + dot(w, bias_r[:]) + ar * xr - ai * xi
+    hi = dot(op, cstack_i[:]) + dot(w, bias_i[:]) + ar * xi + ai * xr
+    out_ref[:] = jnp.concatenate([hr, hi], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def estimate_fact_packed(fkb: FactKernelBank, xr: jax.Array, xi: jax.Array,
+                         tile_n: int = 1024, interpret: bool = False):
+    """Fused factored estimation: xr/xi (N, D) f32 -> (N, 2D) f32
+    [Re | Im]. N must be a multiple of tile_n."""
+    n, d = xr.shape
+    if n % tile_n:
+        raise ValueError(f"N={n} must be a multiple of tile_n={tile_n}")
+    km2 = fkb.tmu2.shape[-1]
+    k_comp = fkb.const.shape[-1]
+    bank_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    data_spec = pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_n, 2 * d), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    flops = 2 * n * (2 * (2 * d) * km2 + 3 * d * k_comp + km2 * k_comp
+                     + k_comp * km2 + 2 * km2 * 2 * d + 4 * k_comp * d)
+    return pl.pallas_call(
+        _fact_kernel,
+        grid=(n // tile_n,),
+        in_specs=[bank_spec] * 13 + [data_spec, data_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 2 * d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (4 * n * d) + _fact_bank_bytes(
+                d, k_comp, km2 // (2 * k_comp)),
+            transcendentals=n * k_comp),
+        interpret=interpret,
+    )(fkb.fwd_t, fkb.fwd_p, fkb.tmu2, fkb.lcoef, fkb.const, fkb.ind,
+      fkb.indt2, fkb.cstack_r, fkb.cstack_i, fkb.bias_r, fkb.bias_i,
+      fkb.a1_r, fkb.a1_i, xr, xi)
+
+
+def estimate_fused_factored(bank, r: jax.Array, tile_n=None,
+                            interpret: bool = False) -> jax.Array:
+    """Fused 'all'-mode factored estimation of r (N, M) complex through a
+    `mfa_bank.FactoredBank` — the kernel analog of
+    `mfa_bank.estimate_factored` ('all' mode; selection modes stay on the
+    XLA path)."""
+    fkb = fact_kernel_bank(bank)
+    k, m, d = bank.t_mat.shape
+    tile_n = _fact_tile_n(d, k, m, tile_n)
+    n = r.shape[0]
+    n_pad = -(-n // tile_n) * tile_n
+    rp = jnp.pad(r, ((0, n_pad - n), (0, 0)))
+    xr = jnp.real(rp).astype(jnp.float32)
+    xi = jnp.imag(rp).astype(jnp.float32)
+    out = estimate_fact_packed(fkb, xr, xi, tile_n, interpret)
+    return (out[:n, :d] + 1j * out[:n, d:]).astype(r.dtype)
+
+
+def _fact_kernel_coh(fwd_t, fwd_p, tmu2, lcoef, const, ind, indt2,
+                     cstack_r, cstack_i, bias_r, bias_i, a1_r, a1_i,
+                     xr_ref, xi_ref, out_ref, *, t_coh: int, alpha: float):
+    """Coherent variant of `_fact_kernel`: rows are T-major per tile
+    (`_blocks_to_tmajor`), per-snapshot logits pool over T static sublane
+    slices of bp rows before the softmax (the hardware-validated pattern
+    of `_circ_kernel_coh`), with the leave-one-out alpha blend as one
+    extra VPU fma. `const` must carry the mixture log-weight pre-divided
+    by (1 - alpha + alpha*T) so it enters once per block after pooling;
+    logdet/mu2 are per-snapshot likelihood terms and pool T times."""
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    x2 = jnp.concatenate([xr, xi], axis=-1)
+    beta = dot(x2, fwd_t[:])
+    gam = dot(x2, fwd_p[:])
+    z = jnp.concatenate([xr, xi, xr * xr + xi * xi], axis=-1)
+    diff = beta - tmu2[:]
+    logits = dot(z, lcoef[:]) + dot(diff * diff, ind[:]) + const[:]
+    bp = logits.shape[0] // t_coh
+    s = logits[0:bp]
+    for j in range(1, t_coh):
+        s = s + logits[j * bp:(j + 1) * bp]
+    pooled = jnp.concatenate([s] * t_coh, axis=0)
+    lg = logits + alpha * (pooled - logits) if alpha < 1.0 else pooled
+    mx = jnp.max(lg, axis=-1, keepdims=True)
+    p = jnp.exp(lg - mx)
+    w = p / jnp.sum(p, axis=-1, keepdims=True)
+    wkm = dot(w, indt2[:])
+    op = jnp.concatenate([wkm * gam, wkm * beta], axis=-1)
+    ar = dot(w, a1_r[:])
+    ai = dot(w, a1_i[:])
+    hr = dot(op, cstack_r[:]) + dot(w, bias_r[:]) + ar * xr - ai * xi
+    hi = dot(op, cstack_i[:]) + dot(w, bias_i[:]) + ar * xi + ai * xr
+    out_ref[:] = jnp.concatenate([hr, hi], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def estimate_fact_packed_coh(fkb: FactKernelBank, xr: jax.Array,
+                             xi: jax.Array, tile_n: int, t_coh: int,
+                             alpha: float, interpret: bool = False):
+    """T-major coherent fused factored estimation; xr/xi (N, D) f32 with
+    N a multiple of tile_n and tile_n // t_coh a multiple of 8."""
+    n, d = xr.shape
+    _check_t_coh(tile_n, t_coh)
+    if n % tile_n:
+        raise ValueError(f"N={n} must be a multiple of tile_n={tile_n}")
+    km2 = fkb.tmu2.shape[-1]
+    k_comp = fkb.const.shape[-1]
+    bank_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    data_spec = pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_n, 2 * d), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    kern = functools.partial(_fact_kernel_coh, t_coh=t_coh, alpha=alpha)
+    flops = 2 * n * (2 * (2 * d) * km2 + 3 * d * k_comp + 2 * km2 * k_comp
+                     + 2 * km2 * 2 * d + 4 * k_comp * d)
+    return pl.pallas_call(
+        kern,
+        grid=(n // tile_n,),
+        in_specs=[bank_spec] * 13 + [data_spec, data_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 2 * d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=4 * (4 * n * d),
+            transcendentals=n * k_comp),
+        interpret=interpret,
+    )(fkb.fwd_t, fkb.fwd_p, fkb.tmu2, fkb.lcoef, fkb.const, fkb.ind,
+      fkb.indt2, fkb.cstack_r, fkb.cstack_i, fkb.bias_r, fkb.bias_i,
+      fkb.a1_r, fkb.a1_i, xr, xi)
+
+
+def estimate_fused_factored_coherent(bank, r: jax.Array,
+                                     alpha: float = 1.0,
+                                     interpret: bool = False) -> jax.Array:
+    """Fused coherent factored estimation of blocks r (B, T, M) ->
+    (B, T, D): kernel analog of `mfa_bank.estimate_factored_coherent`
+    ('all' mode, T <= 16; callers check eligibility and fall back to the
+    XLA path)."""
+    b, t, m_dim = r.shape
+    if t == 1:
+        return estimate_fused_factored(bank, r[:, 0, :],
+                                       interpret=interpret)[:, None, :]
+    lw_div = 1.0 - alpha + alpha * t
+    fkb = fact_kernel_bank(bank)
+    lw = jnp.maximum(bank.log_weights, -1e30).astype(jnp.float32)
+    fkb = fkb._replace(const=fkb.const - lw[None, :]
+                       + (lw / lw_div)[None, :])
+    k, m, d = bank.t_mat.shape
+    base = _fact_tile_n(d, k, m)
+    if b * t < base:
+        base = 256
+    tile_n = _coherent_tile_n(base, t)
+    rows, b_pad = _blocks_to_tmajor(r, tile_n)
+    xr = jnp.real(rows).astype(jnp.float32)
+    xi = jnp.imag(rows).astype(jnp.float32)
+    out = estimate_fact_packed_coh(fkb, xr, xi, tile_n, t, float(alpha),
+                                   interpret)
+    out_b = _tmajor_to_blocks(out, t, tile_n, b)          # (B, T, 2D)
+    return (out_b[..., :d] + 1j * out_b[..., d:]).astype(r.dtype)

@@ -35,10 +35,14 @@ O(K D^2). Per-sample estimation with the diagonal A_eff^H = conj(x0) diag(g):
 
   W r = Ch A_eff^H Cr^{-1} r = Lambda gamma + (psi c / e) o r - R beta
         beta  = T r                          (M,)
-        gamma = P r - Q beta                 (M,)
+        gamma = P2 r                         (M,)
   with the precomputed O(K D M) bank pieces
-        c = conj(x0) g,   P = Lambda^H diag(c/e),
-        Q = Lambda^H diag(c) T^H,   R = diag(psi c) T^H
+        c = conj(x0) g,
+        P2 = Lambda^H diag(c/e) - (Lambda^H diag(c) T^H) T
+             (the Q beta = Q T r term is LINEAR in r, so it folds into the
+              forward matrix — no batched (K, M, M) contraction at
+              estimation time),
+        R = diag(psi c) T^H
 
 i.e. O(K D M) per sample instead of O(K D^2) — a D/(2M)-fold FLOP reduction
 that GROWS with D at fixed latent rank, and the memory wall that stops the
@@ -81,7 +85,7 @@ class FactoredBank(NamedTuple):
     K components, D dims, M latent rank. The matrix quantities of
     `gmm_estimator.PreparedBank` collapse to O(D M) factors: `t_mat`
     replaces the (K, M_obs, M_obs) precision Cholesky factors, the
-    (`lam_t`, `p_mat`, `q_mat`, `r_t`, `a1`) family the (K, D, M_obs)
+    (`lam_t`, `p2_mat`, `r_t`, `a1`) family the (K, D, M_obs)
     dense LMMSE filters. Total bank memory O(K D M) vs O(K D^2)."""
     log_weights: jax.Array  # (K,) f32; dead components at -inf
     means_r: jax.Array      # (K, D) complex: Bussgang-domain obs means
@@ -90,8 +94,7 @@ class FactoredBank(NamedTuple):
     t_mu: jax.Array         # (K, M) complex: T means_r
     logdet: jax.Array       # (K,) f32: log det Cr
     lam_t: jax.Array        # (K, M, D) complex: Lambda^T (combine stack)
-    p_mat: jax.Array        # (K, M, D) complex: Lambda^H diag(c/e)
-    q_mat: jax.Array        # (K, M, M) complex: Lambda^H diag(c) T^H
+    p2_mat: jax.Array       # (K, M, D) complex: Lam^H diag(c/e) - Q T
     r_t: jax.Array          # (K, M, D) complex: rows (psi c) * conj(T)
     a1: jax.Array           # (K, D) complex: psi c / e
     bias: jax.Array         # (K, D) complex: mu - W mu_r
@@ -149,19 +152,22 @@ def prepare_bank_factored(params: MfaParams, snr_db, a, n_bits,
     mu_r = gains.astype(u.dtype) * (x0 * params.means)    # (K, D)
     t_mu = jnp.einsum("kmd,kd->km", t_mat, mu_r)
 
-    # estimation stacks: W = Ch diag(c) Cr^-1 with c = conj(x0) g
+    # estimation stacks: W = Ch diag(c) Cr^-1 with c = conj(x0) g.
+    # gamma = P r - Q (T r) is linear in r, so Q folds into the forward
+    # matrix ONCE at prepare: P2 = P - Q T (O(K D M^2) — the only
+    # rectangular product here, still no D^3 anywhere)
     c = jnp.conj(x0) * gains.astype(u.dtype)              # (K, D)
     lam_t = jnp.swapaxes(lam, -1, -2)                     # (K, M, D)
     p_mat = jnp.conj(lam_t) * (c * inv_e)[:, None, :]
     q_mat = jnp.einsum("kmd,kpd->kmp", jnp.conj(lam_t) * c[:, None, :],
                        jnp.conj(t_mat))
+    p2_mat = p_mat - q_mat @ t_mat
     r_t = (psis.astype(u.dtype) * c)[:, None, :] * jnp.conj(t_mat)
     a1 = psis.astype(u.dtype) * c * inv_e
 
     # bias = mu - W mu_r through the same factored apply
     b_mu = t_mu
-    g_mu = (jnp.einsum("kmd,kd->km", p_mat, mu_r)
-            - jnp.einsum("kmp,kp->km", q_mat, b_mu))
+    g_mu = jnp.einsum("kmd,kd->km", p2_mat, mu_r)
     w_mu = (jnp.einsum("kmd,km->kd", lam_t, g_mu) + a1 * mu_r
             - jnp.einsum("kmd,km->kd", r_t, b_mu))
     bias = params.means - w_mu
@@ -170,18 +176,18 @@ def prepare_bank_factored(params: MfaParams, snr_db, a, n_bits,
     logw = jnp.where(params.weights >= floor,
                      jnp.log(jnp.maximum(params.weights, floor)), -jnp.inf)
     return FactoredBank(logw.astype(jnp.float32), mu_r, inv_e, t_mat, t_mu,
-                        logdet, lam_t, p_mat, q_mat, r_t, a1, bias)
+                        logdet, lam_t, p2_mat, r_t, a1, bias)
 
 
 def _forward(bank: FactoredBank, r: jax.Array):
     """The two forward GEMMs shared by responsibilities and combine:
-    beta = T r (N, K, M) and pr = P r (N, K, M)."""
+    beta = T r (N, K, M) and gamma = P2 r (N, K, M)."""
     k, m, d = bank.t_mat.shape
     beta = cplx.cmatmul(r, bank.t_mat.reshape(k * m, d).T).reshape(
         r.shape[0], k, m)
-    pr = cplx.cmatmul(r, bank.p_mat.reshape(k * m, d).T).reshape(
+    gamma = cplx.cmatmul(r, bank.p2_mat.reshape(k * m, d).T).reshape(
         r.shape[0], k, m)
-    return beta, pr
+    return beta, gamma
 
 
 def _log_prob(bank: FactoredBank, r: jax.Array, beta: jax.Array,
@@ -203,13 +209,12 @@ def _log_prob(bank: FactoredBank, r: jax.Array, beta: jax.Array,
 
 
 def _combine(bank: FactoredBank, r: jax.Array, w: jax.Array,
-             beta: jax.Array, pr: jax.Array) -> jax.Array:
-    """h = sum_k w_k (bias_k + W_k r): three (N, K*M) x (K*M, D)-class
+             beta: jax.Array, gamma: jax.Array) -> jax.Array:
+    """h = sum_k w_k (bias_k + W_k r): two (N, K*M) x (K*M, D) combine
     GEMMs plus the (N, K) bias/diag combines. w may be a posterior,
     selection weights, or unnormalized online-softmax weights."""
     n = r.shape[0]
     k, m, d = bank.lam_t.shape
-    gamma = pr - jnp.einsum("kmp,nkp->nkm", bank.q_mat, beta)
     wc = w.astype(gamma.dtype)
     h = cplx.rcmatmul(w, bank.bias) + cplx.rcmatmul(w, bank.a1) * r
     h = h + cplx.cmatmul((wc[:, :, None] * gamma).reshape(n, k * m),
@@ -219,23 +224,46 @@ def _combine(bank: FactoredBank, r: jax.Array, w: jax.Array,
 
 
 def _estimate_chunk(bank: FactoredBank, r: jax.Array, mode) -> jax.Array:
-    beta, pr = _forward(bank, r)
+    beta, gamma = _forward(bank, r)
     lp = _log_prob(bank, r, beta)
     proba = jax.nn.softmax(lp + bank.log_weights[None, :], axis=-1)
     w = _selection_weights(proba, mode).astype(jnp.float32)
-    return _combine(bank, r, w, beta, pr)
+    return _combine(bank, r, w, beta, gamma)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(2, 3, 4))
 @highest_precision
 def estimate_factored(bank: FactoredBank, r: jax.Array,
                       mode: Union[str, int, float] = "all",
-                      chunk_size: int = 4096) -> jax.Array:
+                      chunk_size: int = 4096,
+                      method: str = "auto") -> jax.Array:
     """Estimate channels from quantized observations r (N, M) -> (N, D)
     through the factored bank: the structured analog of
     `gmm_estimator.estimate` (identical posterior semantics and selection
     modes; matches the dense estimator to f32 rounding — the Woodbury form
-    is exact algebra). O(N K D M) total vs the dense path's O(N K D^2)."""
+    is exact algebra). O(N K D M) total vs the dense path's O(N K D^2).
+
+    method='auto' dispatches 'all'-mode TPU requests to the fused Pallas
+    kernel (`pallas_kernels.estimate_fused_factored`) when the whole bank
+    fits the ~13 MiB scoped-VMEM budget — measured +132% over this XLA
+    pipeline at D=64/K=64/M=16 (14.2 vs 6.1 M est/s, above the dense
+    kernel's 11.9 M same-session) and +80% at D=256/K=32/M=16; 'xla'
+    forces the chunked pipeline, 'kernel' forces the kernel (raises when
+    ineligible)."""
+    k_, m_, d_ = bank.t_mat.shape
+    from quantized_channel_estimation_tpu.estimators import (
+        pallas_kernels as pk)
+    kernel_ok = (mode == "all"
+                 and pk._fact_bank_bytes(d_, k_, m_) <= 13 * 1024 * 1024)
+    if method == "kernel" or (method == "auto" and kernel_ok
+                              and jax.default_backend() == "tpu"):
+        if not kernel_ok:
+            raise ValueError(
+                "method='kernel' needs mode='all' within the VMEM budget "
+                f"(got mode={mode!r}, bank bytes "
+                f"{pk._fact_bank_bytes(d_, k_, m_)})")
+        return pk.estimate_fused_factored(
+            bank, r, interpret=jax.default_backend() != "tpu")
     n = r.shape[0]
     n_chunks = -(-n // chunk_size)
     pad = n_chunks * chunk_size - n
@@ -252,7 +280,7 @@ def _estimate_coherent_chunk(bank: FactoredBank, r: jax.Array, mode,
     per-snapshot estimator), with the factored likelihood and combine."""
     b, t, d = r.shape
     rf = r.reshape(b * t, d)
-    beta, pr = _forward(bank, rf)
+    beta, gamma = _forward(bank, rf)
     lp3 = _log_prob(bank, rf, beta).reshape(b, t, -1)
     lp_sum = jnp.sum(lp3, axis=1)
     if alpha >= 1.0:
@@ -265,21 +293,41 @@ def _estimate_coherent_chunk(bank: FactoredBank, r: jax.Array, mode,
         proba = jax.nn.softmax(lg, axis=-1)
         w = _selection_weights(proba, mode).astype(jnp.float32)  # (B, T, K)
         wf = w.reshape(b * t, -1)
-    return _combine(bank, rf, wf, beta, pr).reshape(b, t, -1)
+    return _combine(bank, rf, wf, beta, gamma).reshape(b, t, -1)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
 @highest_precision
 def estimate_factored_coherent(bank: FactoredBank, r: jax.Array,
                                mode: Union[str, int, float] = "all",
                                chunk_size: int = 1024,
-                               alpha: float = 1.0) -> jax.Array:
+                               alpha: float = 1.0,
+                               method: str = "auto") -> jax.Array:
     """Joint estimation of coherence blocks r (B, T, M) -> (B, T, D)
     through the factored bank: structured analog of
-    `gmm_estimator.estimate_coherent` including the alpha evidence blend."""
+    `gmm_estimator.estimate_coherent` including the alpha evidence blend.
+    method='auto' dispatches 'all'-mode TPU requests with 1 <= T <= 16 to
+    the fused coherent kernel within the VMEM gate (same eligibility
+    family as `estimate_factored`)."""
     if r.ndim != 3:
         raise ValueError(f"estimate_factored_coherent expects (B, T, M) "
                          f"blocks, got shape {r.shape}")
+    k_, m_, d_ = bank.t_mat.shape
+    t_ = r.shape[1]
+    from quantized_channel_estimation_tpu.estimators import (
+        pallas_kernels as pk)
+    kernel_ok = (mode == "all" and 1 <= t_ <= 16
+                 and pk._fact_bank_bytes(d_, k_, m_) <= 13 * 1024 * 1024)
+    if method == "kernel" or (method == "auto" and kernel_ok
+                              and jax.default_backend() == "tpu"):
+        if not kernel_ok:
+            raise ValueError(
+                "method='kernel' needs mode='all', T <= 16, and the VMEM "
+                f"budget (got mode={mode!r}, T={t_}, bank bytes "
+                f"{pk._fact_bank_bytes(d_, k_, m_)})")
+        return pk.estimate_fused_factored_coherent(
+            bank, r, alpha=alpha,
+            interpret=jax.default_backend() != "tpu")
     n = r.shape[0]
     n_chunks = -(-n // chunk_size)
     pad = n_chunks * chunk_size - n
@@ -299,14 +347,14 @@ def _stats_chunk(bank: FactoredBank, r: jax.Array):
     reproduces `estimate_factored(..., 'all')`). The row-constant
     -D log pi is dropped (cancels in any normalized merge); dead
     components clamp to -1e30."""
-    beta, pr = _forward(bank, r)
+    beta, gamma = _forward(bank, r)
     lp = _log_prob(bank, r, beta, with_const=False)
     logits = (lp + jnp.maximum(bank.log_weights, -1e30)[None, :]).astype(
         jnp.float32)
     m = jnp.max(logits, axis=-1)
     p = jnp.exp(logits - m[:, None])
     den = jnp.sum(p, axis=-1)
-    acc = _combine(bank, r, p, beta, pr)
+    acc = _combine(bank, r, p, beta, gamma)
     return m, den, acc
 
 
@@ -333,7 +381,7 @@ def _coherent_stats_chunk(bank: FactoredBank, r: jax.Array, alpha: float):
     per-block / per-snapshot state convention and merge semantics)."""
     b, t, d = r.shape
     rf = r.reshape(b * t, d)
-    beta, pr = _forward(bank, rf)
+    beta, gamma = _forward(bank, rf)
     lp3 = _log_prob(bank, rf, beta, with_const=False).reshape(b, t, -1)
     lw = jnp.maximum(bank.log_weights, -1e30)
     lp_sum = jnp.sum(lp3, axis=1)
@@ -350,7 +398,7 @@ def _coherent_stats_chunk(bank: FactoredBank, r: jax.Array, alpha: float):
         p = jnp.exp(lg - m[..., None])
         den = jnp.sum(p, axis=-1)
         pf = p.reshape(b * t, -1)
-    acc = _combine(bank, rf, pf, beta, pr).reshape(b, t, -1)
+    acc = _combine(bank, rf, pf, beta, gamma).reshape(b, t, -1)
     return m, den, acc
 
 

@@ -142,6 +142,77 @@ def test_dead_component_floor(mfa_params, obs):
 
 
 # ---------------------------------------------------------------------------
+# fused Pallas kernel (interpret mode on CPU)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_bits", [2, "inf"])
+def test_fused_factored_kernel_matches_xla(mfa_params, obs, n_bits):
+    from quantized_channel_estimation_tpu.estimators import (
+        pallas_kernels as pk)
+    r, _ = obs
+    q = None if n_bits == "inf" else Q.design_quantizer(10.0, n_bits)
+    fb = mb.prepare_bank_factored(mfa_params, 10.0, X0, n_bits, q)
+    want = mb.estimate_factored(fb, r, "all", 4096, "xla")
+    got = pk.estimate_fused_factored(fb, r, tile_n=64, interpret=True)
+    assert _rel(got, want) < 1e-5
+
+
+def test_fused_factored_nonzero_means(obs, mfa_params):
+    """The kernel's bias/mean terms are exercised with non-zero means."""
+    from quantized_channel_estimation_tpu.estimators import (
+        pallas_kernels as pk)
+    r, q = obs
+    p2 = mfa_params._replace(means=mfa_params.means + (0.2 - 0.1j))
+    fb = mb.prepare_bank_factored(p2, 10.0, X0, 2, q)
+    want = mb.estimate_factored(fb, r, "all", 4096, "xla")
+    got = pk.estimate_fused_factored(fb, r, tile_n=64, interpret=True)
+    assert _rel(got, want) < 1e-5
+
+
+@pytest.mark.parametrize("t,alpha", [(4, 1.0), (4, 0.25), (4, 0.0),
+                                     (8, 1.0), (2, 0.5)])
+def test_fused_factored_coherent_kernel(mfa_params, obs, t, alpha):
+    from quantized_channel_estimation_tpu.estimators import (
+        pallas_kernels as pk)
+    r, q = obs
+    n = (r.shape[0] // t) * t
+    rb = r[:n].reshape(-1, t, D)
+    fb = mb.prepare_bank_factored(mfa_params, 10.0, X0, 2, q)
+    want = mb.estimate_factored_coherent(fb, rb, "all", 64, alpha, "xla")
+    got = pk.estimate_fused_factored_coherent(fb, rb, alpha=alpha,
+                                              interpret=True)
+    assert _rel(got, want) < 1e-5
+
+
+def test_fact_kernel_tile_budget():
+    """Auto tile sizing keeps bank constants + per-tile intermediates
+    inside the scoped-VMEM budget at every dispatchable size."""
+    from quantized_channel_estimation_tpu.estimators import (
+        pallas_kernels as pk)
+    for d, k, m in [(64, 64, 16), (128, 64, 16), (256, 32, 16),
+                    (512, 16, 16)]:
+        assert pk._fact_bank_bytes(d, k, m) <= 13 * 1024 * 1024, (d, k, m)
+        t = pk._fact_tile_n(d, k, m)
+        assert t >= 64 and (t & (t - 1)) == 0
+        per_row = 4 * (10 * d + 12 * k * m + 4 * k)
+        assert (pk._fact_bank_bytes(d, k, m) + t * per_row
+                <= 13 * 1024 * 1024), (d, k, m, t)
+    # D=512/M=32 exceeds the resident budget -> XLA fallback, kernel raises
+    assert pk._fact_bank_bytes(512, 16, 32) > 13 * 1024 * 1024
+
+
+def test_estimate_factored_kernel_method_raises_when_ineligible(mfa_params):
+    with pytest.raises(ValueError, match="VMEM|mode"):
+        big = mfa.MfaParams(
+            jnp.ones((4,)) / 4, jnp.zeros((4, 1024), jnp.complex64),
+            jnp.zeros((4, 1024, 256), jnp.complex64),
+            jnp.ones((4, 1024)))
+        fb = mb.prepare_bank_factored(big, 10.0, 1.0 + 0.0j, "inf")
+        mb.estimate_factored(fb, jnp.zeros((8, 1024), jnp.complex64),
+                             "all", 4096, "kernel")
+
+
+# ---------------------------------------------------------------------------
 # stats form + tensor-parallel merge
 # ---------------------------------------------------------------------------
 

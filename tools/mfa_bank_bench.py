@@ -39,7 +39,7 @@ from quantized_channel_estimation_tpu.ops.cplx import crandn
 
 SNR, NB = 10.0, 2
 prepare_fact = cjit(mb.prepare_bank_factored, static_argnums=(3,))
-estimate_fact = cjit(mb.estimate_factored, static_argnums=(2, 3))
+estimate_fact = cjit(mb.estimate_factored, static_argnums=(2, 3, 4))
 
 
 def median_time(fn, *args, reps=5):
@@ -105,8 +105,15 @@ def run_leg(d, k, m, n_train, n_val, batch, label, n_path=2,
     bank_f = prepare_fact(fit.params, SNR, a, NB, q)
     float(jnp.sum(jnp.abs(bank_f.log_weights)))
     prep_fact = time.time() - t0
-    h_fact = estimate_fact(bank_f, r, "all", 4096)
+    h_fact = estimate_fact(bank_f, r, "all", 4096, "xla")
     mse_f = stages.nmse(h_fact, h_val)
+    kernel_ok = (jax.default_backend() == "tpu"
+                 and pk._fact_bank_bytes(d, k, m) <= 13 * 1024 * 1024)
+    if kernel_ok:
+        h_kern = estimate_fact(bank_f, r, "all", 4096, "kernel")
+        mse_k = stages.nmse(h_kern, h_val)
+        print(f"  NMSE factored kernel={mse_k:.5f} (vs xla {mse_f:.5f}, "
+              f"rel delta {abs(mse_k-mse_f)/mse_f:.2e})", flush=True)
 
     if dense:
         t0 = time.time()
@@ -140,14 +147,21 @@ def run_leg(d, k, m, n_train, n_val, batch, label, n_path=2,
                 "dense kernel (fused)",
                 lambda b, x: pk.estimate_fused(b, x), bank_d, rb, batch)
     rates["factored"] = throughput(
-        "factored (Woodbury)",
-        lambda b, x: mb.estimate_factored(b, x, "all", 4096),
+        "factored (Woodbury, XLA)",
+        lambda b, x: mb.estimate_factored(b, x, "all", 4096, "xla"),
         bank_f, rb, batch)
+    if kernel_ok:
+        rates["factored_kernel"] = throughput(
+            "factored kernel (fused)",
+            lambda b, x: pk.estimate_fused_factored(b, x),
+            bank_f, rb, batch)
     if dense:
-        best_dense = max(v for kk, v in rates.items() if kk != "factored")
-        print(f"  [{label}] factored speedup: "
-              f"{rates['factored']/best_dense:.2f}x over best dense",
-              flush=True)
+        best_dense = max(v for kk, v in rates.items()
+                         if not kk.startswith("factored"))
+        best_fact = max(v for kk, v in rates.items()
+                        if kk.startswith("factored"))
+        print(f"  [{label}] best factored speedup: "
+              f"{best_fact/best_dense:.2f}x over best dense", flush=True)
     return rates
 
 
