@@ -179,7 +179,23 @@ def leg_d2048():
             max_iter=40)
 
 
+def leg_d4096():
+    """Frontier: the dense comparison leg is ATTEMPTED and its failure
+    mode reported (the structured campaign measured the dense GMM prepare
+    RESOURCE_EXHAUSTED at this size; the factored prepare is O(K D M))."""
+    try:
+        run_leg(4096, 4, 32, 40_000, 2_000, 4_096, "d4096", n_path=2,
+                max_iter=30)
+    except Exception as e:  # noqa: BLE001 - report the dense wall honestly
+        print(f"  dense leg failed: {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
+        print("  re-running factored-only", flush=True)
+        run_leg(4096, 4, 32, 40_000, 2_000, 4_096, "d4096", n_path=2,
+                max_iter=30, dense=False)
+
+
 if __name__ == "__main__":
     legs = sys.argv[1:] or ["d64", "d512"]
     for leg in legs:
-        {"d64": leg_d64, "d512": leg_d512, "d2048": leg_d2048}[leg]()
+        {"d64": leg_d64, "d512": leg_d512, "d2048": leg_d2048,
+         "d4096": leg_d4096}[leg]()
