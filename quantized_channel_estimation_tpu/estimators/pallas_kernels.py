@@ -1647,3 +1647,80 @@ def estimate_fused_factored_coherent(bank, r: jax.Array,
                                    interpret)
     out_b = _tmajor_to_blocks(out, t, tile_n, b)          # (B, T, 2D)
     return (out_b[..., :d] + 1j * out_b[..., d:]).astype(r.dtype)
+
+
+def _fact_kernel_stats(fwd_t, fwd_p, tmu2, lcoef, const, ind, indt2,
+                       cstack_r, cstack_i, bias_r, bias_i, a1_r, a1_i,
+                       xr_ref, xi_ref, out_m, out_den, out_acc):
+    """Stats variant of `_fact_kernel`: un-normalized online-softmax state
+    (m, den, acc) for a component SHARD — same logit convention as
+    `mfa_bank._stats_chunk` (log-prob without the row-constant -D log pi,
+    plus the clamped log-weight), so kernel and XLA shard states merge
+    exactly with the shared pmax/psum recurrence."""
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    x2 = jnp.concatenate([xr, xi], axis=-1)
+    beta = dot(x2, fwd_t[:])
+    gam = dot(x2, fwd_p[:])
+    z = jnp.concatenate([xr, xi, xr * xr + xi * xi], axis=-1)
+    diff = beta - tmu2[:]
+    logits = dot(z, lcoef[:]) + dot(diff * diff, ind[:]) + const[:]
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - mx)                               # un-normalized
+    out_m[:] = mx
+    out_den[:] = jnp.sum(p, axis=-1, keepdims=True)
+    wkm = dot(p, indt2[:])
+    op = jnp.concatenate([wkm * gam, wkm * beta], axis=-1)
+    ar = dot(p, a1_r[:])
+    ai = dot(p, a1_i[:])
+    hr = dot(op, cstack_r[:]) + dot(p, bias_r[:]) + ar * xr - ai * xi
+    hi = dot(op, cstack_i[:]) + dot(p, bias_i[:]) + ar * xi + ai * xr
+    out_acc[:] = jnp.concatenate([hr, hi], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def estimate_fact_packed_stats(fkb: FactKernelBank, xr: jax.Array,
+                               xi: jax.Array, tile_n: int = 1024,
+                               interpret: bool = False):
+    n, d = xr.shape
+    if n % tile_n:
+        raise ValueError(f"N={n} must be a multiple of tile_n={tile_n}")
+    bank_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    data_spec = pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_n, 2 * d), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _fact_kernel_stats,
+        grid=(n // tile_n,),
+        in_specs=[bank_spec] * 13 + [data_spec, data_spec],
+        out_specs=[col_spec, col_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((n, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n, 2 * d), jnp.float32)],
+        interpret=interpret,
+    )(fkb.fwd_t, fkb.fwd_p, fkb.tmu2, fkb.lcoef, fkb.const, fkb.ind,
+      fkb.indt2, fkb.cstack_r, fkb.cstack_i, fkb.bias_r, fkb.bias_i,
+      fkb.a1_r, fkb.a1_i, xr, xi)
+
+
+def estimate_fused_factored_stats(bank, r: jax.Array,
+                                  interpret: bool = False):
+    """Kernel analog of `mfa_bank.estimate_factored_stats`: (m (N,),
+    den (N,), acc (N, D) complex) for a component shard of a FactoredBank.
+    Merges exactly with XLA shard states (shared logit convention)."""
+    k, m, d = bank.t_mat.shape
+    tile_n = _fact_tile_n(d, k, m)
+    n = r.shape[0]
+    n_pad = -(-n // tile_n) * tile_n
+    rp = jnp.pad(r, ((0, n_pad - n), (0, 0)))
+    fkb = fact_kernel_bank(bank)
+    xr = jnp.real(rp).astype(jnp.float32)
+    xi = jnp.imag(rp).astype(jnp.float32)
+    mx, den, acc = estimate_fact_packed_stats(fkb, xr, xi, tile_n,
+                                              interpret)
+    acc_c = (acc[:n, :d] + 1j * acc[:n, d:]).astype(jnp.complex64)
+    return mx[:n, 0], den[:n, 0], acc_c

@@ -204,7 +204,8 @@ def estimate_sharded_circulant(mesh: Mesh, bank, r: jax.Array,
 
 def estimate_sharded_factored(mesh: Mesh, bank, r: jax.Array,
                               chunk_size: int = 4096,
-                              coherence_alpha: float = 1.0) -> jax.Array:
+                              coherence_alpha: float = 1.0,
+                              use_kernel: Optional[bool] = None) -> jax.Array:
     """Tensor-parallel FACTORED (low-rank + diagonal) estimation: each
     device holds a K-shard of the `mfa_bank.FactoredBank` (O(K D M) floats),
     computes the online-softmax state for its components through the
@@ -214,7 +215,14 @@ def estimate_sharded_factored(mesh: Mesh, bank, r: jax.Array,
     f32 pair + one complex D-vector, independent of K — same as the other
     TP routes, with a D/(2M)-fold local-FLOP reduction over the dense one.
     Rank-3 `r` = coherence blocks (per-block state at alpha=1, per-snapshot
-    below)."""
+    below). `use_kernel=None` picks the fused factored stats kernel
+    (`pallas_kernels.estimate_fused_factored_stats`) per shard on TPU for
+    FLAT requests within the resident-VMEM gate, the XLA stats path
+    otherwise (kernel and XLA shard states share one logit convention, so
+    the merge is exact either way — unlike the circulant family, mixing is
+    safe, but shards are homogeneous here anyway)."""
+    from quantized_channel_estimation_tpu.estimators import (
+        pallas_kernels as pk)
     from quantized_channel_estimation_tpu.models import mfa_bank as mb
     try:
         from jax import shard_map
@@ -229,6 +237,11 @@ def estimate_sharded_factored(mesh: Mesh, bank, r: jax.Array,
     k_comp = bank.log_weights.shape[0]
     assert k_comp % n_k == 0, (k_comp, n_k)
     assert r.shape[0] % n_d == 0, (r.shape, n_d)
+    k_sh, m_lat, d_dim = bank.t_mat.shape
+    if use_kernel is None:
+        use_kernel = (jax.default_backend() == "tpu" and r.ndim == 2
+                      and pk._fact_bank_bytes(d_dim, k_sh // n_k, m_lat)
+                      <= 13 * 1024 * 1024)
     spec = lambda ndim: NamedSharding(
         mesh, P(COMPONENT_AXIS, *([None] * (ndim - 1))))
     bank = type(bank)(*[jax.device_put(a, spec(a.ndim)) for a in bank])
@@ -240,6 +253,10 @@ def estimate_sharded_factored(mesh: Mesh, bank, r: jax.Array,
             m, den, acc = mb.estimate_factored_coherent_stats(
                 bank_local, r_local, max(1, chunk_size // r_local.shape[1]),
                 coherence_alpha)
+        elif use_kernel:
+            m, den, acc = pk.estimate_fused_factored_stats(
+                bank_local, r_local,
+                interpret=jax.default_backend() != "tpu")
         else:
             m, den, acc = mb.estimate_factored_stats(bank_local, r_local,
                                                      chunk_size)

@@ -237,6 +237,43 @@ def test_stats_shard_merge_matches_estimate(mfa_params, obs):
     assert _rel(jnp.asarray(got), want) < 1e-5
 
 
+def test_stats_kernel_merges_with_xla_states(mfa_params, obs):
+    """One shard through the fused stats kernel (interpret), the other
+    through the XLA stats path — the shared logit convention makes the
+    pmax/psum merge exact across implementations."""
+    from quantized_channel_estimation_tpu.estimators import (
+        pallas_kernels as pk)
+    r, q = obs
+    fb = mb.prepare_bank_factored(mfa_params, 10.0, X0, 2, q)
+    want = mb.estimate_factored(fb, r, "all", 4096, "xla")
+    half = K // 2
+    s1 = mb.FactoredBank(*[x[:half] for x in fb])
+    s2 = mb.FactoredBank(*[x[half:] for x in fb])
+    m1, d1, a1 = pk.estimate_fused_factored_stats(s1, r, interpret=True)
+    m2, d2, a2 = mb.estimate_factored_stats(s2, r)
+    m = np.maximum(m1, m2)
+    w1, w2 = np.exp(m1 - m), np.exp(m2 - m)
+    den = d1 * w1 + d2 * w2
+    acc = np.asarray(a1) * np.asarray(w1)[:, None] \
+        + np.asarray(a2) * np.asarray(w2)[:, None]
+    got = jnp.asarray(acc / np.asarray(den)[:, None])
+    assert _rel(got, want) < 1e-5
+
+
+def test_estimate_sharded_factored_kernel_stats(mfa_params, obs):
+    """TP route with use_kernel=True (interpret on CPU) == XLA route."""
+    from quantized_channel_estimation_tpu.parallel import mesh as pmesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    r, q = obs
+    fb = mb.prepare_bank_factored(mfa_params, 10.0, X0, 2, q)
+    m = pmesh.make_mesh(2, 4)
+    got = pmesh.estimate_sharded_factored(m, fb, r, chunk_size=64,
+                                          use_kernel=True)
+    want = mb.estimate_factored(fb, r, "all", 4096, "xla")
+    assert _rel(got, want) < 1e-5
+
+
 @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (8, 1)])
 def test_estimate_sharded_factored(mfa_params, obs, mesh_shape):
     from quantized_channel_estimation_tpu.parallel import mesh as pmesh
