@@ -1407,17 +1407,21 @@ def _fact_bank_bytes(d: int, k: int, m: int) -> int:
 
 def _fact_tile_n(d: int, k: int, m: int, requested=None) -> int:
     """Largest power-of-two sample tile keeping constants + per-tile
-    intermediates inside the ~13 MiB scoped-VMEM budget (same accounting
-    as `_circ_tile_n`: per-row live set spans x/z/beta/gamma/diff/op/
-    logits/combine buffers)."""
+    intermediates inside the ~13 MiB scoped-VMEM budget. The per-row
+    coefficient was CALIBRATED on hardware at D=64/K=64/M=16 (KM=1024):
+    tile 512 compiles and is the fastest (14.4 M est/s; 64→13.3, 128→13.9,
+    256→13.6), tile 1024 crashes the Mosaic compile — so the live set is
+    ~2 KM + 4 D floats/row (buffer reuse halves the naive sum of the
+    x/z/beta/gamma/diff/wkm/op intermediates), and the hard cap stays at
+    the hardware-validated 512."""
     if requested is not None:
         return requested
     km = k * m
     budget = 13 * 1024 * 1024 - _fact_bank_bytes(d, k, m) - 2 * 1024 * 1024
-    per_row = 4 * (10 * d + 12 * km + 4 * k)
+    per_row = 4 * (4 * d + 2 * km + k)
     cap = max(64, budget // per_row)
     t = 64
-    while t * 2 <= min(cap, 2048):
+    while t * 2 <= min(cap, 512):
         t *= 2
     return t
 

@@ -193,8 +193,10 @@ def test_fact_kernel_tile_budget():
                     (512, 16, 16)]:
         assert pk._fact_bank_bytes(d, k, m) <= 13 * 1024 * 1024, (d, k, m)
         t = pk._fact_tile_n(d, k, m)
-        assert t >= 64 and (t & (t - 1)) == 0
-        per_row = 4 * (10 * d + 12 * k * m + 4 * k)
+        # hardware-calibrated: tile 512 compiles at KM=1024/D=64 and is
+        # the fastest; 1024 crashes Mosaic — the cap must never exceed it
+        assert 64 <= t <= 512 and (t & (t - 1)) == 0
+        per_row = 4 * (4 * d + 2 * k * m + k)
         assert (pk._fact_bank_bytes(d, k, m) + t * per_row
                 <= 13 * 1024 * 1024), (d, k, m, t)
     # D=512/M=32 exceeds the resident budget -> XLA fallback, kernel raises
