@@ -1405,6 +1405,25 @@ def _fact_bank_bytes(d: int, k: int, m: int) -> int:
                 + 2 * (2 * km) * k + 2 * (4 * km) * d + 4 * k * d)
 
 
+def _fact_per_row_bytes(d: int, k: int, m: int) -> int:
+    """Per-sample-row VMEM live set of the fused factored kernels: the
+    measured ~(2 KM + 4 D) floats plus the (TN, K) weight tile (hardware
+    calibration note in `_fact_tile_n`)."""
+    return 4 * (4 * d + 2 * k * m + k)
+
+
+def _fact_kernel_eligible(d: int, k: int, m: int, t: int = 1) -> bool:
+    """Full VMEM invariant for fused-factored dispatch: the resident bank
+    PLUS the smallest dispatchable sample tile's live set must fit the
+    ~13 MiB scoped budget. Gating on bank bytes alone admitted ~11-13 MiB
+    banks whose tile live set overflows (round-4 advisor finding). The
+    floor tile is 64 rows flat and 8*T rows coherent (`_coherent_tile_n`'s
+    sublane floor), so eligibility is exactly "the floor tile fits"."""
+    budget = 13 * 1024 * 1024 - _fact_bank_bytes(d, k, m) - 2 * 1024 * 1024
+    min_tile = 64 if t <= 1 else 8 * t
+    return budget >= min_tile * _fact_per_row_bytes(d, k, m)
+
+
 def _fact_tile_n(d: int, k: int, m: int, requested=None) -> int:
     """Largest power-of-two sample tile keeping constants + per-tile
     intermediates inside the ~13 MiB scoped-VMEM budget. The per-row
@@ -1416,9 +1435,8 @@ def _fact_tile_n(d: int, k: int, m: int, requested=None) -> int:
     the hardware-validated 512."""
     if requested is not None:
         return requested
-    km = k * m
     budget = 13 * 1024 * 1024 - _fact_bank_bytes(d, k, m) - 2 * 1024 * 1024
-    per_row = 4 * (4 * d + 2 * km + k)
+    per_row = _fact_per_row_bytes(d, k, m)
     cap = max(64, budget // per_row)
     t = 64
     while t * 2 <= min(cap, 512):
@@ -1642,7 +1660,10 @@ def estimate_fused_factored_coherent(bank, r: jax.Array,
     k, m, d = bank.t_mat.shape
     base = _fact_tile_n(d, k, m)
     if b * t < base:
-        base = 256
+        # shrink to the small-batch tile, but never ABOVE the
+        # VMEM-budget-derived base (round-4 advisor finding: raising a
+        # budget-limited base to 256 risks a Mosaic VMEM OOM)
+        base = min(base, 256)
     tile_n = _coherent_tile_n(base, t)
     rows, b_pad = _blocks_to_tmajor(r, tile_n)
     xr = jnp.real(rows).astype(jnp.float32)

@@ -253,8 +253,7 @@ def estimate_factored(bank: FactoredBank, r: jax.Array,
     k_, m_, d_ = bank.t_mat.shape
     from quantized_channel_estimation_tpu.estimators import (
         pallas_kernels as pk)
-    kernel_ok = (mode == "all"
-                 and pk._fact_bank_bytes(d_, k_, m_) <= 13 * 1024 * 1024)
+    kernel_ok = (mode == "all" and pk._fact_kernel_eligible(d_, k_, m_))
     if method == "kernel" or (method == "auto" and kernel_ok
                               and jax.default_backend() == "tpu"):
         if not kernel_ok:
@@ -317,7 +316,7 @@ def estimate_factored_coherent(bank: FactoredBank, r: jax.Array,
     from quantized_channel_estimation_tpu.estimators import (
         pallas_kernels as pk)
     kernel_ok = (mode == "all" and 1 <= t_ <= 16
-                 and pk._fact_bank_bytes(d_, k_, m_) <= 13 * 1024 * 1024)
+                 and pk._fact_kernel_eligible(d_, k_, m_, t_))
     if method == "kernel" or (method == "auto" and kernel_ok
                               and jax.default_backend() == "tpu"):
         if not kernel_ok:

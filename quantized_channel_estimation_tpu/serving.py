@@ -190,6 +190,22 @@ class EstimationService:
         if mesh is not None and mode != "all":
             raise ValueError("mesh-backed serving computes the dense "
                              f"'all'-mode merge (got mode={mode!r})")
+        if factored and not Q.is_inf_bits(n_bits) and n_bits == 1:
+            # fail at construction, not inside the serving thread at the
+            # first submit: the factored prepare rejects 1-bit (arcsine
+            # breaks low rank — `mfa_bank.prepare_bank_factored`), and a
+            # lazily-raised wrapped RuntimeError would mask the
+            # misconfiguration (round-4 advisor finding)
+            raise ValueError(
+                "factored serving does not support 1-bit quantization "
+                "(arcsine destroys the low-rank structure); use the dense "
+                "bank: from_mfa(..., factored=False)")
+        if factored:
+            # the factored bank is exact only for the scaled-identity
+            # pilot; fail loudly at construction like the 1-bit guard
+            from quantized_channel_estimation_tpu.models import (
+                structured_bank as _sb)
+            _sb._pilot_scalar(a, params.psis.shape[-1])
         self._init_runtime(max_batch, max_delay_ms, max_banks, snr_step_db,
                            max_queue, coherence_alpha, alpha_val)
         self._prepare = cjit(gmm_estimator.prepare_bank, static_argnums=(3,))
