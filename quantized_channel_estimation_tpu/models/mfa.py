@@ -64,8 +64,9 @@ class MfaConfig(NamedTuple):
     chunk_size: int = 4096
     kmeans_iter: int = 50
     axis_name: Optional[str] = None  # data-parallel axis under shard_map:
-    # the GMM-shaped sufficient statistics are psum'd over it (requires
-    # zero_mean=True — per-shard k-means means would be inconsistent)
+    # the GMM-shaped sufficient statistics are psum'd over it; nonzero-mean
+    # fits initialize means from the data-parallel k-means (psum'd
+    # assignment statistics, single-device-identical seeding)
     psum_segments: int = 1  # >1 pipelines the statistics all-reduce
     # (gmm.segmented_psum_scan): segment psums overlap later segments'
     # compute instead of one blocking barrier per EM iteration
@@ -273,17 +274,18 @@ def fit(key: jax.Array, x: jax.Array, cfg: MfaConfig) -> MfaFitResult:
 
     # ----- init (`mofa_cplx_bussgang.py:219-243`) -----
     k_km, k_l, k_a = jax.random.split(key, 3)
-    if cfg.axis_name is not None:
-        if not cfg.zero_mean:
-            raise NotImplementedError(
-                "data-parallel MFA requires zero_mean=True (per-shard "
-                "k-means would give inconsistent initial means)")
+    if cfg.zero_mean:
         means0 = jnp.zeros((k, d), dtype)
     else:
+        # with cfg.axis_name set the k-means runs data-parallel: psum'd
+        # assignment statistics and single-device-identical seeding
+        # (`models/kmeans.py`), so every shard computes the same initial
+        # means — the round-4 machinery that already serves the GMM init
+        # (`gmm._init_resp_stats`) lifts the old zero_mean-only DP
+        # restriction here too
         km = kmeans(k_km, cplx2real(x, axis=-1).astype(jnp.float32), k,
-                    max_iter=cfg.kmeans_iter)
-        means0 = (jnp.zeros((k, d), dtype) if cfg.zero_mean else
-                  (km.centers[:, :d] + 1j * km.centers[:, d:]).astype(dtype))
+                    max_iter=cfg.kmeans_iter, axis_name=cfg.axis_name)
+        means0 = (km.centers[:, :d] + 1j * km.centers[:, d:]).astype(dtype)
     lam_scale = 1.0 / jnp.sqrt(2.0 * cfg.max_condition_number)
     lr, li = jax.random.split(k_l)
     lambdas0 = (lam_scale * (jax.random.normal(lr, (k, d, m))
