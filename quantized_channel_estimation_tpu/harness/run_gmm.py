@@ -100,6 +100,19 @@ class GmmBenchConfig:
     # single-execution wall time at large D/K. Only cov types with
     # resumable state (full / toeplitz / block-toeplitz) support it.
     gmm_fit_segments: int = 1
+    # Mesh parallelism for the sweep (round-5): devices used =
+    # n_data_shards * n_component_shards on a (data, component) mesh
+    # (`parallel.mesh.make_mesh`). The GMM fit runs data-parallel (psum'd
+    # EM sufficient statistics over 'data', `fit_gmm_shard_map`);
+    # estimation shards samples over 'data' and the prepared bank over
+    # 'component' (pmax/psum online-softmax stats merge for 'all' mode,
+    # GSPMD einsum for selection modes — `stages.ShardedStages`). 1 x 1 =
+    # the single-device path; the reference's only parallelism is a
+    # harness-level mp.Pool over SNR points (`Bussgang_GMM.py:29-32`).
+    # n_train/n_val must divide by n_data_shards, n_components by
+    # n_component_shards; gmm_fit_segments > 1 is single-device-only.
+    n_data_shards: int = 1
+    n_component_shards: int = 1
 
 
 CHANNEL_MODELS = ("3gpp", "urban-macro", "mimo")
@@ -177,6 +190,18 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
     t_start = time.time()
     key = jax.random.PRNGKey(cfg.seed)
     k_data, k_gmm, k_obs = jax.random.split(key, 3)
+
+    sharded = None
+    if cfg.n_data_shards * cfg.n_component_shards > 1:
+        from quantized_channel_estimation_tpu.parallel import (
+            mesh as pmesh_mod)
+        sharded = stages.ShardedStages(pmesh_mod.make_mesh(
+            cfg.n_data_shards, cfg.n_component_shards))
+        sharded.check_divisible(cfg.n_train, cfg.n_val, cfg.n_components)
+        if cfg.gmm_fit_segments > 1:
+            raise NotImplementedError(
+                "gmm_fit_segments > 1 is single-device-only (the resume "
+                "path has no shard_map wrapper)")
 
     t_coh = max(1, cfg.n_coherence)
     if t_coh > 1:
@@ -340,7 +365,8 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
                 blocks=cfg.blocks, zero_mean=cfg.zero_mean_gmm,
                 max_iter=per_seg)
             if segs == 1:
-                fit = stages.gmm_fit(k_gmm, h_train, gcfg)
+                fit = (sharded.gmm_fit(k_gmm, h_train, gcfg) if sharded
+                       else stages.gmm_fit(k_gmm, h_train, gcfg))
             else:
                 # prev.n_iter is the running TOTAL, so capping each resumed
                 # segment at the remaining budget keeps the segmented fit's
@@ -391,9 +417,16 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
 
         def gmm_est(snr, r):
             if structured:
+                if sharded:
+                    return sharded.estimate_circulant(
+                        get_bank(snr), r, cfg.n_summands_or_proba,
+                        cfg.blocks)
                 return stages.estimate_circulant(get_bank(snr), r,
                                                  cfg.n_summands_or_proba,
                                                  cfg.blocks)
+            if sharded:
+                return sharded.estimate(get_bank(snr), r,
+                                        cfg.n_summands_or_proba)
             return stages.estimate_auto(get_bank(snr), r,
                                         cfg.n_summands_or_proba)
 
@@ -404,8 +437,14 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
 
             def coh_est(bank, rb, mode, alpha):
                 if structured:
+                    if sharded:
+                        return sharded.estimate_circulant(
+                            bank, rb, mode, cfg.blocks, float(alpha))
                     return stages.estimate_circulant_coherent(
                         bank, rb, mode, float(alpha), cfg.blocks)
+                if sharded:
+                    return sharded.estimate_coherent(bank, rb, mode,
+                                                     float(alpha))
                 return stages.estimate_coherent_auto(bank, rb, mode, alpha)
 
             def coherent_alpha(snr, i):

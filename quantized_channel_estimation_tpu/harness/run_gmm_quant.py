@@ -67,12 +67,26 @@ class QuantGmmBenchConfig:
     # circulant fits produce exactly-circulant covariances, so the same
     # O(K D) bank applies to the CSI-free training path
     use_structured_bank: object = "auto"
+    # mesh parallelism (round-5, see run_gmm.GmmBenchConfig.n_data_shards):
+    # the CSI-free quantized-training EM runs data-parallel via
+    # `fit_gmm_quant_shard_map` (recovery statistics psum like the
+    # moments), estimation through the sharded stats merges.
+    n_data_shards: int = 1
+    n_component_shards: int = 1
 
 
 def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
     t_start = time.time()
     key = jax.random.PRNGKey(cfg.seed)
     k_data, k_fit, k_obs = jax.random.split(key, 3)
+
+    sharded = None
+    if cfg.n_data_shards * cfg.n_component_shards > 1:
+        from quantized_channel_estimation_tpu.parallel import (
+            mesh as pmesh_mod)
+        sharded = stages.ShardedStages(pmesh_mod.make_mesh(
+            cfg.n_data_shards, cfg.n_component_shards))
+        sharded.check_divisible(cfg.n_train, cfg.n_val, cfg.n_components)
 
     t_coh = max(1, cfg.n_coherence)
     if t_coh > 1 and (cfg.n_train % t_coh or cfg.n_val % t_coh):
@@ -122,8 +136,12 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
                          blocks=cfg.blocks, zero_mean=cfg.zero_mean_gmm,
                          max_iter=cfg.max_iter)
     t0 = time.time()
-    fit = stages.gmm_quant_fit(k_fit, r_train, gcfg, cfg.n_bits, sigma2_train,
-                               quantizers[cfg.snr_train])
+    if sharded:
+        fit = sharded.gmm_quant_fit(k_fit, r_train, gcfg, cfg.n_bits,
+                                    sigma2_train, quantizers[cfg.snr_train])
+    else:
+        fit = stages.gmm_quant_fit(k_fit, r_train, gcfg, cfg.n_bits,
+                                   sigma2_train, quantizers[cfg.snr_train])
     fit_time = time.time() - t0
     if verbose:
         print(f"quant-GMM fit: {int(fit.n_iter)} iters "
@@ -143,8 +161,16 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
 
     def coh_est(bank, rb, alpha):
         if structured:
+            if sharded:
+                return sharded.estimate_circulant(
+                    bank, rb, cfg.n_summands_or_proba, cfg.blocks,
+                    float(alpha))
             return stages.estimate_circulant_coherent(
                 bank, rb, cfg.n_summands_or_proba, float(alpha), cfg.blocks)
+        if sharded:
+            return sharded.estimate_coherent(bank, rb,
+                                             cfg.n_summands_or_proba,
+                                             float(alpha))
         return stages.estimate_coherent_auto(bank, rb,
                                              cfg.n_summands_or_proba, alpha)
 
@@ -193,9 +219,15 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
             r_val = stages.observe(k_snr, h_val, snr, a, cfg.n_bits,
                                    quantizers[snr])
         if structured:
-            res = stages.estimate_circulant(bank, r_val,
-                                            cfg.n_summands_or_proba,
-                                            cfg.blocks)
+            if sharded:
+                res = sharded.estimate_circulant(
+                    bank, r_val, cfg.n_summands_or_proba, cfg.blocks)
+            else:
+                res = stages.estimate_circulant(bank, r_val,
+                                                cfg.n_summands_or_proba,
+                                                cfg.blocks)
+        elif sharded:
+            res = sharded.estimate(bank, r_val, cfg.n_summands_or_proba)
         else:
             res = stages.estimate_auto(bank, r_val, cfg.n_summands_or_proba)
         mse_cols["blmmse_gmm_quant"].append(stages.nmse(res, h_val))

@@ -66,12 +66,27 @@ class MfaBenchConfig:
     # True forces it (raises when ineligible), False densifies like the
     # reference (`mofa_cplx_bussgang.py:117-216`).
     use_factored_bank: Union[bool, str] = "auto"
+    # mesh parallelism for the sweep (round-5, see
+    # run_gmm.GmmBenchConfig.n_data_shards): the MFA EM runs data-parallel
+    # via `fit_mfa_shard_map` (zero-mean AND nonzero-mean — the means init
+    # is the data-parallel k-means), estimation through the sharded
+    # factored/dense stats merges.
+    n_data_shards: int = 1
+    n_component_shards: int = 1
 
 
 def run(cfg: MfaBenchConfig, verbose: bool = True):
     t_start = time.time()
     key = jax.random.PRNGKey(cfg.seed)
     k_data, k_fit, k_obs = jax.random.split(key, 3)
+
+    sharded = None
+    if cfg.n_data_shards * cfg.n_component_shards > 1:
+        from quantized_channel_estimation_tpu.parallel import (
+            mesh as pmesh_mod)
+        sharded = stages.ShardedStages(pmesh_mod.make_mesh(
+            cfg.n_data_shards, cfg.n_component_shards))
+        sharded.check_divisible(cfg.n_train, cfg.n_val, cfg.n_components)
 
     t_coh = max(1, cfg.n_coherence)
     if t_coh > 1 and (cfg.n_train % t_coh or cfg.n_val % t_coh):
@@ -130,7 +145,8 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
         raise ValueError("use_factored_bank does not support 1-bit "
                          "(arcsine destroys low rank); set it False")
     t0 = time.time()
-    res_fit = stages.mfa_fit(k_fit, h_train, mcfg)
+    res_fit = (sharded.mfa_fit(k_fit, h_train, mcfg) if sharded
+               else stages.mfa_fit(k_fit, h_train, mcfg))
     # only densify when the factored path is off — the factored bank keeps
     # the O(K D M) representation end to end
     params = None if factored else stages.mfa_to_gmm(res_fit.params, 1e-6)
@@ -148,8 +164,15 @@ def run(cfg: MfaBenchConfig, verbose: bool = True):
         rate_cols["mfa_coh_rstat"] = []
 
     if factored:
-        est_flat = stages.estimate_factored
-        est_coh = stages.estimate_factored_coherent
+        if sharded:
+            est_flat = sharded.estimate_factored
+            est_coh = sharded.estimate_factored
+        else:
+            est_flat = stages.estimate_factored
+            est_coh = stages.estimate_factored_coherent
+    elif sharded:
+        est_flat = sharded.estimate
+        est_coh = sharded.estimate_coherent
     else:
         est_flat = stages.estimate_auto
         est_coh = stages.estimate_coherent_auto

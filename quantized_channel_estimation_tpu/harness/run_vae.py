@@ -72,6 +72,12 @@ class VaeBenchConfig:
     # over each block (`vae.estimate(coherence=T)` — new design, see
     # run_gmm.GmmBenchConfig.n_coherence); n_train/n_val count snapshots
     n_coherence: int = 1
+    # >1 (round-5): training runs DATA-PARALLEL over an n_data_shards-way
+    # mesh (`vae.train(mesh=...)`: channels sharded, per-device batch
+    # draws, gradients pmean'd per step — effective batch = batch_size *
+    # n_data_shards; the reference's VAE is single-GPU torch). Evaluation
+    # stays per-sample. n_train must divide by it.
+    n_data_shards: int = 1
 
 
 def run(cfg: VaeBenchConfig, verbose: bool = True):
@@ -132,12 +138,21 @@ def run(cfg: VaeBenchConfig, verbose: bool = True):
            else f"_model={_model_tag(base)}")
         + f"_bits={cfg.n_bits}"
         f"_train={cfg.n_train}_seed={cfg.seed}_lr={cfg.lr:g}"
-        f"_bs={cfg.batch_size}{coh_tag}") if cfg.use_cache else None
+        f"_bs={cfg.batch_size}{coh_tag}"
+        # a DP run follows a different batch/gradient stream than a
+        # single-device one — never resume across layouts
+        + (f"_dp{cfg.n_data_shards}" if cfg.n_data_shards > 1 else "")
+        ) if cfg.use_cache else None
+    mesh = None
+    if cfg.n_data_shards > 1:
+        from quantized_channel_estimation_tpu.parallel import (
+            mesh as pmesh_mod)
+        mesh = pmesh_mod.make_mesh(cfg.n_data_shards, 1)
     t0 = time.time()
     model, state, losses = vae.train(k_fit, vcfg, h_train, a, cfg.snrs,
                                      quantizers, verbose=verbose,
                                      checkpoint_path=ckpt_dir,
-                                     checkpoint_every=25)
+                                     checkpoint_every=25, mesh=mesh)
     train_time = time.time() - t0
     if verbose:
         print(f"VAE[{cfg.vae_mode}] trained {cfg.epochs} epochs "

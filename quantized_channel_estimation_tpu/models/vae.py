@@ -359,7 +359,7 @@ def train(key, cfg: VaeConfig, h_train: jax.Array,
           a: Optional[jax.Array], snrs, quantizers,
           h_val: Optional[jax.Array] = None, verbose: bool = True,
           checkpoint_path: Optional[str] = None,
-          checkpoint_every: int = 1):
+          checkpoint_every: int = 1, mesh=None):
     """Full training loop; returns (model, state, losses).
 
     With `checkpoint_path` (a directory), the FULL train state (params,
@@ -371,6 +371,13 @@ def train(key, cfg: VaeConfig, h_train: jax.Array,
     optimizer would reset the Adam moments mid-run and converge to a
     different model than an uninterrupted run. Per-epoch losses are kept in
     a losses.json beside the checkpoints (variable length, host metadata).
+
+    `mesh` (round-5): a `parallel.mesh` (data, component) mesh — training
+    runs DATA-PARALLEL over the 'data' axis (channels sharded, per-device
+    batch draws, gradients pmean'd per step; effective batch =
+    cfg.batch_size * n_data_shards). Checkpoints and the returned state
+    stay replicated, so single-device resume of a DP run (and vice versa)
+    just works. The reference's VAE is single-GPU torch (SURVEY §2.4).
     """
     import json
     import os
@@ -392,10 +399,30 @@ def train(key, cfg: VaeConfig, h_train: jax.Array,
             start_epoch = last + 1
             if verbose:
                 print(f"resumed VAE checkpoint at epoch {start_epoch}")
-    step = make_train_step(model, cfg, a, jnp.asarray(snrs, jnp.float32),
-                           quantizers)
+    snrs_arr = jnp.asarray(snrs, jnp.float32)
     n_train = jax.tree_util.tree_leaves(h_train)[0].shape[0]
-    steps = cfg.steps_per_epoch or max(1, n_train // cfg.batch_size)
+    if mesh is None:
+        step = make_train_step(model, cfg, a, snrs_arr, quantizers)
+        steps = cfg.steps_per_epoch or max(1, n_train // cfg.batch_size)
+        run_block = lambda st, ep, nb: step.run_epochs(
+            st, h_train, k_train, jnp.int32(ep), steps, nb)
+    else:
+        from quantized_channel_estimation_tpu.parallel import mesh as _pm
+        n_dev = mesh.shape[_pm.DATA_AXIS]
+        if n_train % n_dev:
+            raise ValueError(f"n_train={n_train} must divide over "
+                             f"{n_dev} data shards")
+        # steps count matches the single-device run on the same data; each
+        # step consumes cfg.batch_size rows PER DEVICE
+        steps = cfg.steps_per_epoch or max(1, (n_train // n_dev)
+                                           // cfg.batch_size)
+        runners: dict = {}
+
+        def run_block(st, ep, nb):
+            if nb not in runners:
+                runners[nb] = _pm.make_vae_epochs_runner(
+                    mesh, model, cfg, a, snrs_arr, quantizers, steps, nb)
+            return runners[nb](st, h_train, k_train, ep)
     # dispatch epochs in blocks (one jit call per block); checkpoints bound
     # the block so checkpoint_every semantics are preserved
     block = max(1, min(checkpoint_every if checkpoint_path else 25,
@@ -403,8 +430,7 @@ def train(key, cfg: VaeConfig, h_train: jax.Array,
     epoch = start_epoch
     while epoch < cfg.epochs:
         n_block = min(block, cfg.epochs - epoch)
-        state, mean_losses = step.run_epochs(
-            state, h_train, k_train, jnp.int32(epoch), steps, n_block)
+        state, mean_losses = run_block(state, epoch, n_block)
         block_losses = np.clip(np.asarray(mean_losses), -np.inf, 1000.0)
         losses.extend(float(v) for v in block_losses)
         epoch += n_block

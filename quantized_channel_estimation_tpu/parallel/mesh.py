@@ -240,8 +240,8 @@ def estimate_sharded_factored(mesh: Mesh, bank, r: jax.Array,
     k_sh, m_lat, d_dim = bank.t_mat.shape
     if use_kernel is None:
         use_kernel = (jax.default_backend() == "tpu" and r.ndim == 2
-                      and pk._fact_bank_bytes(d_dim, k_sh // n_k, m_lat)
-                      <= 13 * 1024 * 1024)
+                      and pk._fact_kernel_eligible(d_dim, k_sh // n_k,
+                                                   m_lat))
     spec = lambda ndim: NamedSharding(
         mesh, P(COMPONENT_AXIS, *([None] * (ndim - 1))))
     bank = type(bank)(*[jax.device_put(a, spec(a.ndim)) for a in bank])
@@ -301,8 +301,10 @@ def fit_mfa_shard_map(mesh: Mesh, key: jax.Array, x: jax.Array, cfg):
     """Data-parallel MFA EM with explicit collectives: the MFA reduces to
     the same GMM-shaped sufficient statistics (models/mfa.py docstring), so
     the parallelism is the identical one O(K D^2) psum per iteration.
-    Requires cfg.zero_mean (enforced by mfa.fit; per-shard k-means means
-    would be inconsistent); the axis name is set here."""
+    Both zero-mean and nonzero-mean fits work — the means init runs the
+    data-parallel k-means with single-device-identical seeding (round-5;
+    the reference's canonical MFA fits means, `Bussgang_MFA.py:37-39` /
+    `mofa_cplx_bussgang.py:219-243`). The axis name is set here."""
     from quantized_channel_estimation_tpu.models import mfa
 
     cfg = cfg._replace(axis_name=DATA_AXIS)
@@ -334,15 +336,20 @@ def fit_gmm_quant_shard_map(mesh: Mesh, key: jax.Array, r: jax.Array,
     return jax.jit(_shard_map_fn(mesh, body, r.ndim))(key, r)
 
 
-def vae_run_epochs_shard_map(mesh: Mesh, model, cfg, a, snrs, quantizers,
-                             state, h_train: jax.Array, key: jax.Array,
-                             n_steps: int, n_epochs: int, epoch0: int = 0):
-    """Data-parallel VAE training: channels sharded over 'data', each device
-    draws its own batches (keys decorrelated by axis index) and gradients
-    are pmean'd per step — SGD's gradient all-reduce, the reference has no
-    analog (single-GPU torch). Effective batch = cfg.batch_size * n_devices.
-    Returns (state, per-epoch mean losses), replicated."""
+def make_vae_epochs_runner(mesh: Mesh, model, cfg, a, snrs, quantizers,
+                           n_steps: int, n_epochs: int):
+    """Build a compiled data-parallel VAE epoch-block runner: channels
+    sharded over 'data', each device draws its own batches (keys
+    decorrelated by axis index) and gradients are pmean'd per step — SGD's
+    gradient all-reduce, the reference has no analog (single-GPU torch).
+    Effective batch = cfg.batch_size * n_devices.
+
+    Returns run(state, h_train, key, epoch0) -> (state, per-epoch mean
+    losses), replicated. epoch0 is a DYNAMIC argument, so one compiled
+    program serves every checkpoint block of the same length
+    (`vae.train(mesh=...)` round-5)."""
     from quantized_channel_estimation_tpu.models import vae
+    import jax.numpy as jnp
 
     try:
         from jax import shard_map
@@ -353,23 +360,38 @@ def vae_run_epochs_shard_map(mesh: Mesh, model, cfg, a, snrs, quantizers,
 
     cfg = cfg._replace(axis_name=DATA_AXIS)
     n_shards = mesh.shape[DATA_AXIS]
-    assert h_train.shape[0] % n_shards == 0, (h_train.shape, n_shards)
     step = vae.make_train_step(model, cfg, a, snrs, quantizers)
 
-    def body(st, h_local, k):
-        return step.run_epochs(st, h_local, k, epoch0, n_steps, n_epochs)
+    def body(st, h_local, k, ep0):
+        return step.run_epochs(st, h_local, k, ep0, n_steps, n_epochs)
 
-    mapped = shard_map(
+    mapped = jax.jit(shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P()),
+        in_specs=(P(), P(DATA_AXIS), P(), P()),
         out_specs=P(),
-        **rep_kwargs)
-    return jax.jit(mapped)(state, h_train, key)
+        **rep_kwargs))
+
+    def run(state, h_train, key, epoch0=0):
+        n_rows = jax.tree_util.tree_leaves(h_train)[0].shape[0]
+        assert n_rows % n_shards == 0, (n_rows, n_shards)
+        return mapped(state, h_train, key, jnp.asarray(epoch0, jnp.int32))
+
+    return run
+
+
+def vae_run_epochs_shard_map(mesh: Mesh, model, cfg, a, snrs, quantizers,
+                             state, h_train: jax.Array, key: jax.Array,
+                             n_steps: int, n_epochs: int, epoch0: int = 0):
+    """One-shot form of `make_vae_epochs_runner` (kept for tests/examples)."""
+    run = make_vae_epochs_runner(mesh, model, cfg, a, snrs, quantizers,
+                                 n_steps, n_epochs)
+    return run(state, h_train, key, epoch0)
 
 
 def estimate_sharded(mesh: Mesh, bank: PreparedBank, r: jax.Array,
                      mode: Union[str, int, float] = "all",
-                     chunk_size: int = 2048) -> jax.Array:
+                     chunk_size: int = 2048,
+                     coherence_alpha: float = 1.0) -> jax.Array:
     """Estimation with samples sharded over 'data' and the component bank
     sharded over 'component'. The weighted combine contracts over K, which
     XLA lowers to a psum over the component axis. GSPMD auto-sharding of the
@@ -387,7 +409,8 @@ def estimate_sharded(mesh: Mesh, bank: PreparedBank, r: jax.Array,
         # estimate_coherent — the per-chunk (chunk, T, K, D) intermediate is
         # T-fold larger per block, so scale the block chunk down by T
         block_chunk = max(1, chunk_size // r.shape[1])
-        return gmm_estimator.estimate_coherent(bank, r, mode, block_chunk)
+        return gmm_estimator.estimate_coherent(bank, r, mode, block_chunk,
+                                               coherence_alpha)
     return gmm_estimator.estimate(bank, r, mode, chunk_size)
 
 

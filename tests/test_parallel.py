@@ -199,6 +199,35 @@ def test_shard_map_mfa_matches_single_device(data):
                                np.asarray(fit_single.params.psis), rtol=2e-2)
 
 
+def test_shard_map_mfa_nonzero_mean_matches_single_device(data):
+    """DP MFA with zero_mean=False (the reference's canonical MFA config
+    fits means, `Bussgang_MFA.py:37-39` / `mofa_cplx_bussgang.py:219-243`):
+    the data-parallel k-means means init is single-device-identical, so the
+    fits agree to f32 psum order. Round-5: lifts the zero_mean-only DP
+    restriction."""
+    from quantized_channel_estimation_tpu.models import mfa
+
+    m = pmesh.make_mesh(4, 1)
+    key = jax.random.PRNGKey(12)
+    cfg = mfa.MfaConfig(n_components=2, latent_dim=2, zero_mean=False,
+                        max_iter=8, tol=0.0, chunk_size=2000,
+                        kmeans_iter=10)
+    fit_dist = pmesh.fit_mfa_shard_map(m, key, data, cfg)
+    fit_single = mfa.fit(key, data, cfg._replace(axis_name=None))
+    np.testing.assert_allclose(float(fit_dist.log_likelihood),
+                               float(fit_single.log_likelihood), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(fit_dist.params.means),
+                               np.asarray(fit_single.params.means),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(fit_dist.params.psis),
+                               np.asarray(fit_single.params.psis), rtol=2e-2)
+    # every virtual-mesh factorization compiles + matches the 4-way run
+    m8 = pmesh.make_mesh(8, 1)
+    fit8 = pmesh.fit_mfa_shard_map(m8, key, data, cfg)
+    np.testing.assert_allclose(float(fit8.log_likelihood),
+                               float(fit_single.log_likelihood), rtol=1e-3)
+
+
 def test_shard_map_quant_em_matches_single_device(data):
     """Data-parallel quantized-training EM == single-device: the recovery
     statistics psum like the moments."""
@@ -343,3 +372,102 @@ def test_estimate_sharded_kernel_coherent_alpha(data, alpha):
         indep = np.asarray(gmm_estimator.estimate(
             bank, r.reshape(-1, 8), "all")).reshape(r.shape)
         np.testing.assert_allclose(got, indep, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# mesh-enabled harness runners (round-5): the user-facing sweep on a mesh
+# must reproduce the single-device CSV columns to f32 stats-order tolerance
+# ---------------------------------------------------------------------------
+
+def _bench_dirs(tmp_path, tag):
+    return {"results_dir": str(tmp_path / tag),
+            "cache_dir": str(tmp_path / tag / "saves"),
+            "use_cache": False}
+
+
+def test_harness_gmm_mesh_matches_single_device(tmp_path):
+    import dataclasses
+    from quantized_channel_estimation_tpu.harness import run_gmm
+
+    cfg1 = run_gmm.GmmBenchConfig(
+        n_antennas=8, n_components=8, n_train=8000, n_val=1000,
+        snrs=(-10, 0, 10), gmm_max_iter=15, eval_blmmse_genie=False,
+        eval_ls_glob=False, eval_rate=False, **_bench_dirs(tmp_path, "sd"))
+    mse1, _, _ = run_gmm.run(cfg1, verbose=False)
+    cfg_m = dataclasses.replace(cfg1, n_data_shards=4, n_component_shards=2,
+                                **_bench_dirs(tmp_path, "mesh"))
+    mse_m, _, _ = run_gmm.run(cfg_m, verbose=False)
+    # DP k-means init is single-device-identical, EM stats differ only in
+    # f32 psum order; the classical columns share code exactly
+    for col in mse1:
+        np.testing.assert_allclose(mse_m[col], mse1[col], rtol=2e-2,
+                                   err_msg=col)
+    # selection mode (top-1) rides the GSPMD einsum route
+    cfg_s = dataclasses.replace(cfg_m, n_summands_or_proba=1,
+                                **_bench_dirs(tmp_path, "mesh_sel"))
+    cfg_s1 = dataclasses.replace(cfg1, n_summands_or_proba=1,
+                                 **_bench_dirs(tmp_path, "sd_sel"))
+    mse_s, _, _ = run_gmm.run(cfg_s, verbose=False)
+    mse_s1, _, _ = run_gmm.run(cfg_s1, verbose=False)
+    np.testing.assert_allclose(mse_s["blmmse_gmm"], mse_s1["blmmse_gmm"],
+                               rtol=2e-2)
+
+
+def test_harness_gmm_mesh_coherent(tmp_path):
+    import dataclasses
+    from quantized_channel_estimation_tpu.harness import run_gmm
+
+    cfg1 = run_gmm.GmmBenchConfig(
+        n_antennas=8, n_components=8, n_train=8000, n_val=1600,
+        snrs=(0,), n_coherence=4, gmm_max_iter=10, eval_blmmse_genie=False,
+        eval_ls_glob=False, eval_rate=False, **_bench_dirs(tmp_path, "sd"))
+    mse1, _, _ = run_gmm.run(cfg1, verbose=False)
+    cfg_m = dataclasses.replace(cfg1, n_data_shards=8,
+                                **_bench_dirs(tmp_path, "mesh"))
+    mse_m, _, _ = run_gmm.run(cfg_m, verbose=False)
+    np.testing.assert_allclose(mse_m["blmmse_gmm_coh"],
+                               mse1["blmmse_gmm_coh"], rtol=2e-2)
+
+
+def test_harness_mfa_mesh_nonzero_mean(tmp_path):
+    import dataclasses
+    from quantized_channel_estimation_tpu.harness import run_mfa
+
+    cfg1 = run_mfa.MfaBenchConfig(
+        n_antennas=8, n_components=4, latent_dim=2, n_train=8000,
+        n_val=1000, snrs=(0, 10), max_iter=10, zero_mean=False,
+        eval_rate=False, **_bench_dirs(tmp_path, "sd"))
+    mse1, _, _ = run_mfa.run(cfg1, verbose=False)
+    cfg_m = dataclasses.replace(cfg1, n_data_shards=4, n_component_shards=2,
+                                **_bench_dirs(tmp_path, "mesh"))
+    mse_m, _, _ = run_mfa.run(cfg_m, verbose=False)
+    np.testing.assert_allclose(mse_m["blmmse_mfa"], mse1["blmmse_mfa"],
+                               rtol=2e-2)
+
+
+def test_harness_quant_mesh_matches_single_device(tmp_path):
+    import dataclasses
+    from quantized_channel_estimation_tpu.harness import run_gmm_quant
+
+    cfg1 = run_gmm_quant.QuantGmmBenchConfig(
+        n_antennas=8, n_components=4, n_train=8000, n_val=1000,
+        max_iter=8, eval_rate=False, **_bench_dirs(tmp_path, "sd"))
+    mse1, _, _ = run_gmm_quant.run(cfg1, verbose=False)
+    cfg_m = dataclasses.replace(cfg1, n_data_shards=8,
+                                **_bench_dirs(tmp_path, "mesh"))
+    mse_m, _, _ = run_gmm_quant.run(cfg_m, verbose=False)
+    np.testing.assert_allclose(mse_m["blmmse_gmm_quant"],
+                               mse1["blmmse_gmm_quant"], rtol=2e-2)
+
+
+def test_harness_vae_mesh_trains(tmp_path):
+    from quantized_channel_estimation_tpu.harness import run_vae
+
+    cfg = run_vae.VaeBenchConfig(
+        vae_mode="genie", n_antennas=8, n_path=1, latent_dim=2, n_layers=2,
+        epochs=4, batch_size=64, n_train=4096, n_val=512, snrs=(0, 10),
+        eval_rate=False, n_data_shards=4, **_bench_dirs(tmp_path, "mesh"))
+    mse, _, _ = run_vae.run(cfg, verbose=False)
+    vals = mse["vae_genie"]
+    assert all(np.isfinite(v) for v in vals)
+    assert vals[0] > vals[-1] * 0.5  # sane, improving with SNR-ish
