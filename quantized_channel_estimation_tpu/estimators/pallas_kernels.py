@@ -565,6 +565,168 @@ def estimate_block_grouped(bank: PreparedBank, r: jax.Array,
     return (h2[:, :d] + 1j * h2[:, d:])[:n].astype(r.dtype)
 
 
+def _grouped_stream_topk(logw, pw, mu, b, rr, n_groups: int, group: int,
+                         two_m: int, two_d: int, k_sel: int):
+    """Single-pass top-k selection stream (round-5): stream over K like
+    `_grouped_stream`, but instead of the online-softmax state keep the
+    RUNNING TOP-k (logit, z) pairs per row via an elementwise bubble
+    insertion — k_sel extra (TN, 2D) VMEM buffers and k_sel where-ops per
+    component, no second GEMM sweep. Returns (ls, zs): tuples of k_sel
+    (TN, 1) logits sorted descending and their (TN, 2D) per-component
+    estimates. Ties keep the lower component index (matching
+    `jax.lax.top_k`'s stable order in `gmm_estimator._selection_weights`)."""
+    tile_n = rr.shape[0]
+    stride = two_m + two_d
+
+    def body(g, carry):
+        ls, zs = carry
+        yz = jnp.dot(rr, pw[g], preferred_element_type=jnp.float32)
+        for j in range(group):  # static unroll
+            base = j * stride
+            dy = yz[:, base:base + two_m] - mu[g, :, j * two_m:(j + 1) * two_m]
+            quad = jnp.sum(dy * dy, axis=-1, keepdims=True)
+            lg = logw[g * group + j] - quad
+            z = yz[:, base + two_m:base + stride] \
+                + b[g, :, j * two_d:(j + 1) * two_d]
+            # bubble the candidate down the sorted slots: strict > keeps
+            # the earlier (lower-index) component on ties
+            new_ls, new_zs = [], []
+            for i in range(k_sel):
+                take = lg > ls[i]
+                evict_l = jnp.where(take, ls[i], lg)
+                evict_z = jnp.where(take, zs[i], z)
+                new_ls.append(jnp.where(take, lg, ls[i]))
+                new_zs.append(jnp.where(take, z, zs[i]))
+                lg, z = evict_l, evict_z
+            ls, zs = tuple(new_ls), tuple(new_zs)
+        return ls, zs
+
+    init = (tuple(jnp.full((tile_n, 1), -jnp.inf, jnp.float32)
+                  for _ in range(k_sel)),
+            tuple(jnp.zeros((tile_n, two_d), jnp.float32)
+                  for _ in range(k_sel)))
+    return jax.lax.fori_loop(0, n_groups, body, init)
+
+
+def _estimate_kernel_block_grouped_topk(logw, pw, mu, b, r2, out, *,
+                                        n_groups: int, group: int,
+                                        two_m: int, k_sel: int):
+    """One sample tile: top-k-selected renormalized combine. k_sel=1 is the
+    argmax component (one-hot — no exp at all); k_sel>1 renormalizes the
+    softmax over the selected set exactly like
+    `gmm_estimator._selection_weights(proba, k)`."""
+    ls, zs = _grouped_stream_topk(logw, pw, mu, b, r2[:], n_groups, group,
+                                  two_m, out.shape[1], k_sel)
+    if k_sel == 1:
+        out[:] = zs[0]
+        return
+    den = jnp.ones_like(ls[0])
+    acc = zs[0]
+    for i in range(1, k_sel):
+        w = jnp.exp(ls[i] - ls[0])
+        den = den + w
+        acc = acc + w * zs[i]
+    out[:] = acc / den
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def estimate_packed_block_grouped_topk(kb: KernelBankBlock, r2: jax.Array,
+                                       tile_n: int, group: int, k_sel: int,
+                                       interpret: bool = False):
+    """Grouped block-GEMM top-k estimation: r2 (N, 2M) f32 -> (N, 2D) f32
+    [Re | Im]. Same GEMM structure and bank residency as
+    `estimate_packed_block_grouped`; the online softmax is replaced by the
+    running top-k insertion (k_sel extra (TN, 2D) live buffers)."""
+    n, two_m = r2.shape
+    if n % tile_n:
+        raise ValueError(f"N={n} must be a multiple of tile_n={tile_n}")
+    k_comp = kb.pw.shape[0]
+    two_d = kb.pw.shape[-1] - two_m
+    assert k_comp % group == 0, (k_comp, group)
+    n_groups = k_comp // group
+    stride = two_m + two_d
+    pw = jnp.swapaxes(kb.pw.reshape(n_groups, group, two_m, stride),
+                      1, 2).reshape(n_groups, two_m, group * stride)
+    mu = kb.mu.reshape(n_groups, 1, group * two_m)
+    b = kb.b.reshape(n_groups, 1, group * two_d)
+    grid = (n // tile_n,)
+    bank_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    data_spec = pl.BlockSpec((tile_n, two_m), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_n, two_d), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    kern = functools.partial(_estimate_kernel_block_grouped_topk,
+                             n_groups=n_groups, group=group, two_m=two_m,
+                             k_sel=k_sel)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[smem_spec, bank_spec, bank_spec, bank_spec, data_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n, two_d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * two_m * (two_m + two_d) * k_comp,
+            bytes_accessed=4 * (n * (2 * two_m + two_d)
+                                + k_comp * two_m * (two_m + two_d)),
+            transcendentals=n * k_sel),
+        interpret=interpret,
+    )(kb.logw, pw, mu, b, r2)
+
+
+TOPK_KERNEL_MAX = 8  # bubble-insert slots per row; beyond this the extra
+# VMEM live set and per-component where-chains stop paying vs the einsum
+# path (and the static unroll grows toward Mosaic's crash range)
+
+
+def topk_kernel_eligible(bank: PreparedBank, k_sel,
+                         vmem_budget: int = 13 * 1024 * 1024) -> bool:
+    """True when the fused top-k kernel can serve `mode=k_sel` for this
+    bank: int selection with 1 <= k < K, small enough for the in-register
+    bubble, and a bank within the resident-VMEM rule (the K-chunked merge
+    of top-k states is not implemented — oversized banks take the einsum
+    path)."""
+    if not isinstance(k_sel, int) or isinstance(k_sel, bool):
+        return False
+    k_comp, d, m = bank.filters.shape
+    if not 1 <= k_sel <= min(TOPK_KERNEL_MAX, k_comp - 1):
+        return False
+    per_k = 4 * (2 * m) * (2 * m + 2 * d)
+    return k_comp * per_k <= vmem_budget
+
+
+def estimate_fused_topk(bank: PreparedBank, r: jax.Array, k_sel: int,
+                        interpret: bool = False) -> jax.Array:
+    """Fused top-k-selection estimation (round-5): the kernel analog of
+    `gmm_estimator.estimate(bank, r, k_sel)` for int selection modes
+    (`gmm_cplx_bussgang.py:197-242` — int 1 = argmax component, int k>1 =
+    top-k by responsibility renormalized). Single pass: the bank stays
+    VMEM-resident and the running top-k (logit, z) pairs replace the
+    online-softmax state, so selection serving no longer forfeits the
+    fused-kernel path. Callers check `topk_kernel_eligible`."""
+    k_comp, d, m = bank.filters.shape
+    if not topk_kernel_eligible(bank, k_sel):
+        raise ValueError(
+            f"top-k kernel needs int 1 <= k <= "
+            f"min({TOPK_KERNEL_MAX}, K-1) and a resident-VMEM bank "
+            f"(got k={k_sel!r}, K={k_comp})")
+    kb = kernel_bank_block(bank)
+    # the top-k stream carries k_sel (TN, 2D) live buffers beyond the
+    # 'all' kernel's one accumulator; halve the tile once the extras pass
+    # ~2 accumulators' worth
+    base_tile = 2048 if r.shape[0] >= 2048 else 256
+    tile_n = base_tile if k_sel <= 2 else max(256, base_tile // 2)
+    n = r.shape[0]
+    n_pad = -(-n // tile_n) * tile_n
+    rp = jnp.pad(r, ((0, n_pad - n), (0, 0)))
+    r2 = jnp.concatenate([jnp.real(rp), jnp.imag(rp)],
+                         axis=-1).astype(jnp.float32)
+    group = next(g for g in (4, 2, 1) if k_comp % g == 0)
+    h2 = estimate_packed_block_grouped_topk(kb, r2, tile_n, group,
+                                            int(k_sel), interpret)
+    return (h2[:, :d] + 1j * h2[:, d:])[:n].astype(r.dtype)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def estimate_packed_block_grouped_stats(kb: KernelBankBlock, r2: jax.Array,
                                         tile_n: int = 2048, group: int = 4,

@@ -158,20 +158,32 @@ estimate_factored_coherent = cjit(
 
 
 _fused = None
+_fused_topk = None
 
 
 def estimate_auto(bank, r, mode):
-    """'all' mode on a TPU backend -> fused Pallas kernel; anything else
-    (selection modes, CPU/GPU where the TPU kernel cannot lower) -> the
-    einsum estimator."""
+    """'all' mode on a TPU backend -> fused Pallas kernel; int selection
+    modes within the top-k kernel's eligibility (round-5:
+    `pallas_kernels.estimate_fused_topk` — 19.2 M est/s top-1 vs 2.7 M
+    einsum at K=D=64) -> the fused top-k kernel; anything else (float
+    cumulative-p, oversized banks, CPU/GPU where the TPU kernel cannot
+    lower) -> the einsum estimator."""
     import jax as _jax
-    global _fused
-    if mode == "all" and _jax.default_backend() == "tpu":
+    global _fused, _fused_topk
+    if _jax.default_backend() != "tpu":
+        return estimate(bank, r, mode)
+    from quantized_channel_estimation_tpu.estimators import pallas_kernels
+    if mode == "all":
         if _fused is None:
-            from quantized_channel_estimation_tpu.estimators import (
-                pallas_kernels)
             _fused = cjit(lambda b, rr: pallas_kernels.estimate_fused(b, rr))
         return _fused(bank, r)
+    if pallas_kernels.topk_kernel_eligible(bank, mode):
+        if _fused_topk is None:
+            _fused_topk = cjit(
+                lambda b, rr, k: pallas_kernels.estimate_fused_topk(
+                    b, rr, k),
+                static_argnums=(2,))
+        return _fused_topk(bank, r, int(mode))
     return estimate(bank, r, mode)
 
 

@@ -163,14 +163,36 @@ class EstimationService:
         if structured and factored:
             raise ValueError("structured and factored are mutually "
                              "exclusive bank representations")
+        def _int_mode_kernel_ok() -> bool:
+            """Can the fused TOP-K kernel serve this int selection mode
+            (round-5)? Needs the dense-bank path, small k below K, and a
+            resident-VMEM bank (`pallas_kernels.topk_kernel_eligible`
+            dims, computed from the model here — banks are built lazily)."""
+            from quantized_channel_estimation_tpu.estimators import (
+                pallas_kernels as pk)
+            if structured or factored:
+                return False
+            if not isinstance(mode, int) or isinstance(mode, bool):
+                return False
+            k_comp = int(params.weights.shape[0])
+            d = int(params.means.shape[-1])
+            a_shape = getattr(a, "shape", None)
+            m_obs = a_shape[0] if a_shape else d  # scalar pilot: M = D
+            per_k = 4 * (2 * m_obs) * (2 * m_obs + 2 * d)
+            return (1 <= mode <= min(pk.TOPK_KERNEL_MAX, k_comp - 1)
+                    and k_comp * per_k <= 13 * 1024 * 1024)
+
         if structured or factored:
             use_pallas = False   # these paths replace the dense kernel
         if use_pallas is None:
-            # auto: the fused kernel serves 'all'-mode requests on TPU;
-            # selection modes and kernel-less backends take the einsum path
+            # auto: the fused kernel serves 'all'-mode requests on TPU, and
+            # small int selection modes through the top-k kernel (round-5:
+            # 19.2 M est/s top-1 / 11.8 M top-4 vs 2.7 M einsum at
+            # K=D=64); float cumulative-p modes and kernel-less backends
+            # take the einsum path
             import jax
-            use_pallas = (mode == "all"
-                          and jax.default_backend() == "tpu")
+            use_pallas = (jax.default_backend() == "tpu"
+                          and (mode == "all" or _int_mode_kernel_ok()))
         self.params = params
         self.a = a
         self.n_bits = n_bits
@@ -181,12 +203,14 @@ class EstimationService:
         self.structured = structured
         self.structured_blocks = structured_blocks
         self.factored = factored
-        if use_pallas and mode != "all":
-            # the fused kernel only computes the dense 'all'-mode combine;
-            # silently serving 'all' results for a selection mode would be
-            # wrong answers, not slow ones
-            raise ValueError("use_pallas=True requires mode='all' "
-                             f"(got mode={mode!r})")
+        if use_pallas and mode != "all" and not _int_mode_kernel_ok():
+            # the fused kernels compute the dense 'all'-mode combine and
+            # the int top-k selections; silently serving 'all' results for
+            # another selection mode would be wrong answers, not slow ones
+            raise ValueError(
+                "use_pallas=True requires mode='all' or an int top-k mode "
+                f"with 1 <= k <= TOPK_KERNEL_MAX within the VMEM budget "
+                f"(got mode={mode!r})")
         if mesh is not None and mode != "all":
             raise ValueError("mesh-backed serving computes the dense "
                              f"'all'-mode merge (got mode={mode!r})")
@@ -298,16 +322,28 @@ class EstimationService:
             from quantized_channel_estimation_tpu.estimators import (
                 pallas_kernels as pk)
             interp = jax.default_backend() != "tpu"
-            self._estimate = cjit(
-                lambda b, r: pk.estimate_fused(b, r, interpret=interp),
-                static_argnums=())
-            # coherent blocks: in-VMEM block-pooled kernel (mode=='all' is
-            # guaranteed on this branch); chunk is folded into the kernel's
-            # own tiling; the alpha evidence blend rides in-kernel
-            self._estimate_coherent = cjit(
-                lambda b, r, mode, cs, alpha: pk.estimate_fused_coherent(
-                    b, r, interpret=interp, alpha=alpha),
-                static_argnums=(2, 3, 4))
+            if mode == "all":
+                self._estimate = cjit(
+                    lambda b, r: pk.estimate_fused(b, r, interpret=interp),
+                    static_argnums=())
+                # coherent blocks: in-VMEM block-pooled kernel; chunk is
+                # folded into the kernel's own tiling; the alpha evidence
+                # blend rides in-kernel
+                self._estimate_coherent = cjit(
+                    lambda b, r, mode, cs, alpha: pk.estimate_fused_coherent(
+                        b, r, interpret=interp, alpha=alpha),
+                    static_argnums=(2, 3, 4))
+            else:
+                # int top-k selection (round-5): single-pass running-top-k
+                # kernel (`estimate_fused_topk`); coherent selection blocks
+                # stay on the einsum path
+                k_sel = int(mode)
+                self._estimate = cjit(
+                    lambda b, r: pk.estimate_fused_topk(b, r, k_sel,
+                                                        interpret=interp),
+                    static_argnums=())
+                self._estimate_coherent = cjit(
+                    gmm_estimator.estimate_coherent, static_argnums=(2, 3, 4))
         else:
             self._estimate = cjit(gmm_estimator.estimate,
                                   static_argnums=(2, 3))

@@ -284,3 +284,39 @@ def test_fused_coherent_alpha_blend(coherent_obs, alpha):
     got = np.asarray(pk.estimate_fused_coherent(bank, rb, interpret=True,
                                                 alpha=alpha))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("k_sel", [1, 2, 4, 7])
+def test_topk_kernel_matches_einsum(bank_and_obs, k_sel):
+    """Fused top-k selection (round-5): kernel == estimate(bank, r, k) for
+    int selection modes (`gmm_cplx_bussgang.py:197-242`)."""
+    bank, r = bank_and_obs
+    got = np.asarray(pk.estimate_fused_topk(bank, r[:512], k_sel,
+                                            interpret=True))
+    want = np.asarray(gmm_estimator.estimate(bank, r[:512], k_sel))
+    np.testing.assert_allclose(got, want, atol=2e-4, err_msg=str(k_sel))
+
+
+def test_topk_kernel_eligibility(bank_and_obs):
+    bank, r = bank_and_obs
+    k_comp = bank.filters.shape[0]
+    assert pk.topk_kernel_eligible(bank, 1)
+    assert pk.topk_kernel_eligible(bank, min(4, k_comp - 1))
+    assert not pk.topk_kernel_eligible(bank, "all")
+    assert not pk.topk_kernel_eligible(bank, 0)
+    assert not pk.topk_kernel_eligible(bank, k_comp)      # = 'all' anyway
+    assert not pk.topk_kernel_eligible(bank, 0.9)         # float mode
+    assert not pk.topk_kernel_eligible(bank, 1, vmem_budget=16)
+
+
+def test_topk_kernel_dead_components(bank_and_obs):
+    """Dead (-inf log-weight) components must never win a top-k slot over a
+    live one, and a dead slot's weight underflows to zero."""
+    bank, r = bank_and_obs
+    lw = np.asarray(bank.log_weights).copy()
+    lw[::2] = -np.inf
+    bank_dead = bank._replace(log_weights=jnp.asarray(lw))
+    got = np.asarray(pk.estimate_fused_topk(bank_dead, r[:256], 2,
+                                            interpret=True))
+    want = np.asarray(gmm_estimator.estimate(bank_dead, r[:256], 2))
+    np.testing.assert_allclose(got, want, atol=2e-4)

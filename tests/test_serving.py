@@ -191,12 +191,17 @@ def test_malformed_request_fails_alone(service_setup):
         svc.close()
 
 
-def test_pallas_with_selection_mode_rejected(service_setup):
-    """The fused kernel only computes 'all'; serving must refuse the
-    combination instead of silently returning 'all' results."""
+def test_pallas_with_ineligible_selection_mode_rejected(service_setup):
+    """Selection modes the fused kernels cannot compute (float
+    cumulative-p, k >= K) must be refused instead of silently returning
+    'all' results; int top-k within eligibility is served (round-5,
+    `test_serving_topk_kernel_mode`)."""
     params, a, _ = service_setup
     with pytest.raises(ValueError, match="mode"):
-        serving.EstimationService(params, a, 2, use_pallas=True, mode=2)
+        serving.EstimationService(params, a, 2, use_pallas=True, mode=0.9)
+    with pytest.raises(ValueError, match="mode"):
+        # K=4 fit: k=4 == K is the 'all' combine, not a selection
+        serving.EstimationService(params, a, 2, use_pallas=True, mode=4)
 
 
 def test_flush_errors_propagate_to_clients(service_setup):
@@ -743,3 +748,29 @@ def test_structured_auto_alpha_service():
         assert (snr, t) in sel
     finally:
         svc.close()
+
+
+def test_serving_topk_kernel_mode(service_setup):
+    """use_pallas=True with an int selection mode serves through the fused
+    top-k kernel (round-5; interpret mode on CPU) and matches the einsum
+    selection estimate."""
+    params, a, h_val = service_setup
+    snr = 5.0
+    q = Q.design_quantizer(snr, 2)
+    r = observation.observe(jax.random.PRNGKey(66), h_val[:64], snr, a, 2, q)
+    r_np = np.asarray(r)
+    svc = serving.EstimationService(params, a, 2, max_delay_ms=1.0,
+                                    mode=1, use_pallas=True)
+    try:
+        got = svc.submit(r_np, snr)
+        bank = gmm_estimator.prepare_bank(params, snr, a, 2, q)
+        want = np.asarray(gmm_estimator.estimate(bank, r, 1))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+    finally:
+        svc.close()
+    # float cumulative-p with an explicit kernel request still fails loudly
+    with pytest.raises(ValueError):
+        serving.EstimationService(params, a, 2, mode=0.9, use_pallas=True)
+    # k >= K falls outside the top-k kernel too
+    with pytest.raises(ValueError):
+        serving.EstimationService(params, a, 2, mode=4, use_pallas=True)
