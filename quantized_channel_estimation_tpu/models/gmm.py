@@ -31,7 +31,7 @@ TPU-first design:
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -63,12 +63,18 @@ class GmmConfig(NamedTuple):
     # analog); both inits work — 'kmeans' runs the data-parallel k-means
     # with psum'd assignment statistics (round-4; previously DP forced
     # 'random' and gave up the k-means init quality)
-    psum_segments: int = 1  # >1 pipelines the statistics all-reduce: the
-    # chunk scan splits into S segments whose partial stats are psum'd as
-    # each segment finishes, so segment i's collective can overlap segment
-    # i+1's compute (the EM analog of gradient-bucket overlap) instead of
-    # one blocking O(K D^2) barrier per iteration. Exact up to f32
-    # summation order. No effect without axis_name.
+    psum_segments: Union[int, str] = "auto"  # >1 pipelines the statistics
+    # all-reduce: the chunk scan splits into S segments whose partial
+    # stats are psum'd as each segment finishes, so segment i's collective
+    # can overlap segment i+1's compute (the EM analog of gradient-bucket
+    # overlap) instead of one blocking O(K D^2) barrier per iteration.
+    # Exact up to f32 summation order. No effect without axis_name.
+    # 'auto' (round-5 default) resolves to 1: on every regime measured on
+    # a real transport, segmenting LOSES (comm is <=5% of the wall — the
+    # ceiling on any win — while extra collective launches + sync barriers
+    # cost more; the earlier recorded 16 MB "win" is retracted as a
+    # degenerate-program artifact). See `_resolve_segments` / BASELINE.md.
+    # Set an explicit int for deployments where the collective dominates.
 
 
 class GmmParams(NamedTuple):
@@ -181,8 +187,30 @@ def _update_stats(stats: _Stats, resp, xc, diag: bool,
     return _Stats(nk, sx, sxx, stats.log_norm + log_norm_inc)
 
 
+def _resolve_segments(segments, init, n_chunks: int) -> int:
+    """'auto' -> 1, on the measured evidence (round-5, 2-process Gloo
+    cluster, core-pinned — BASELINE.md): with REAL segmentation, pipelining
+    the statistics psum LOSES on every regime measurable on this transport
+    — 8.4 MB collectives: 4.12 s blocking vs 5.01 s segmented (round-3);
+    16.8 MB: 11.6 s vs 24.2 s (round-5) — because communication is <= 5%
+    of the wall time (the hard ceiling on any overlap win) while the extra
+    collective launches and inter-segment sync barriers cost far more.
+    NOTE the round-3 record of a 16 MB "win" is RETRACTED: that run's
+    chunk stream had ONE chunk, so segments clamped to 1 and both timed
+    variants were the identical program (identical printed lower bounds) —
+    the +192 ms was noise. Explicit integer segments remain available for
+    deployments where the stats collective is a large wall-clock fraction
+    (compute-dense scans over a slow inter-host link); the mechanism
+    itself is exactness-validated on the virtual mesh and the real
+    cluster."""
+    if segments != "auto":
+        return segments
+    del init, n_chunks
+    return 1
+
+
 def segmented_psum_scan(body, init, xs, mask, axis_name,
-                        segments: int = 1):
+                        segments=1):
     """Scan `body` over the chunk stream (carry = additive statistics
     pytree), all-reducing over `axis_name`.
 
@@ -195,10 +223,16 @@ def segmented_psum_scan(body, init, xs, mask, axis_name,
     The total is the sum of the psum'd partials — identical to
     psum-of-total up to f32 summation order.
 
+    segments='auto' (round-5) picks 1 or `AUTO_PSUM_SEGMENTS` from the
+    measured two-regime rule (`_resolve_segments`): pipelining pays only
+    when each collective is tens of ms AND the segments stay
+    compute-dense.
+
     `init` seeds the first segment only (zeros of the same pytree seed the
     rest), which matches the unsegmented path exactly.
     """
     n_chunks = xs.shape[0]
+    segments = _resolve_segments(segments, init, n_chunks)
     segs = 1 if axis_name is None else max(1, min(segments, n_chunks))
     if segs <= 1:
         stats, _ = jax.lax.scan(body, init, (xs, mask))

@@ -33,7 +33,7 @@ Estimation reuses the Bussgang prepared-bank machinery of `gmm_estimator`
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -67,9 +67,10 @@ class MfaConfig(NamedTuple):
     # the GMM-shaped sufficient statistics are psum'd over it; nonzero-mean
     # fits initialize means from the data-parallel k-means (psum'd
     # assignment statistics, single-device-identical seeding)
-    psum_segments: int = 1  # >1 pipelines the statistics all-reduce
-    # (gmm.segmented_psum_scan): segment psums overlap later segments'
-    # compute instead of one blocking barrier per EM iteration
+    psum_segments: Union[int, str] = "auto"  # >1 pipelines the statistics
+    # all-reduce (gmm.segmented_psum_scan): segment psums overlap later
+    # segments' compute instead of one blocking barrier per EM iteration;
+    # 'auto' resolves to 1 on the measured evidence (gmm._resolve_segments)
 
 
 class MfaParams(NamedTuple):

@@ -471,3 +471,32 @@ def test_harness_vae_mesh_trains(tmp_path):
     vals = mse["vae_genie"]
     assert all(np.isfinite(v) for v in vals)
     assert vals[0] > vals[-1] * 0.5  # sane, improving with SNR-ish
+
+
+def test_auto_psum_segments_regime_rule(data):
+    """psum_segments='auto' (round-5): resolves to 1 on the measured
+    evidence — with REAL segmentation both Gloo regimes (8.4 MB and
+    16.8 MB collectives) lose to blocking; the earlier 16 MB 'win' was a
+    degenerate-program artifact (see gmm._resolve_segments). Explicit
+    ints pass through for deployments where the collective dominates."""
+    def stats_init(k, d):
+        return gmm._zero_stats(k, d, jnp.complex64, False)
+
+    small = stats_init(16, 256)   # 8.4 MB sxx — measured losing (round-3)
+    large = stats_init(8, 512)    # 16.8 MB — measured losing too (round-5)
+    assert gmm._resolve_segments("auto", small, 16) == 1
+    assert gmm._resolve_segments("auto", large, 16) == 1
+    # explicit ints pass through untouched
+    assert gmm._resolve_segments(3, large, 16) == 3
+    # end-to-end: the default 'auto' config on a small problem must equal
+    # the explicit segments=1 DP fit bit-for-bit (auto resolves to 1)
+    cfg = gmm.GmmConfig(n_components=4, zero_mean=True, max_iter=5,
+                        init="random", chunk_size=500)
+    assert cfg.psum_segments == "auto"
+    m = pmesh.make_mesh(8, 1)
+    key = jax.random.PRNGKey(90)
+    f_auto = pmesh.fit_gmm_shard_map(m, key, data, cfg)
+    f_one = pmesh.fit_gmm_shard_map(m, key, data,
+                                    cfg._replace(psum_segments=1))
+    np.testing.assert_array_equal(np.asarray(f_auto.params.covariances),
+                                  np.asarray(f_one.params.covariances))

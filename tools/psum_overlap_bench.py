@@ -35,7 +35,9 @@ K = int(os.environ.get("OVERLAP_K", 16))
 N_LOCAL = int(os.environ.get("OVERLAP_NLOCAL", 128))
 N_ITER = int(os.environ.get("OVERLAP_ITERS", 10))
 REPS = int(os.environ.get("OVERLAP_REPS", 7))
-SEGMENTS = (1, 4)
+# 'auto' (round-5) must land on the measured winner of the regime chosen by
+# OVERLAP_* — 1 in the small-collective default, 4 at the 16 MB/D=512 one
+SEGMENTS = (1, 4, "auto")
 
 
 def _free_port() -> int:
@@ -142,9 +144,15 @@ def worker(port: str, pid: int):
 
     times = {}
     for segs in SEGMENTS:
+        # chunk so the LOCAL stream has >= 8 chunks — with chunk_size >=
+        # N_local, segmented_psum_scan silently clamps every segment count
+        # to 1 and the "pipelined" run is program-identical to blocking
+        # (this artifact produced the round-3 "pipelining wins at 16 MB"
+        # record: both D=512 runs printed the same lb because they WERE the
+        # same program — retracted in BASELINE.md round-5)
         cfg = gmm.GmmConfig(n_components=K, zero_mean=True, max_iter=N_ITER,
                             tol=0.0, init="random",
-                            chunk_size=max(64, N_LOCAL // 4),
+                            chunk_size=max(8, N_LOCAL // 8),
                             psum_segments=segs)
 
         def fit_once():
@@ -164,6 +172,15 @@ def worker(port: str, pid: int):
                f"(lb={float(r0.lower_bound):.3f}, "
                f"reps={[f'{t:.3f}' for t in ts]})")
 
+    if "auto" in times:
+        from quantized_channel_estimation_tpu.models.gmm import (
+            _resolve_segments, _zero_stats)
+        n_chunks = -(-N_LOCAL // max(8, N_LOCAL // 8))
+        resolved = _resolve_segments("auto", _zero_stats(
+            K, D, jnp.complex64, False), n_chunks)
+        report(f"'auto' resolved to {resolved} segments; "
+               f"auto {times['auto']:.3f}s vs explicit "
+               f"{times[resolved]:.3f}s (same program)")
     t1, t4 = times[SEGMENTS[0]], times[SEGMENTS[1]]
     per_iter_comm = t_allreduce * N_ITER
     report(f"summary: blocking {t1:.3f}s vs pipelined(4) {t4:.3f}s -> "
