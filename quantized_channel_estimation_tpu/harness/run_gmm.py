@@ -390,13 +390,16 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
                 qio.save_pytree_npz(gmm_path, stages.to_numpy(params))
         timings["gmm_fit"] = time.time() - t0
 
+        # round-5: exact for ANY n_pilots — P=1 rides the scalar spectra
+        # bank, P>1 the per-bin P x P LMMSE bank (CirculantBankMP)
         structured = (cfg.use_structured_bank if cfg.use_structured_bank
                       != "auto" else
-                      (cfg.cov_type in ("circulant", "block-circulant")
-                       and cfg.n_pilots == 1))
-        if structured and cfg.n_pilots != 1:
-            raise ValueError("use_structured_bank requires the P=1 "
-                             "scaled-identity pilot (A = x0*I)")
+                      cfg.cov_type in ("circulant", "block-circulant"))
+        if structured and cfg.n_pilots != 1 and sharded is not None:
+            raise NotImplementedError(
+                "mesh-sharded structured estimation supports the P=1 "
+                "pilot only (the TP stats merge has no multi-pilot form "
+                "yet); run P>1 structured single-device or dense sharded")
 
         # per-SNR banks built once and shared between the blmmse_gmm and
         # blmmse_gmm_coh columns (the Cr Cholesky/filter preparation is

@@ -107,6 +107,35 @@ def _pilot_scalar(a, d: int):
     return a[0, 0].astype(jnp.complex64)
 
 
+def _pilot_vector(a, d: int) -> jax.Array:
+    """Extract the pilot vector x (P,) from a scalar, x0*I, or the
+    reference's kron(x, I_d) multi-pilot matrix (`utils.py:366`,
+    `ops.pilots.pilot_matrix`). Raises for any other structure — the
+    structured path's per-bin algebra needs exactly this form."""
+    a = jnp.asarray(a)
+    if a.ndim == 0:
+        return a.reshape(1).astype(jnp.complex64)
+    if a.ndim != 2 or a.shape[1] != d or a.shape[0] % d:
+        raise ValueError(
+            f"structured banks need A = kron(x, I_{d}); got pilot shape "
+            f"{a.shape} — use gmm_estimator.prepare_bank")
+    p = a.shape[0] // d
+    # candidate x: the (i*d, 0) entries of the kron structure
+    x = a[::d, 0] if p > 1 else a[None, 0, 0]
+    x = x.reshape(p)
+    if not isinstance(a, jax.core.Tracer):
+        an = np.asarray(a)
+        xn = np.asarray(x)
+        want = np.kron(xn[:, None], np.eye(d))
+        scale = max(1.0, float(np.abs(xn).max()))
+        if not np.allclose(an, want, atol=1e-6 * scale):
+            raise ValueError(
+                "structured banks need A = kron(x, I) (the reference pilot "
+                "form); the given matrix is not — use "
+                "gmm_estimator.prepare_bank")
+    return x.astype(jnp.complex64)
+
+
 def spectra_from_params(params: GmmParams, blocks=None) -> jax.Array:
     """Channel-covariance spectra (K, D) from fitted dense parameters.
 
@@ -174,14 +203,23 @@ def prepare_bank_circulant(params: GmmParams, snr_db, a, n_bits,
     fit's DFT spectra. Prepare cost is O(K D log D) given spectra
     (O(K D^2 log D) extracting them from dense covariances) versus the
     dense path's K D^3 Cholesky factorizations; bank memory is O(K D)
-    versus O(K D^2)."""
+    versus O(K D^2).
+
+    Multi-pilot observations A = kron(x, I_D) with P > 1 (round-5) return
+    a `CirculantBankMP` instead — the per-bin P x P LMMSE factorization,
+    exact for every bit-width (see the class docstring); `estimate_circulant`
+    dispatches on the bank type."""
     d = params.means.shape[-1]
-    x0 = _pilot_scalar(a, d)
+    x = _pilot_vector(a, d)
     if spectra is None:
         spectra = spectra_from_params(params, blocks)
     sigma2 = 10.0 ** (-jnp.asarray(snr_db, jnp.float32) / 10.0)
+    if x.shape[0] > 1:
+        return _prepare_circulant_mp(spectra, params.means, params.weights,
+                                     n_bits, x, sigma2, blocks, q, jitter,
+                                     weight_floor_rel)
     return _prepare_circulant(spectra, params.means, params.weights, n_bits,
-                              x0, sigma2, blocks, q, jitter,
+                              x.reshape(()), sigma2, blocks, q, jitter,
                               weight_floor_rel)
 
 
@@ -359,7 +397,13 @@ def estimate_circulant(bank: CirculantBank, r: jax.Array,
     the TPU-default method='dft', still a factor-K FLOP reduction over the
     dense path's O(N K D^2) — see `_resolve_method`); no (N, K, D)
     intermediate exists, so the chunking only bounds the (chunk, K) logit
-    tensor."""
+    tensor.
+
+    Multi-pilot banks (`CirculantBankMP`, P > 1) route to the per-bin
+    P x P pipeline (`estimate_circulant_mp`)."""
+    if isinstance(bank, CirculantBankMP):
+        return estimate_circulant_mp(bank, r, mode,
+                                     min(chunk_size, 8192), blocks)
     d_ = r.shape[-1]
     k_ = bank.log_weights.shape[0]
     # resident-bank VMEM rule (CLAUDE.md): the kernel's constants — two
@@ -543,6 +587,10 @@ def estimate_circulant_coherent(bank: CirculantBank, r: jax.Array,
     if r.ndim != 3:
         raise ValueError(f"estimate_circulant_coherent expects (B, T, M) "
                          f"blocks, got shape {r.shape}")
+    if isinstance(bank, CirculantBankMP):
+        return estimate_circulant_mp_coherent(bank, r, mode,
+                                              min(chunk_size, 2048),
+                                              alpha, blocks)
     d_ = r.shape[-1]
     k_ = bank.log_weights.shape[0]
     t_ = r.shape[1]
@@ -579,3 +627,258 @@ def estimate_circulant_coherent(bank: CirculantBank, r: jax.Array,
     out = jax.lax.map(one, rp)
     return out.reshape(n_chunks * chunk_size, r.shape[1], -1)[:n].astype(
         r.dtype)
+
+
+# ---------------------------------------------------------------------------
+# multi-pilot (P > 1) structured banks: per-bin P x P LMMSE (round-5)
+# ---------------------------------------------------------------------------
+
+class CirculantBankMP(NamedTuple):
+    """Per-SNR prepared bank for (block-)circulant component covariances
+    under the reference's MULTI-pilot observation A = kron(x, I_D)
+    (`utils.py:366`), x a (P,) pilot vector. K components, D dims.
+
+    The kron pilot maps each DFT bin to a P-vector: with Ch = F^H diag(s) F,
+    every PD x PD quantity (Cy, the Bussgang Cr under ALL three maps, W)
+    is block-structured with circulant D x D blocks, so (I_P (x) F)
+    simultaneously diagonalizes the blocks and the estimator factorizes
+    into D independent P x P problems:
+
+      Cy_f      = s_f x x^H + sigma^2 I_P
+      Cr_f      = Cy_f                                   [inf]
+                  beta^2 Cy_f + diag((1-beta^2) d_i)     [n bit]
+                  per-block-pair arcsine spectra          [1 bit]
+                  (the arcsine law is elementwise in the ENTRIES of each
+                   circulant block, so block (i, j) stays circulant with
+                   eigenvalues D*ifft(arcsine(first row)) — complex for
+                   i != j)
+      W_f       = s_f (g (.) x)^H Cr_f^{-1}              (1 x P row)
+
+    with d_i = |x_i|^2 mean(s) + sigma^2 the (block-constant) diag(Cy) and
+    g_i the per-block Bussgang gains. Bank memory O(K D P^2) vs the dense
+    path's O(K (PD)^2 + K D PD); prepare cost K D P^3 batched Cholesky vs
+    K (PD)^3. Matches `gmm_estimator.prepare_bank` + `estimate` to f32/FFT
+    rounding (parity-tested at P in {2, 4})."""
+    log_weights: jax.Array   # (K,) f32; dead components at -inf
+    mean_rf: jax.Array       # (K, D, P) complex: per-bin DFT obs mean
+    prec_f: jax.Array        # (K, D, P, P) complex: per-bin Cr_f^{-1}
+    logdet: jax.Array        # (K,) f32: sum_f log det Cr_f
+    filt_f: jax.Array        # (K, D, P) complex: per-bin W row
+    bias_f: jax.Array        # (K, D) complex
+
+
+@partial(jax.jit, static_argnums=(3, 6))
+@highest_precision
+def _prepare_circulant_mp(spectra, means, weights, n_bits, x, sigma2,
+                          blocks, q, jitter,
+                          weight_floor_rel) -> CirculantBankMP:
+    k, d = spectra.shape
+    p = x.shape[0]
+    cbar = jnp.mean(spectra, axis=-1)                     # (K,) diag(Ch)
+    di = jnp.abs(x)[None, :] ** 2 * cbar[:, None] + sigma2  # (K, P)
+    xxh = x[:, None] * jnp.conj(x)[None, :]               # (P, P)
+    eye_p = jnp.eye(p, dtype=jnp.complex64)
+    s_c = spectra.astype(jnp.complex64)
+    if is_inf_bits(n_bits):
+        gains = jnp.ones_like(di)
+        cr_f = (s_c[:, :, None, None] * xxh
+                + sigma2.astype(jnp.complex64) * eye_p)
+    elif n_bits == 1:
+        gains = bussgang_gain_diag(di, 1)
+        # per-block-pair arcsine: first row of block (i, j) of Cy is
+        # x_i conj(x_j) c_row + sigma^2 delta_ij e0; normalize by
+        # sqrt(d_i d_j), arcsine the ENTRIES, then the block's (complex)
+        # eigenvalues are D * ifft of the mapped row — all in the SAME
+        # DFT basis (`bussgang.arcsine_cov` on the dense matrix maps the
+        # same entries)
+        c_row = linalg.circulant_first_rows(spectra, blocks)  # (K, D)
+        e0 = jnp.zeros((d,), jnp.complex64).at[0].set(1.0)
+        row_y = (x[None, :, None, None] * jnp.conj(x)[None, None, :, None]
+                 * c_row[:, None, None, :]
+                 + sigma2.astype(jnp.complex64)
+                 * eye_p[None, :, :, None] * e0[None, None, None, :])
+        den = jnp.sqrt(di[:, :, None] * di[:, None, :])[..., None]
+        row_n = row_y / den.astype(jnp.complex64)
+        row_r = (2.0 / jnp.pi) * (
+            jnp.arcsin(jnp.clip(jnp.real(row_n), -1.0, 1.0))
+            + 1j * jnp.arcsin(jnp.clip(jnp.imag(row_n), -1.0, 1.0)))
+        if blocks is None:
+            lam = jnp.fft.ifft(row_r, axis=-1) * d        # (K, P, P, D)
+        else:
+            n1, n2 = blocks
+            lam = jnp.fft.ifft2(row_r.reshape(k, p, p, n1, n2))
+            lam = lam.reshape(k, p, p, d) * d
+        cr_f = jnp.moveaxis(lam, -1, 1)                   # (K, D, P, P)
+    else:
+        gains = bussgang_gain_diag(di, n_bits, q)         # (K, P)
+        beta = jnp.clip(jnp.mean(gains, axis=-1), 0.0, 1.0)  # (K,)
+        b2 = (beta ** 2)[:, None].astype(jnp.complex64)
+        cy_f = (s_c[:, :, None, None] * xxh
+                + sigma2.astype(jnp.complex64) * eye_p)   # (K, D, P, P)
+        diag_part = ((1.0 - beta[:, None] ** 2) * di)      # (K, P)
+        cr_f = (b2[:, :, None, None] * cy_f
+                + diag_part[:, None, :, None].astype(jnp.complex64) * eye_p)
+    cr_f = linalg.hermitize(cr_f) + jitter * eye_p
+    chol = jnp.linalg.cholesky(cr_f)                      # (K, D, P, P)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.real(jnp.diagonal(
+        chol, axis1=-2, axis2=-1))), axis=(-2, -1)).astype(jnp.float32)
+    # P x P inverse via the Cholesky (P is tiny)
+    inv_l = jax.scipy.linalg.solve_triangular(
+        chol, jnp.broadcast_to(eye_p, chol.shape), lower=True)
+    prec_f = jnp.conj(jnp.swapaxes(inv_l, -1, -2)) @ inv_l
+    prec_f = linalg.hermitize(prec_f)
+
+    gx = gains.astype(jnp.complex64) * x[None, :]         # (K, P)
+    mu_f = unitary_fft(means, blocks)                     # (K, D)
+    mean_rf = gx[:, None, :] * mu_f[:, :, None]           # (K, D, P)
+    # W row per bin: s_f conj(gx) @ prec_f
+    filt_f = s_c[:, :, None] * jnp.einsum(
+        "kp,kdpq->kdq", jnp.conj(gx), prec_f)
+    bias_f = mu_f * (1.0 - jnp.einsum("kdp,kp->kd", filt_f, gx))
+    floor = weight_floor_rel / k
+    logw = jnp.where(weights >= floor,
+                     jnp.log(jnp.maximum(weights, floor)), -jnp.inf)
+    return CirculantBankMP(logw.astype(jnp.float32), mean_rf, prec_f,
+                           logdet, filt_f, bias_f)
+
+
+class _MpConsts(NamedTuple):
+    """Chunk-loop constants of the multi-pilot logit computation, prepared
+    once outside the scan: the expanded quadratic's GEMM coefficients."""
+    prec_re: jax.Array    # (K, D, P, P) f32
+    prec_im: jax.Array    # (K, D, P, P) f32
+    pm_flat: jax.Array    # (K, P*D) complex: vec(prec @ mean) pilot-major
+    const_k: jax.Array    # (K,) f32: logw - logdet - m^H P m - PD log pi
+
+
+def _mp_consts(bank: CirculantBankMP) -> _MpConsts:
+    k, d, p = bank.mean_rf.shape
+    pm = jnp.einsum("kdpq,kdq->kdp", bank.prec_f, bank.mean_rf)
+    mpm = jnp.real(jnp.einsum("kdp,kdp->k", jnp.conj(bank.mean_rf), pm))
+    lw = jnp.maximum(bank.log_weights, -1e30)
+    const = (lw - bank.logdet - mpm
+             - p * d * jnp.log(jnp.pi)).astype(jnp.float32)
+    pm_flat = jnp.swapaxes(pm, 1, 2).reshape(k, p * d)    # pilot-major
+    return _MpConsts(jnp.real(bank.prec_f).astype(jnp.float32),
+                     jnp.imag(bank.prec_f).astype(jnp.float32),
+                     pm_flat, const)
+
+
+def _mp_logits(bank: CirculantBankMP, mc: _MpConsts, u: jax.Array):
+    """Posterior logits (n, K) for DFT-domain observations u (n, P, D):
+    const_k + 2 Re(u . conj(Pm)) - u^H Prec u, with the quadratic expanded
+    into P(P+1)/2 (n, D) x (D, K) real GEMMs (no (n, K, .) or (n, D, P, P)
+    intermediate)."""
+    n, p, d = u.shape
+    term1 = jnp.zeros((n, mc.const_k.shape[0]), jnp.float32)
+    for pi in range(p):
+        up = u[:, pi, :]
+        mag = (jnp.real(up) ** 2 + jnp.imag(up) ** 2).astype(jnp.float32)
+        term1 = term1 + mag @ mc.prec_re[:, :, pi, pi].T
+        for qi in range(pi + 1, p):
+            v = jnp.conj(up) * u[:, qi, :]                # (n, D)
+            term1 = term1 + 2.0 * (
+                jnp.real(v).astype(jnp.float32) @ mc.prec_re[:, :, pi, qi].T
+                - jnp.imag(v).astype(jnp.float32) @ mc.prec_im[:, :, pi, qi].T)
+    u_flat = u.reshape(n, p * d)
+    cross = cplx.cmatmul_realout(u_flat, jnp.conj(mc.pm_flat).T)
+    return mc.const_k[None, :] + 2.0 * cross - term1
+
+
+def _mp_combine(bank: CirculantBankMP, w: jax.Array, u: jax.Array):
+    """h_f = sum_k w_k (bias_f,k + sum_i filt_f,k,i * u_i): P + 1
+    (n, K) x (K, D) real-embedded GEMMs, elementwise per-bin apply."""
+    h_f = cplx.rcmatmul(w, bank.bias_f)
+    for pi in range(u.shape[1]):
+        h_f = h_f + cplx.rcmatmul(w, bank.filt_f[:, :, pi]) * u[:, pi, :]
+    return h_f
+
+
+def _estimate_chunk_mp(bank: CirculantBankMP, mc: _MpConsts, u: jax.Array,
+                       mode) -> jax.Array:
+    lp = _mp_logits(bank, mc, u)
+    proba = jax.nn.softmax(lp, axis=-1)
+    w = _selection_weights(proba, mode).astype(jnp.float32)
+    return _mp_combine(bank, w, u)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+@highest_precision
+def estimate_circulant_mp(bank: CirculantBankMP, r: jax.Array,
+                          mode: Union[str, int, float] = "all",
+                          chunk_size: int = 8192,
+                          blocks=None) -> jax.Array:
+    """Estimate channels from multi-pilot quantized observations
+    r (N, P*D) -> (N, D) through the per-bin P x P bank: identical
+    posterior semantics and selection modes as `gmm_estimator.estimate`.
+    O(N (K D P^2 + P D log D)) vs the dense path's O(N K D^2 P)."""
+    k, d, p = bank.mean_rf.shape
+    n = r.shape[0]
+    if r.shape[-1] != p * d:
+        raise ValueError(f"expected observations of dim P*D = {p * d}, "
+                         f"got {r.shape}")
+    mc = _mp_consts(bank)
+    n_chunks = -(-n // chunk_size)
+    pad = n_chunks * chunk_size - n
+    rp = jnp.pad(r, ((0, pad), (0, 0))).reshape(n_chunks, chunk_size, p, d)
+
+    def one(rc):
+        u = unitary_fft(rc, blocks)                       # per pilot block
+        return unitary_ifft(_estimate_chunk_mp(bank, mc, u, mode), blocks)
+
+    out = jax.lax.map(one, rp)
+    return out.reshape(n_chunks * chunk_size, -1)[:n].astype(r.dtype)
+
+
+def _estimate_coherent_chunk_mp(bank: CirculantBankMP, mc: _MpConsts,
+                                u: jax.Array, mode,
+                                alpha: float) -> jax.Array:
+    """Coherence blocks u (B, T, P, D) -> (B, T, D): block-pooled posterior
+    with the leave-one-out alpha blend (`gmm_estimator.
+    _estimate_coherent_chunk` semantics)."""
+    b, t, p, d = u.shape
+    uf = u.reshape(b * t, p, d)
+    lp3 = _mp_logits(bank, mc, uf).reshape(b, t, -1)
+    lw = jnp.maximum(bank.log_weights, -1e30)
+    # _mp_logits already includes the log-weight via const_k; the block
+    # posterior must count it ONCE, so subtract the (T-1) extras
+    lp_sum = jnp.sum(lp3, axis=1) - (t - 1) * lw[None, :]
+    if alpha >= 1.0:
+        proba = jax.nn.softmax(lp_sum, axis=-1)
+        w = _selection_weights(proba, mode).astype(jnp.float32)
+        wf = jnp.repeat(w, t, axis=0)
+    else:
+        lg = lp3 + alpha * (lp_sum[:, None, :] - lp3)
+        proba = jax.nn.softmax(lg, axis=-1)
+        w = _selection_weights(proba, mode).astype(jnp.float32)
+        wf = w.reshape(b * t, -1)
+    return _mp_combine(bank, wf, uf).reshape(b, t, d)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@highest_precision
+def estimate_circulant_mp_coherent(bank: CirculantBankMP, r: jax.Array,
+                                   mode: Union[str, int, float] = "all",
+                                   chunk_size: int = 2048,
+                                   alpha: float = 1.0,
+                                   blocks=None) -> jax.Array:
+    """Joint estimation of coherence blocks r (B, T, P*D) -> (B, T, D)
+    through the multi-pilot bank (coherent analog of
+    `estimate_circulant_mp`)."""
+    if r.ndim != 3:
+        raise ValueError(f"expected (B, T, P*D) blocks, got {r.shape}")
+    k, d, p = bank.mean_rf.shape
+    n, t = r.shape[0], r.shape[1]
+    mc = _mp_consts(bank)
+    n_chunks = -(-n // chunk_size)
+    pad = n_chunks * chunk_size - n
+    rp = jnp.pad(r, ((0, pad), (0, 0), (0, 0)))
+    rp = rp.reshape(n_chunks, chunk_size, t, p, d)
+
+    def one(rc):
+        u = unitary_fft(rc, blocks)
+        return unitary_ifft(
+            _estimate_coherent_chunk_mp(bank, mc, u, mode, alpha), blocks)
+
+    out = jax.lax.map(one, rp)
+    return out.reshape(n_chunks * chunk_size, t, -1)[:n].astype(r.dtype)

@@ -77,11 +77,18 @@ def test_structured_bank_harness_matches_dense(tmp_path):
                                mc_d["blmmse_gmm_coh"], rtol=1e-4)
 
 
-def test_structured_bank_requires_single_pilot(tmp_path):
-    with pytest.raises(ValueError, match="P=1"):
-        run_gmm.run(_cfg(tmp_path, cov_type="circulant", n_pilots=2,
-                         use_structured_bank=True, use_cache=False),
-                    verbose=False)
+def test_structured_bank_multi_pilot(tmp_path):
+    """Round-5: structured banks are exact for ANY n_pilots — P>1 rides
+    the per-bin P x P bank (CirculantBankMP) and must match the dense
+    path on the same sweep (the old P=1-only restriction is lifted)."""
+    kw = dict(cov_type="circulant", n_pilots=2, use_cache=False,
+              snrs=(0, 10))
+    mse_s, _, _ = run_gmm.run(_cfg(tmp_path, use_structured_bank=True,
+                                   **kw), verbose=False)
+    mse_d, _, _ = run_gmm.run(_cfg(tmp_path, use_structured_bank=False,
+                                   **kw), verbose=False)
+    np.testing.assert_allclose(mse_s["blmmse_gmm"], mse_d["blmmse_gmm"],
+                               rtol=1e-4)
 
 
 def test_auto_coherence_alpha(tmp_path):

@@ -477,3 +477,69 @@ def test_circ_kernel_tile_budget():
         assert t >= 64 and (t & (t - 1)) == 0, (d, k, t)
         total = _circ_bank_bytes(d, k) + t * 4 * (10 * d + 2 * k)
         assert total <= 13 * 1024 * 1024, (d, k, t, total)
+
+
+# ---------------------------------------------------------------------------
+# multi-pilot (P > 1) banks: per-bin P x P LMMSE vs the dense path (round-5)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_bits,tol", [("inf", 3e-5), (1, 2e-3), (2, 3e-5)])
+@pytest.mark.parametrize("p", [2, 4])
+def test_multipilot_matches_dense(circ_fit, p, n_bits, tol):
+    """kron(x, I) pilots with P in {2, 4}: the per-bin P x P structured
+    bank must reproduce the dense prepare/estimate for every bit-width
+    (the 1-bit tolerance carries the arcsine-amplified f32 circulant
+    residue like the P=1 case)."""
+    from quantized_channel_estimation_tpu.ops import observation, pilots
+    fit, h = circ_fit
+    a = pilots.pilot_matrix(D, p, n_bits, "angle_amp")
+    q = Q.design_quantizer(10.0, n_bits, "uniform")
+    r = observation.observe(jax.random.PRNGKey(9), h[:512], 10.0, a,
+                            n_bits, q)
+    bank_d = gmm_estimator.prepare_bank(fit.params, 10.0, a, n_bits, q)
+    bank_s = sb.prepare_bank_circulant(fit.params, 10.0, a, n_bits, q)
+    assert isinstance(bank_s, sb.CirculantBankMP)
+    for mode in ("all", 1, 2):
+        hd = gmm_estimator.estimate(bank_d, r, mode)
+        hs = sb.estimate_circulant(bank_s, r, mode)
+        if n_bits == 1 and mode != "all":
+            row = np.linalg.norm(np.asarray(hs - hd), axis=-1) / np.maximum(
+                np.linalg.norm(np.asarray(hd), axis=-1), 1e-12)
+            assert float(np.mean(row < tol)) > 0.99, (mode, np.mean(row))
+        else:
+            assert _rel(hs, hd) < tol, (mode, _rel(hs, hd))
+
+
+@pytest.mark.parametrize("alpha", [1.0, 0.25])
+def test_multipilot_coherent_matches_dense(circ_fit, alpha):
+    from quantized_channel_estimation_tpu.ops import observation, pilots
+    fit, h = circ_fit
+    p, n_bits = 2, 2
+    a = pilots.pilot_matrix(D, p, n_bits, "angle_amp")
+    q = Q.design_quantizer(5.0, n_bits, "uniform")
+    r = observation.observe(jax.random.PRNGKey(11), h[:256], 5.0, a,
+                            n_bits, q)
+    rb = r.reshape(64, 4, -1)
+    bank_d = gmm_estimator.prepare_bank(fit.params, 5.0, a, n_bits, q)
+    bank_s = sb.prepare_bank_circulant(fit.params, 5.0, a, n_bits, q)
+    hd = gmm_estimator.estimate_coherent(bank_d, rb, "all", 16, alpha)
+    hs = sb.estimate_circulant_coherent(bank_s, rb, "all", 16, alpha)
+    assert _rel(hs, hd) < 3e-5, _rel(hs, hd)
+
+
+def test_multipilot_bank_memory():
+    """The MP bank is O(K D P^2) — a fraction of the dense
+    O(K (PD)^2 + K D PD) at the standard dims."""
+    from quantized_channel_estimation_tpu.ops import pilots
+    p, d, k = 4, D, K
+    h = _circulant_data(jax.random.PRNGKey(3), 4000)
+    fit = gmm.fit(jax.random.PRNGKey(4), h,
+                  gmm.GmmConfig(n_components=k, cov_type="circulant",
+                                max_iter=10))
+    a = pilots.pilot_matrix(d, p, 2, "angle_amp")
+    q = Q.design_quantizer(10.0, 2, "uniform")
+    bank = sb.prepare_bank_circulant(fit.params, 10.0, a, 2, q)
+    mp_bytes = sum(v.size * v.dtype.itemsize
+                   for v in jax.tree_util.tree_leaves(bank))
+    dense_bytes = k * ((p * d) ** 2 + 2 * d * p * d) * 8
+    assert mp_bytes < dense_bytes / 10, (mp_bytes, dense_bytes)
