@@ -144,35 +144,54 @@ class DnnVae(nn.Module):
         return self.decode(mu_enc)
 
 
-def elbo_loss(cfg: VaeConfig, outputs, data_h, data_y, snr_list=None):
+def elbo_loss(cfg: VaeConfig, outputs, data_h, data_y, snr_list=None,
+              q_tables=None):
     """Conditionally-Gaussian ELBO (`vae.py:312-365`); returns the negative
-    mean ELBO (to minimize)."""
+    mean ELBO (to minimize).
+
+    `q_tables` (round-5): per-sample quantizer (thresholds (B, T),
+    labels (B, L)) for the 'real'-mode quantization-aware likelihood with
+    NON-uniform designs — the Bussgang gain then comes from the general
+    threshold/label closed form (`bussgang.bussgang_gain_diag`'s sum,
+    which is the reference's Lloyd formula `lloyd_max_quantizer.py:10-21`).
+    The reference raises for Lloyd here (`vae.py:329-331`); supporting it
+    is a strict superset."""
     mu_enc, log_std_enc, mu_dec, log_prec_dec = outputs
     if cfg.vae_mode == "real":
         sigma2 = 10.0 ** (-snr_list / 10.0)
         cy = jnp.exp(-log_prec_dec) + sigma2[:, None]
         if not is_inf_bits(cfg.n_bits):
-            if cfg.quantizer_type != "uniform":
-                # the quantization-aware likelihood only has the uniform
-                # closed form (`vae.py:329-331` raises the same way)
-                raise NotImplementedError(
-                    "vae_mode='real' training supports quantizer_type="
-                    f"'uniform' only, got {cfg.quantizer_type!r}")
             cy_diag = jnp.mean(cy, axis=1, keepdims=True)
-            # per-sample uniform-step closed form, delta from each sample's
-            # own SNR, applied at EVERY bit-width including 1 (the reference
-            # `get_Bussgang_matrix_diag_fast`, `uniform_quantizer.py:101-111`,
-            # uses this formula at 1 bit too — not the sign-quantizer gain)
-            from quantized_channel_estimation_tpu.ops.quantizer import (
-                uniform_step)
-            delta = uniform_step(snr_list, int(cfg.n_bits))  # (B,)
             c = cy_diag[:, 0]
-            idx = jnp.arange(1, 2 ** int(cfg.n_bits), dtype=jnp.float32)
-            half = 2.0 ** int(cfg.n_bits) / 2.0
-            expo = jnp.exp(-(delta ** 2)[:, None] * (idx - half) ** 2
-                           / c[:, None])
-            gains = (delta / jnp.sqrt(jnp.pi) / jnp.sqrt(c)
-                     * jnp.sum(expo, axis=-1))
+            if cfg.quantizer_type == "uniform":
+                # per-sample uniform-step closed form, delta from each
+                # sample's own SNR, applied at EVERY bit-width including 1
+                # (the reference `get_Bussgang_matrix_diag_fast`,
+                # `uniform_quantizer.py:101-111`, uses this formula at
+                # 1 bit too — not the sign-quantizer gain)
+                from quantized_channel_estimation_tpu.ops.quantizer import (
+                    uniform_step)
+                delta = uniform_step(snr_list, int(cfg.n_bits))  # (B,)
+                idx = jnp.arange(1, 2 ** int(cfg.n_bits), dtype=jnp.float32)
+                half = 2.0 ** int(cfg.n_bits) / 2.0
+                expo = jnp.exp(-(delta ** 2)[:, None] * (idx - half) ** 2
+                               / c[:, None])
+                gains = (delta / jnp.sqrt(jnp.pi) / jnp.sqrt(c)
+                         * jnp.sum(expo, axis=-1))
+            else:
+                # general per-sample threshold/label gain (Lloyd designs):
+                # B = sum_j (l_j - l_{j-1}) exp(-tau_j^2 / c) / (sqrt(pi)
+                # sqrt(c)) — beyond the reference, which raises for Lloyd
+                if q_tables is None or q_tables[0] is None:
+                    raise NotImplementedError(
+                        "vae_mode='real' with a non-uniform quantizer needs "
+                        "the per-sample quantizer tables (observe_random_snr"
+                        "(return_tables=True))")
+                thr, lab = q_tables
+                label_steps = jnp.diff(lab, axis=-1)          # (B, T)
+                expo = jnp.exp(-(thr ** 2) / c[:, None])
+                gains = (jnp.sum(label_steps * expo, axis=-1)
+                         / (jnp.sqrt(jnp.pi) * jnp.sqrt(c)))
             b2 = jnp.clip(gains ** 2, 0.0, 1.0)[:, None]  # (B, 1)
             cy = b2 * cy + (1.0 - b2) * cy_diag
         loss = jnp.sum(-jnp.log(cy), axis=1)
@@ -269,13 +288,15 @@ def make_train_step(model: DnnVae, cfg: VaeConfig, a: Optional[jax.Array],
         if cfg.vae_mode == "genie":
             out = model.apply(params, h_fft, ksamp)
             return elbo_loss(cfg, out, h_fft, None)
-        r, snr = observation.observe_random_snr(
-            kobs, h_batch, snrs, a_c, cfg.n_bits, quantizers)
+        r, snr, thr, lab = observation.observe_random_snr(
+            kobs, h_batch, snrs, a_c, cfg.n_bits, quantizers,
+            return_tables=True)
         x = obs_to_input(cfg, r)
         out = model.apply(params, x, ksamp)
         if cfg.vae_mode == "noisy":
             return elbo_loss(cfg, out, h_fft, None)
-        return elbo_loss(cfg, out, None, x, snr_list=snr)
+        return elbo_loss(cfg, out, None, x, snr_list=snr,
+                         q_tables=(thr, lab))
 
     def _one_step(state: VaeTrainState, h_train, key):
         if cfg.axis_name is not None:

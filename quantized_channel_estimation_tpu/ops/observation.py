@@ -35,9 +35,14 @@ def observe(key: jax.Array, h: jax.Array, snr_db, a: Optional[jax.Array],
 def observe_random_snr(key: jax.Array, h: jax.Array, snrs_db: jax.Array,
                        a: Optional[jax.Array], n_bits,
                        quantizers: Optional[list] = None,
-                       snr_probs: Optional[jax.Array] = None):
+                       snr_probs: Optional[jax.Array] = None,
+                       return_tables: bool = False):
     """Per-sample random SNR draw from a discrete set, used for SNR-robust VAE
-    training (`utils.py:254-318`). Returns (r, snr_per_sample).
+    training (`utils.py:254-318`). Returns (r, snr_per_sample), or with
+    `return_tables` (r, snr, thresholds (B, T), labels (B, L)) — the
+    per-sample quantizer tables the quantization-aware VAE likelihood needs
+    for non-uniform designs (None, None for inf/1-bit, which have no
+    tables).
 
     `quantizers` is a list of ScalarQuantizer (one per SNR, same shapes);
     selection is a gather over the stacked threshold/label tables — fully
@@ -63,9 +68,10 @@ def observe_random_snr(key: jax.Array, h: jax.Array, snrs_db: jax.Array,
     y = y + amp * crandn(knoise, y.shape, dtype=y.dtype)
 
     if is_inf_bits(n_bits):
-        return y, snr
+        return (y, snr, None, None) if return_tables else (y, snr)
     if n_bits == 1:
-        return quantize(y, 1, None), snr
+        r1 = quantize(y, 1, None)
+        return (r1, snr, None, None) if return_tables else (r1, snr)
     thresholds = jnp.stack([qz.thresholds for qz in quantizers])[idx]  # (B, T)
     labels = jnp.stack([qz.labels for qz in quantizers])[idx]  # (B, L)
 
@@ -73,4 +79,5 @@ def observe_random_snr(key: jax.Array, h: jax.Array, snrs_db: jax.Array,
         qz = ScalarQuantizer(tb, lb, jnp.zeros((), tb.dtype))
         return quantize(yb, n_bits, qz)
 
-    return jax.vmap(quant_one)(y, thresholds, labels), snr
+    r = jax.vmap(quant_one)(y, thresholds, labels)
+    return (r, snr, thresholds, labels) if return_tables else (r, snr)
