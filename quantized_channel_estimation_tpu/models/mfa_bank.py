@@ -104,19 +104,36 @@ class FactoredBank(NamedTuple):
 def prepare_bank_factored(params: MfaParams, snr_db, a, n_bits,
                           q: Optional[ScalarQuantizer] = None,
                           jitter: float = 1e-6,
-                          weight_floor_rel: float = 1e-2) -> FactoredBank:
+                          weight_floor_rel: float = 1e-2,
+                          one_bit: str = "reject") -> FactoredBank:
     """Factored analog of `gmm_estimator.prepare_bank` for MFA parameters
     and a scaled-identity pilot. Same Bussgang observation model (per-entry
     diagonal gains, scalar-beta n-bit Cr — `bussgang.bank_gains_and_cov`
     semantics) and the same dead-component weight floor; only the
-    representation differs. Raises for 1-bit (arcsine breaks low rank —
-    densify via `mfa.to_gmm_params` there)."""
-    if not is_inf_bits(n_bits) and n_bits == 1:
+    representation differs.
+
+    1-bit (round-5): the exact arcsine law is elementwise in the MATRIX
+    ENTRIES and does not preserve low rank, so by default 1-bit raises
+    (densify via `mfa.to_gmm_params`). `one_bit='linear-arcsine'` instead
+    uses the first-order odd expansion arcsin(x) = x + O(x^3):
+
+        Cr ~ (2/pi) K + (1 - 2/pi) I,   K = D^(-1/2) Cy D^(-1/2)
+
+    which stays EXACTLY in the low-rank + diagonal class — V = g (.) U
+    rowwise (g the 1-bit gains sqrt(2/pi)/sqrt(diag Cy)), e = g^2 dvec +
+    1 - 2/pi — with per-entry error (2/pi)(arcsin(rho) - rho) = O(rho^3)
+    in the normalized off-diagonal correlations rho. The diagonal is
+    exact. Accuracy is MEASURED, not assumed (tools/mfa_bank_bench.py
+    one-bit rows; PARITY_NOTES.md round-5)."""
+    if not is_inf_bits(n_bits) and n_bits == 1 \
+            and one_bit != "linear-arcsine":
         raise ValueError(
-            "factored MFA banks do not support 1-bit quantization: the "
-            "arcsine law is elementwise in the matrix entries and destroys "
-            "the low-rank structure. Densify with mfa.to_gmm_params + "
-            "gmm_estimator.prepare_bank for 1-bit.")
+            "factored MFA banks do not support exact 1-bit quantization: "
+            "the arcsine law is elementwise in the matrix entries and "
+            "destroys the low-rank structure. Densify with "
+            "mfa.to_gmm_params + gmm_estimator.prepare_bank, or pass "
+            "one_bit='linear-arcsine' for the measured O(rho^3) "
+            "approximation that keeps the factored form.")
     k, d, m = params.lambdas.shape
     x0 = _pilot_scalar(a, d)
     sigma2 = 10.0 ** (-jnp.asarray(snr_db, jnp.float32) / 10.0)
@@ -130,6 +147,14 @@ def prepare_bank_factored(params: MfaParams, snr_db, a, n_bits,
         gains = jnp.ones_like(diag_cy)
         v = u
         e = dvec
+    elif n_bits == 1:
+        # linear-arcsine factored form (docstring above): V = g (.) U,
+        # e = g^2 dvec + 1 - 2/pi; gains are the exact per-entry 1-bit
+        # Bussgang gains, so means/filters/responsibility scaling match
+        # the dense bank except for the O(rho^3) Cr off-diagonal error
+        gains = bussgang_gain_diag(diag_cy, 1)            # (K, D) real
+        v = gains[..., None].astype(u.dtype) * u
+        e = gains ** 2 * dvec + (1.0 - 2.0 / jnp.pi)
     else:
         gains = bussgang_gain_diag(diag_cy, n_bits, q)    # (K, D) real
         beta = jnp.clip(jnp.mean(gains, axis=-1), 0.0, 1.0)
