@@ -1,0 +1,118 @@
+"""CSI-FREE structured training at frontier D (round-5, VERDICT r4 item 5).
+
+Trains a circulant GMM PURELY from 2-bit quantized pilots at D >= 1024
+(16x+ the reference's 64-antenna array) — the quantized-EM covariance
+recovery (`models/gmm_quant.py`, reference `cov_est_quant.py:31-88` /
+`gmm_cplx_bussgang.py:104-119`) runs in the DFT eigendomain at O(N K D)
+per iteration, so no dense D^2 statistics or D^3 factorization ever
+exists — then serves the fitted bank through the FFT-domain structured
+path and reports:
+
+  - fit wall time (quantized circulant EM, one program),
+  - NMSE vs the genie-BLMMSE anchor (chunked; true per-sample Toeplitz) and
+    vs a CSI-TRAINED circulant fit on the same channels (the price of
+    training without ground truth),
+  - structured serving throughput (roll-loop amortized medians).
+
+Usage: python tools/quant_frontier.py [D] [K]
+Evidence recorded in BASELINE.md (round-5 frontier row).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quantized_channel_estimation_tpu.harness import stages
+from quantized_channel_estimation_tpu.models import gmm, gmm_quant
+from quantized_channel_estimation_tpu.models import structured_bank as sb
+from quantized_channel_estimation_tpu.ops import observation, scm
+from quantized_channel_estimation_tpu.ops import quantizer as Q
+from quantized_channel_estimation_tpu.ops.boundary import cjit
+
+D = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+N_TRAIN, N_VAL, SNR, NB = 60_000, 2_000, 10.0, 2
+MAX_ITER = 30
+
+t0 = time.time()
+GEN_CHUNK = int(os.environ.get(
+    "QF_GEN_CHUNK", min(4096, max(512, (4096 * 256) // D))))
+h, t = stages.generate_channels(jax.random.PRNGKey(0), N_TRAIN + N_VAL,
+                                scm.ScmConfig(D, 1), chunk=GEN_CHUNK)
+h_train = stages.tree_slice(h, 0, N_TRAIN)
+h_val = stages.tree_slice(h, N_TRAIN, N_TRAIN + N_VAL)
+t_val = stages.tree_slice(t, N_TRAIN, N_TRAIN + N_VAL)
+print(f"datagen {time.time() - t0:.1f}s", flush=True)
+
+q = Q.design_quantizer(SNR, NB)
+sigma2 = 10.0 ** (-SNR / 10.0)
+obs = cjit(observation.observe, static_argnums=(4,))
+r_train = obs(jax.random.PRNGKey(1), h_train, SNR, None, NB, q)
+r_val = obs(jax.random.PRNGKey(2), h_val, SNR, None, NB, q)
+
+# ---- CSI-free quantized circulant EM (the headline fit) ----
+qcfg = gmm.GmmConfig(n_components=K, cov_type="circulant",
+                     max_iter=MAX_ITER, chunk_size=4096)
+t0 = time.time()
+fit_q = stages.gmm_quant_fit(jax.random.PRNGKey(3), r_train, qcfg, NB,
+                             sigma2, q)
+n_it = int(np.asarray(fit_q.n_iter))
+fit_time = time.time() - t0
+print(f"CSI-free circulant fit: {fit_time:.1f}s / {n_it} iters "
+      f"(lb={float(np.asarray(fit_q.lower_bound)):.4f})", flush=True)
+
+# ---- CSI-trained reference fit on the same channels ----
+t0 = time.time()
+fit_c = stages.gmm_fit(jax.random.PRNGKey(3), h_train, qcfg)
+print(f"CSI-trained circulant fit: {time.time() - t0:.1f}s / "
+      f"{int(np.asarray(fit_c.n_iter))} iters", flush=True)
+
+# ---- NMSE rows (structured banks, x0 = 1 identity pilot) ----
+prep = cjit(lambda p, snr, nb, qq: sb.prepare_bank_circulant(
+    p, snr, 1.0 + 0.0j, nb, qq), static_argnums=(2,))
+est = cjit(lambda b, rr: sb.estimate_circulant(b, rr, "all", 2048),
+           static_argnums=())
+bank_q = prep(fit_q.params, SNR, NB, q)
+bank_c = prep(fit_c.params, SNR, NB, q)
+nmse_q = stages.nmse(est(bank_q, r_val), h_val)
+nmse_c = stages.nmse(est(bank_c, r_val), h_val)
+t0 = time.time()
+a_eye = cjit(lambda d: jnp.eye(d, dtype=jnp.complex64),
+             static_argnums=(0,))(D)
+nmse_genie = stages.chunked_genie_nmse(r_val, t_val, h_val, SNR, a_eye,
+                                       NB, q)
+print(f"NMSE: CSI-free {nmse_q:.5f} | CSI-trained {nmse_c:.5f} | "
+      f"genie {nmse_genie:.5f} ({time.time() - t0:.0f}s genie eval)",
+      flush=True)
+
+# ---- structured serving throughput (roll-loop amortized; the batch is
+# tiled well past the ~25 ms tunnel dispatch floor) ----
+REPEATS = 5
+B_SRV = max(N_VAL, min(131072, (1 << 25) // D))
+tile = cjit(lambda x, reps: jnp.tile(x, (reps, 1))[:B_SRV],
+            static_argnums=(1,))
+r_srv = tile(r_val, -(-B_SRV // N_VAL))
+
+
+def run_all(b, x):
+    def one(i):
+        xr = jax.tree_util.tree_map(lambda v: jnp.roll(v, i, axis=0), x)
+        return jnp.sum(jnp.abs(sb.estimate_circulant(b, xr, "all", 2048)))
+    return jnp.sum(jax.lax.map(one, jnp.arange(REPEATS)))
+
+
+run_j = cjit(run_all)
+assert float(np.asarray(run_j(bank_q, r_srv))) > 0
+ts = []
+for _ in range(5):
+    t0 = time.perf_counter()
+    assert float(np.asarray(run_j(bank_q, r_srv))) > 0
+    ts.append(time.perf_counter() - t0)
+dt = sorted(ts)[len(ts) // 2]
+rate = B_SRV * REPEATS / dt
+print(f"structured serving: {rate / 1e6:.3f} M est/s "
+      f"(D={D}, K={K}, batch {B_SRV})", flush=True)
