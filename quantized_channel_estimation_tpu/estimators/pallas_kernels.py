@@ -674,6 +674,88 @@ def estimate_packed_block_grouped_topk(kb: KernelBankBlock, r2: jax.Array,
     )(kb.logw, pw, mu, b, r2)
 
 
+def _estimate_kernel_block_grouped_topk_stats(logw, pw, mu, b, r2, out_l,
+                                              out_z, *, n_groups: int,
+                                              group: int, two_m: int,
+                                              k_sel: int):
+    """Top-k stats variant over a K-CHUNK: emits the chunk's top-k
+    (logit, z) candidate lists so chunks merge exactly in JAX (the top-k
+    of a union is the top-k of the per-chunk top-k's). Logit columns are
+    lane-broadcast like the softmax stats kernel (`..._grouped_stats`)."""
+    ls, zs = _grouped_stream_topk(logw, pw, mu, b, r2[:], n_groups, group,
+                                  two_m, out_z.shape[1] // k_sel, k_sel)
+    two_d = out_z.shape[1] // k_sel
+    for i in range(k_sel):
+        out_l[:, 128 * i:128 * (i + 1)] = jnp.broadcast_to(
+            ls[i], (ls[i].shape[0], 128))
+        out_z[:, two_d * i:two_d * (i + 1)] = zs[i]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def estimate_packed_block_grouped_topk_stats(kb: KernelBankBlock,
+                                             r2: jax.Array, tile_n: int,
+                                             group: int, k_sel: int,
+                                             interpret: bool = False):
+    """Chunk-level top-k candidates: returns (l (N, 128*k) f32 broadcast
+    columns, z (N, 2D*k) f32)."""
+    n, two_m = r2.shape
+    if n % tile_n:
+        raise ValueError(f"N={n} must be a multiple of tile_n={tile_n}")
+    k_comp = kb.pw.shape[0]
+    two_d = kb.pw.shape[-1] - two_m
+    assert k_comp % group == 0, (k_comp, group)
+    n_groups = k_comp // group
+    stride = two_m + two_d
+    pw = jnp.swapaxes(kb.pw.reshape(n_groups, group, two_m, stride),
+                      1, 2).reshape(n_groups, two_m, group * stride)
+    mu = kb.mu.reshape(n_groups, 1, group * two_m)
+    b = kb.b.reshape(n_groups, 1, group * two_d)
+    grid = (n // tile_n,)
+    bank_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    data_spec = pl.BlockSpec((tile_n, two_m), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    l_spec = pl.BlockSpec((tile_n, 128 * k_sel), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    z_spec = pl.BlockSpec((tile_n, two_d * k_sel), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    kern = functools.partial(_estimate_kernel_block_grouped_topk_stats,
+                             n_groups=n_groups, group=group, two_m=two_m,
+                             k_sel=k_sel)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[smem_spec, bank_spec, bank_spec, bank_spec, data_spec],
+        out_specs=[l_spec, z_spec],
+        out_shape=[jax.ShapeDtypeStruct((n, 128 * k_sel), jnp.float32),
+                   jax.ShapeDtypeStruct((n, two_d * k_sel), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * two_m * (two_m + two_d) * k_comp,
+            bytes_accessed=4 * (n * (2 * two_m + (two_d + 128) * k_sel)
+                                + k_comp * two_m * (two_m + two_d)),
+            transcendentals=0),
+        interpret=interpret,
+    )(kb.logw, pw, mu, b, r2)
+
+
+def merge_topk(ls, zs, k_sel: int):
+    """Exact merge of per-chunk top-k candidate lists from DISJOINT
+    component sets: the union's top-k combine. ls: list of (N, k) f32
+    logits (each sorted desc); zs: list of (N, k, 2D) f32. Returns the
+    renormalized-softmax top-k combine (N, 2D) (k_sel=1 = argmax row).
+    Candidate order inside the concat preserves chunk (= component index)
+    order, so ties resolve like a single-pass run."""
+    l_all = jnp.concatenate(ls, axis=1)                   # (N, C*k)
+    z_all = jnp.concatenate(zs, axis=1)                   # (N, C*k, 2D)
+    l_sel, idx = jax.lax.top_k(l_all, k_sel)              # (N, k)
+    z_sel = jnp.take_along_axis(z_all, idx[..., None], axis=1)
+    if k_sel == 1:
+        return z_sel[:, 0, :]
+    w = jnp.exp(l_sel - l_sel[:, :1])                     # (N, k)
+    return (jnp.einsum("nk,nkd->nd", w, z_sel)
+            / jnp.sum(w, axis=1, keepdims=True))
+
+
 TOPK_KERNEL_MAX = 8  # bubble-insert slots per row; beyond this the extra
 # VMEM live set and per-component where-chains stop paying vs the einsum
 # path (and the static unroll grows toward Mosaic's crash range)
@@ -681,36 +763,61 @@ TOPK_KERNEL_MAX = 8  # bubble-insert slots per row; beyond this the extra
 
 def topk_kernel_eligible(bank: PreparedBank, k_sel,
                          vmem_budget: int = 13 * 1024 * 1024) -> bool:
-    """True when the fused top-k kernel can serve `mode=k_sel` for this
+    """True when the fused top-k kernels can serve `mode=k_sel` for this
     bank: int selection with 1 <= k < K, small enough for the in-register
-    bubble, and a bank within the resident-VMEM rule (the K-chunked merge
-    of top-k states is not implemented — oversized banks take the einsum
-    path)."""
+    bubble. Resident-VMEM banks run the single-launch kernel; oversized
+    banks take the split-K chunked top-k merge (round-5 late), eligible
+    while a >= 4-component chunk fits the stats budget (like
+    `estimate_fused`)."""
     if not isinstance(k_sel, int) or isinstance(k_sel, bool):
         return False
     k_comp, d, m = bank.filters.shape
     if not 1 <= k_sel <= min(TOPK_KERNEL_MAX, k_comp - 1):
         return False
     per_k = 4 * (2 * m) * (2 * m + 2 * d)
-    return k_comp * per_k <= vmem_budget
+    if k_comp * per_k <= vmem_budget:
+        return True
+    chunk_budget = (10 if 2 * m <= 256 else 8) * 1024 * 1024
+    return (chunk_budget // per_k) // 4 * 4 >= 4
+
+
+def _topk_chunked(bank: PreparedBank, r2: jax.Array, k_sel: int,
+                  k_chunk: int, tile_n: int, interpret: bool):
+    """Split-K top-k: per-chunk candidate lists from the stats kernel,
+    merged exactly with `merge_topk` (top-k of a union = top-k of the
+    per-chunk top-k's). Returns (N, 2D) f32."""
+    k_comp, d, _ = bank.filters.shape
+    ls, zs = [], []
+    for k0 in range(0, k_comp, k_chunk):
+        sub = _bank_slice(bank, k0, min(k0 + k_chunk, k_comp))
+        kc = sub.filters.shape[0]
+        group = next(g for g in (4, 2, 1) if kc % g == 0)
+        kb = kernel_bank_block(sub)
+        l_c, z_c = estimate_packed_block_grouped_topk_stats(
+            kb, r2, tile_n, group, k_sel, interpret)
+        ls.append(l_c[:, ::128])                          # (N, k) values
+        zs.append(z_c.reshape(z_c.shape[0], k_sel, 2 * d))
+    return merge_topk(ls, zs, k_sel)
 
 
 def estimate_fused_topk(bank: PreparedBank, r: jax.Array, k_sel: int,
-                        interpret: bool = False) -> jax.Array:
+                        interpret: bool = False,
+                        vmem_budget: int = 13 * 1024 * 1024) -> jax.Array:
     """Fused top-k-selection estimation (round-5): the kernel analog of
     `gmm_estimator.estimate(bank, r, k_sel)` for int selection modes
     (`gmm_cplx_bussgang.py:197-242` — int 1 = argmax component, int k>1 =
     top-k by responsibility renormalized). Single pass: the bank stays
     VMEM-resident and the running top-k (logit, z) pairs replace the
     online-softmax state, so selection serving no longer forfeits the
-    fused-kernel path. Callers check `topk_kernel_eligible`."""
+    fused-kernel path. Banks beyond the resident-VMEM rule run the
+    split-K chunked candidate merge (`_topk_chunked`). Callers check
+    `topk_kernel_eligible`."""
     k_comp, d, m = bank.filters.shape
-    if not topk_kernel_eligible(bank, k_sel):
+    if not topk_kernel_eligible(bank, k_sel, vmem_budget):
         raise ValueError(
             f"top-k kernel needs int 1 <= k <= "
-            f"min({TOPK_KERNEL_MAX}, K-1) and a resident-VMEM bank "
+            f"min({TOPK_KERNEL_MAX}, K-1) within the VMEM budgets "
             f"(got k={k_sel!r}, K={k_comp})")
-    kb = kernel_bank_block(bank)
     # the top-k stream carries k_sel (TN, 2D) live buffers beyond the
     # 'all' kernel's one accumulator; halve the tile once the extras pass
     # ~2 accumulators' worth
@@ -721,9 +828,22 @@ def estimate_fused_topk(bank: PreparedBank, r: jax.Array, k_sel: int,
     rp = jnp.pad(r, ((0, n_pad - n), (0, 0)))
     r2 = jnp.concatenate([jnp.real(rp), jnp.imag(rp)],
                          axis=-1).astype(jnp.float32)
-    group = next(g for g in (4, 2, 1) if k_comp % g == 0)
-    h2 = estimate_packed_block_grouped_topk(kb, r2, tile_n, group,
-                                            int(k_sel), interpret)
+    per_k = 4 * (2 * m) * (2 * m + 2 * d)
+    if k_comp * per_k > vmem_budget:
+        chunk_budget = (10 if 2 * m <= 256 else 8) * 1024 * 1024
+        k_chunk = (chunk_budget // per_k) // 4 * 4
+        # the candidate outputs add k_sel*(128 + 2D) f32 per tile row ON
+        # TOP of the ~10 MiB chunk bank: tile 1024 at k=4/D=64 measured
+        # 'Scoped allocation 16.27M ... exceeded by 272K' — cap the
+        # chunked-branch tile so the output tiles stay ~2 MiB
+        chunk_tile = min(tile_n, 1024 if k_sel <= 2 else 512)
+        h2 = _topk_chunked(bank, r2, int(k_sel), k_chunk, chunk_tile,
+                           interpret)
+    else:
+        kb = kernel_bank_block(bank)
+        group = next(g for g in (4, 2, 1) if k_comp % g == 0)
+        h2 = estimate_packed_block_grouped_topk(kb, r2, tile_n, group,
+                                                int(k_sel), interpret)
     return (h2[:, :d] + 1j * h2[:, d:])[:n].astype(r.dtype)
 
 

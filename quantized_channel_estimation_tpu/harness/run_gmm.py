@@ -395,11 +395,6 @@ def run(cfg: GmmBenchConfig, verbose: bool = True):
         structured = (cfg.use_structured_bank if cfg.use_structured_bank
                       != "auto" else
                       cfg.cov_type in ("circulant", "block-circulant"))
-        if structured and cfg.n_pilots != 1 and sharded is not None:
-            raise NotImplementedError(
-                "mesh-sharded structured estimation supports the P=1 "
-                "pilot only (the TP stats merge has no multi-pilot form "
-                "yet); run P>1 structured single-device or dense sharded")
 
         # per-SNR banks built once and shared between the blmmse_gmm and
         # blmmse_gmm_coh columns (the Cr Cholesky/filter preparation is

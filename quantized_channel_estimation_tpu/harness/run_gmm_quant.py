@@ -147,14 +147,11 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
         print(f"quant-GMM fit: {int(fit.n_iter)} iters "
               f"lb={float(fit.lower_bound):.4f} ({fit_time:.1f}s)")
 
-    # round-5: exact for ANY n_pilots (P>1 = per-bin P x P bank)
+    # round-5: exact for ANY n_pilots (P>1 = per-bin P x P bank; the TP
+    # mesh route carries the MP stats merge too)
     structured = (cfg.use_structured_bank if cfg.use_structured_bank
                   != "auto" else
                   cfg.cov_type in ("circulant", "block-circulant"))
-    if structured and cfg.n_pilots != 1 and sharded is not None:
-        raise NotImplementedError(
-            "mesh-sharded structured estimation supports the P=1 pilot "
-            "only; run P>1 structured single-device or dense sharded")
 
     mse_cols = {"blmmse_gmm_quant": []}
     rate_cols = {"blmmse_gmm_quant_rstat": []}

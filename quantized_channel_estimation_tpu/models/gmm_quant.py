@@ -245,6 +245,269 @@ def _run_quant_em_diag(state0: _QStateDiag, chunks, mask, n: int,
                              state.n_iter, converged)
 
 
+# ---------------------------------------------------------------------------
+# DFT-NATIVE circulant quantized EM (round-5): O(N K D + N D log D) per
+# iteration end to end — no (K, D, D) statistics, recovery, PSD projection,
+# or Cholesky ever exists, so CSI-free circulant training scales to
+# frontier D where the dense-recovery-then-project path (which this
+# replaces) crashed the device (PARITY_NOTES.md round-5). The nonlinear
+# recovery maps (arcsine inversion, occupancy Gauss-Newton) are applied
+# AFTER the circulant projection of the statistics (averaging the D lags
+# first REDUCES the noise entering the nonlinearity; the old path arcsined
+# the dense estimate and projected after — measured quality parity in
+# tests). PSD projection on the circulant cone is a free spectrum clip.
+# ---------------------------------------------------------------------------
+
+class _QStatsCirc(NamedTuple):
+    nk: jax.Array        # (K,)
+    sx_f: jax.Array      # (K, D) complex: DFT-domain weighted mean sums
+    sxx_f: jax.Array     # (K, D) f32: sum resp |F r|^2 — the spectrum of
+    #                      the circulant projection of the weighted
+    #                      quantized sample covariance
+    spec_q1: jax.Array   # (K, D) f32: same for the 1-bit requantized data
+    below: jax.Array     # (K, B, 2) f32: bin occupancy pooled over dims
+    #                      (circulant diag is constant)
+    log_norm: jax.Array
+
+
+class _QStateCirc(NamedTuple):
+    weights: jax.Array
+    means_f: jax.Array     # (K, D) complex DFT-domain means (0 zero_mean)
+    spec_chan: jax.Array   # (K, D) recovered channel spectra
+    spec_quant: jax.Array  # (K, D) quantized-observation spectra (E-step)
+    lower_bound: jax.Array
+    prev_lb: jax.Array
+    n_iter: jax.Array
+
+
+class QuantCircFitResult(NamedTuple):
+    """Spectra-native result of the circulant quantized EM: feeds
+    `structured_bank.prepare_bank_circulant(spectra=)` directly with no
+    dense (K, D, D) materialization anywhere — the frontier-D entry."""
+    weights: jax.Array   # (K,)
+    means: jax.Array     # (K, D) complex, DATA domain
+    spectra: jax.Array   # (K, D) recovered channel spectra
+    spec_quant: jax.Array
+    lower_bound: jax.Array
+    n_iter: jax.Array
+    converged: jax.Array
+
+
+def _ufft(x: jax.Array) -> jax.Array:
+    d = x.shape[-1]
+    return jnp.fft.fft(x, axis=-1) / jnp.sqrt(d).astype(jnp.float32)
+
+
+def _accumulate_circ(r_chunks, mask, log_weights, means_f, spec_quant,
+                     pos_tau, n_bits, axis_name=None,
+                     psum_segments: int = 1) -> _QStatsCirc:
+    """Fused E-step + circulant recovery statistics: per-chunk FFTs feed a
+    diagonal DFT-domain responsibility pass; every field is a plain data
+    sum (psum'd under shard_map like the other quantized paths)."""
+    k = log_weights.shape[0]
+    d = r_chunks.shape[-1]
+    n_tau = pos_tau.shape[0] if pos_tau is not None else 0
+    need_q1 = not (n_bits == 1 or is_inf_bits(n_bits))
+    init = _QStatsCirc(
+        jnp.zeros((k,), jnp.float32),
+        jnp.zeros((k, d), r_chunks.dtype),
+        jnp.zeros((k, d), jnp.float32),
+        jnp.zeros((k, d), jnp.float32),
+        jnp.zeros((k, n_tau, 2), jnp.float32),
+        jnp.zeros((), jnp.float32),
+    )
+
+    def body(stats, inputs):
+        xc, mc = inputs
+        u = _ufft(xc)
+        resp, ln = _resp_chunk(
+            u, mc, log_weights,
+            lambda uu: gmm_mod.log_prob_diag(uu, means_f, spec_quant))
+        respd = resp.astype(jnp.float32)
+        nk = stats.nk + jnp.sum(resp, axis=0)
+        sx_f = stats.sx_f + jnp.einsum(
+            "nk,nd->kd", respd.astype(u.real.dtype), u)
+        u2 = (jnp.real(u) ** 2 + jnp.imag(u) ** 2).astype(jnp.float32)
+        sxx_f = stats.sxx_f + jnp.einsum("nk,nd->kd", respd, u2)
+        spec_q1, below = stats.spec_q1, stats.below
+        if need_q1:
+            uq = _ufft(cov_recovery.one_bit_requantize(xc))
+            uq2 = (jnp.real(uq) ** 2 + jnp.imag(uq) ** 2).astype(jnp.float32)
+            spec_q1 = spec_q1 + jnp.einsum("nk,nd->kd", respd, uq2)
+            cnt_re = jnp.sum(
+                (jnp.abs(jnp.real(xc))[:, :, None] < pos_tau), axis=1)
+            cnt_im = jnp.sum(
+                (jnp.abs(jnp.imag(xc))[:, :, None] < pos_tau), axis=1)
+            below = below + jnp.stack([
+                jnp.einsum("nk,nb->kb", respd, cnt_re.astype(jnp.float32)),
+                jnp.einsum("nk,nb->kb", respd, cnt_im.astype(jnp.float32)),
+            ], axis=-1)
+        return _QStatsCirc(nk, sx_f, sxx_f, spec_q1, below,
+                           stats.log_norm + ln), None
+
+    return gmm_mod.segmented_psum_scan(body, init, r_chunks, mask,
+                                       axis_name, psum_segments)
+
+
+def _recover_circ(stats: _QStatsCirc, cfg: GmmConfig, n_bits, sigma2, q,
+                  pos_tau, prev_spec_quant, key):
+    """Circulant channel-spectrum recovery + quantized-spectrum
+    resynthesis — the spectrum-domain restatement of `_recover_covs`
+    (its arcsine/occupancy maps applied to the projected first rows; PSD
+    clip = spectrum clip; resynthesis via `_prepare_circulant`'s
+    constant-diagonal closed forms)."""
+    d = stats.sxx_f.shape[-1]
+    nk = stats.nk
+    spec_samp = stats.sxx_f / nk[:, None]
+    if n_bits == 1:
+        spec_quant = spec_samp + cfg.reg_covar
+        # 1-bit data IS its own requantization (|r_d| = 1): arcsine-invert
+        # the projected correlation's first row, clip the spectrum
+        row = linalg.circulant_first_rows(spec_samp)
+        row_rec = (jnp.sin(jnp.pi / 2.0 * jnp.real(row))
+                   + 1j * jnp.sin(jnp.pi / 2.0 * jnp.imag(row)))
+        spec_chan = jnp.maximum(
+            linalg.circulant_spectra_from_first_rows(row_rec),
+            cfg.reg_covar)
+    elif is_inf_bits(n_bits):
+        spec_chan = jnp.maximum(spec_samp - sigma2, cfg.reg_covar)
+        spec_quant = spec_chan + sigma2
+    else:
+        corr_spec = stats.spec_q1 / nk[:, None]
+        row = linalg.circulant_first_rows(corr_spec)
+        row_rec = (jnp.sin(jnp.pi / 2.0 * jnp.real(row))
+                   + 1j * jnp.sin(jnp.pi / 2.0 * jnp.imag(row)))
+        spec_corr = jnp.maximum(
+            linalg.circulant_spectra_from_first_rows(row_rec), 0.0)
+        # per-component scale from dim-pooled occupancy (circulant
+        # diagonals are constant): one 1-D Gauss-Newton per component
+        x0 = jnp.mean(prev_spec_quant, axis=-1)[:, None]       # (K, 1)
+        s2 = cov_recovery.recover_variances(
+            nk, stats.below[:, None, :, :] / d, pos_tau, x0, key)[:, 0]
+        spec_y = s2[:, None] * spec_corr
+        spec_chan = jnp.maximum(spec_y - sigma2, cfg.reg_covar)
+        # resynthesis (constant diagonal -> scalar gains/variance per k)
+        sy = spec_chan + sigma2
+        c0 = jnp.mean(sy, axis=-1)
+        g = bussgang_gain_diag(c0, n_bits, q)
+        beta2 = jnp.clip(g, 0.0, 1.0) ** 2
+        qvar = quantized_variance(c0, q)
+        spec_quant = beta2[:, None] * sy + (qvar - beta2 * c0)[:, None]
+    spec_quant = jnp.maximum(spec_quant, cfg.reg_covar)
+    # empty-component guard (see _recover_covs): park at unit power
+    valid = (nk >= 2.0)[:, None]
+    spec_chan = jnp.where(valid, spec_chan, 1.0)
+    spec_quant = jnp.where(valid, spec_quant, 1.0)
+    return spec_chan, spec_quant
+
+
+def _run_quant_em_circ(state0: _QStateCirc, chunks, mask, n: int,
+                       cfg: GmmConfig, n_bits, sigma2, q, pos_tau,
+                       k_gn) -> QuantCircFitResult:
+    if cfg.axis_name is not None:
+        n = n * jax.lax.axis_size(cfg.axis_name)
+
+    def em_iter(state: _QStateCirc) -> _QStateCirc:
+        stats = _accumulate_circ(chunks, mask, jnp.log(state.weights),
+                                 state.means_f, state.spec_quant, pos_tau,
+                                 n_bits, axis_name=cfg.axis_name,
+                                 psum_segments=cfg.psum_segments)
+        nk = stats.nk + 10.0 * jnp.finfo(jnp.float32).eps
+        means_f = (jnp.zeros_like(state.means_f) if cfg.zero_mean
+                   else stats.sx_f / nk[:, None].astype(state.means_f.dtype))
+        gn_key = jax.random.fold_in(k_gn, state.n_iter)
+        spec_chan, spec_quant = _recover_circ(stats, cfg, n_bits, sigma2,
+                                              q, pos_tau, state.spec_quant,
+                                              gn_key)
+        weights = nk / jnp.sum(nk)
+        return _QStateCirc(weights, means_f, spec_chan, spec_quant,
+                           stats.log_norm / n, state.lower_bound,
+                           state.n_iter + 1)
+
+    def cond(state: _QStateCirc):
+        return jnp.logical_and(
+            state.n_iter < cfg.max_iter,
+            jnp.abs(state.lower_bound - state.prev_lb) >= cfg.tol)
+
+    state = jax.lax.while_loop(cond, em_iter, state0)
+    converged = jnp.abs(state.lower_bound - state.prev_lb) < cfg.tol
+    d = state.spec_chan.shape[-1]
+    means = jnp.fft.ifft(state.means_f, axis=-1) \
+        * jnp.sqrt(d).astype(jnp.float32)
+    return QuantCircFitResult(state.weights, means.astype(state.means_f.dtype),
+                              state.spec_chan, state.spec_quant,
+                              state.lower_bound, state.n_iter, converged)
+
+
+def _circ_state0(key, r, cfg: GmmConfig):
+    """Init from k-means (or random) responsibilities on the DFT-domain
+    data (the clean circulant fit's init domain, `gmm.fit` circulant)."""
+    u = _ufft(r)
+    init_stats = _init_resp_stats(key, u, cfg, diag=True,
+                                  chunk=cfg.chunk_size)
+    if cfg.axis_name is not None:
+        init_stats = jax.lax.psum(init_stats, cfg.axis_name)
+    nk0 = init_stats.nk + 10.0 * jnp.finfo(jnp.float32).eps
+    means_f0 = (jnp.zeros((cfg.n_components, r.shape[-1]), r.dtype)
+                if cfg.zero_mean
+                else init_stats.sx / nk0[:, None].astype(r.dtype))
+    spec_quant0 = init_stats.sxx / nk0[:, None] + cfg.reg_covar
+    return _QStateCirc(nk0 / jnp.sum(nk0), means_f0, spec_quant0,
+                       spec_quant0,
+                       jnp.asarray(-jnp.inf, jnp.float32),
+                       jnp.asarray(jnp.inf, jnp.float32),
+                       jnp.zeros((), jnp.int32))
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+@highest_precision
+def fit_circulant_spectra(key: jax.Array, r: jax.Array, cfg: GmmConfig,
+                          n_bits, sigma2,
+                          q: Optional[ScalarQuantizer] = None
+                          ) -> QuantCircFitResult:
+    """CSI-free circulant training, spectra-native: the FRONTIER-D entry —
+    O(N K D + N D log D)/iter with NO dense (K, D, D) anywhere, returning
+    spectra that feed `structured_bank.prepare_bank_circulant(spectra=)`
+    directly.
+
+    Quality note (measured, same-init A/B at D=64/K=8/2-bit/10 dB):
+    recovering on the PROJECTED statistics costs ~5-9% NMSE vs
+    `fit(cov_type='circulant')`'s dense-recovery-then-project (0.080-0.083
+    vs 0.076 — under model misspecification the dense-then-project is the
+    better projection), so use `fit` wherever its dense intermediates fit
+    the device and this entry beyond (the dense path crashed the worker at
+    D=2048; this one never materializes D^2 — PARITY_NOTES.md round-5)."""
+    if cfg.cov_type != "circulant":
+        raise ValueError("fit_circulant_spectra requires "
+                         f"cov_type='circulant' (got {cfg.cov_type!r})")
+    if not is_inf_bits(n_bits) and n_bits != 1 and q is None:
+        raise ValueError("n-bit circulant recovery needs the quantizer")
+    pos_tau = (cov_recovery.positive_thresholds(q)
+               if (q is not None and not is_inf_bits(n_bits)
+                   and n_bits != 1) else None)
+    chunks, mask = _chunk(r, min(cfg.chunk_size, r.shape[0]))
+    k_init, k_gn = jax.random.split(key)
+    state0 = _circ_state0(k_init, r, cfg)
+    return _run_quant_em_circ(state0, chunks, mask, r.shape[0], cfg,
+                              n_bits, sigma2, q, pos_tau, k_gn)
+
+
+def _densify_circ(res: QuantCircFitResult,
+                  reg: float) -> QuantGmmFitResult:
+    d = res.spectra.shape[-1]
+    dtype = res.means.dtype
+    f = linalg.unitary_dft(d, dtype)
+    covs = jnp.einsum("fd,kf,fe->kde", jnp.conj(f),
+                      res.spectra.astype(dtype), f)
+    covs = linalg.hermitize(covs) + reg * jnp.eye(d, dtype=dtype)
+    prec = linalg.robust_precision_cholesky(covs)
+    cov_quant = jnp.einsum("fd,kf,fe->kde", jnp.conj(f),
+                           res.spec_quant.astype(dtype), f)
+    params = GmmParams(res.weights, res.means, covs, prec)
+    return QuantGmmFitResult(params, cov_quant, res.lower_bound,
+                             res.n_iter, res.converged)
+
+
 def _recover_covs(stats: _QStats, cfg: GmmConfig, n_bits, sigma2,
                   q: Optional[ScalarQuantizer], pos_tau, prev_covs_quant,
                   key, eye):
@@ -343,6 +606,14 @@ def fit(key: jax.Array, r: jax.Array, cfg: GmmConfig, n_bits, sigma2,
     """Fit on quantized observations r (N, M); sigma2 is the training-SNR
     noise variance (`Bussgang_GMM_quant.py:117-122`)."""
     del quantizer_type  # the quantizer object already encodes the design
+    # NOTE (round-5): 'circulant' keeps the dense-recovery-then-project
+    # path here — a same-init A/B at D=64/K=8/2-bit measured it 5-9%
+    # better NMSE than the DFT-native recovery (recovering on the dense
+    # estimate and PROJECTING AFTER is the better projection under
+    # model misspecification; the SCM truth is Toeplitz, not circulant).
+    # At frontier D where the dense intermediates exceed the device, use
+    # `fit_circulant_spectra` explicitly (O(N K D), measured delta
+    # documented there).
     d, dtype, eye, pos_tau, inv_em, f2, chunks, mask = _prep(r, cfg, n_bits, q)
     n = r.shape[0]
     k_init, k_gn = jax.random.split(key)

@@ -882,3 +882,89 @@ def estimate_circulant_mp_coherent(bank: CirculantBankMP, r: jax.Array,
 
     out = jax.lax.map(one, rp)
     return out.reshape(n_chunks * chunk_size, t, -1)[:n].astype(r.dtype)
+
+
+def _mp_stats_chunk(bank: CirculantBankMP, mc: _MpConsts, u: jax.Array):
+    """Un-normalized online-softmax state over THIS bank's components for
+    one DFT-domain multi-pilot chunk u (n, P, D) — the MP analog of
+    `_stats_chunk_f` (same merge semantics: pmax/psum across component
+    shards, acc stays DFT-domain until one post-merge inverse
+    transform). `_mp_logits`' row-constant -PD log pi is shard-identical,
+    so it cancels in any normalized merge."""
+    lp = _mp_logits(bank, mc, u)
+    m = jnp.max(lp, axis=-1)
+    p = jnp.exp(lp - m[:, None])
+    den = jnp.sum(p, axis=-1)
+    acc = _mp_combine(bank, p, u)
+    return m, den, acc
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+@highest_precision
+def estimate_circulant_mp_stats(bank: CirculantBankMP, r: jax.Array,
+                                chunk_size: int = 8192, blocks=None):
+    """'all'-mode estimation state (m, den, acc DFT-domain) for a
+    (component shard of a) multi-pilot bank; merged quotients need ONE
+    `unitary_ifft` (it commutes with the normalization)."""
+    k, d, p = bank.mean_rf.shape
+    n = r.shape[0]
+    mc = _mp_consts(bank)
+    n_chunks = -(-n // chunk_size)
+    pad = n_chunks * chunk_size - n
+    rp = jnp.pad(r, ((0, pad), (0, 0))).reshape(n_chunks, chunk_size, p, d)
+    m, den, acc = jax.lax.map(
+        lambda rc: _mp_stats_chunk(bank, mc, unitary_fft(rc, blocks)), rp)
+    return (m.reshape(-1)[:n], den.reshape(-1)[:n],
+            acc.reshape(n_chunks * chunk_size, -1)[:n])
+
+
+def _mp_coherent_stats_chunk(bank: CirculantBankMP, mc: _MpConsts,
+                             u: jax.Array, alpha: float):
+    """Block state for multi-pilot coherence blocks u (B, T, P, D): MP
+    analog of `_coherent_stats_chunk_f` (per-block m/den at alpha=1,
+    per-snapshot below)."""
+    b, t, p, d = u.shape
+    uf = u.reshape(b * t, p, d)
+    lp3 = _mp_logits(bank, mc, uf).reshape(b, t, -1)
+    lw = jnp.maximum(bank.log_weights, -1e30)
+    lp_sum = jnp.sum(lp3, axis=1) - (t - 1) * lw[None, :]
+    if alpha >= 1.0:
+        logits = lp_sum.astype(jnp.float32)
+        m = jnp.max(logits, axis=-1)
+        p_ = jnp.exp(logits - m[:, None])
+        den = jnp.sum(p_, axis=-1)
+        pf = jnp.repeat(p_, t, axis=0)
+    else:
+        lg = (lp3 + alpha * (lp_sum[:, None, :] - lp3)).astype(jnp.float32)
+        m = jnp.max(lg, axis=-1)
+        p_ = jnp.exp(lg - m[..., None])
+        den = jnp.sum(p_, axis=-1)
+        pf = p_.reshape(b * t, -1)
+    acc = _mp_combine(bank, pf, uf).reshape(b, t, d)
+    return m, den, acc
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+@highest_precision
+def estimate_circulant_mp_coherent_stats(bank: CirculantBankMP,
+                                         r: jax.Array,
+                                         chunk_size: int = 2048,
+                                         alpha: float = 1.0, blocks=None):
+    """BLOCK estimation state for multi-pilot banks over coherence blocks
+    r (B, T, P*D) — same merge semantics as the P=1 coherent stats."""
+    if r.ndim != 3:
+        raise ValueError(f"expected (B, T, P*D) blocks, got {r.shape}")
+    k, d, p = bank.mean_rf.shape
+    n, t = r.shape[0], r.shape[1]
+    mc = _mp_consts(bank)
+    n_chunks = -(-n // chunk_size)
+    pad = n_chunks * chunk_size - n
+    rp = jnp.pad(r, ((0, pad), (0, 0), (0, 0)))
+    rp = rp.reshape(n_chunks, chunk_size, t, p, d)
+    m, den, acc = jax.lax.map(
+        lambda rc: _mp_coherent_stats_chunk(bank, mc,
+                                            unitary_fft(rc, blocks), alpha),
+        rp)
+    lead = (-1,) if alpha >= 1.0 else (-1, t)
+    return (m.reshape(lead)[:n], den.reshape(lead)[:n],
+            acc.reshape(n_chunks * chunk_size, t, -1)[:n])

@@ -159,13 +159,25 @@ def estimate_sharded_circulant(mesh: Mesh, bank, r: jax.Array,
     bank = type(bank)(*[jax.device_put(a, spec(a.ndim)) for a in bank])
     r = shard_data(mesh, r)
     coherent = r.ndim == 3
+    multi_pilot = isinstance(bank, sb.CirculantBankMP)
 
     if use_kernel is None:
-        use_kernel = (jax.default_backend() == "tpu"
+        use_kernel = (jax.default_backend() == "tpu" and not multi_pilot
                       and (not coherent or 1 < r.shape[1] <= 16))
 
     def body(bank_local, r_local):
-        if coherent and use_kernel:
+        if multi_pilot:
+            # per-bin P x P multi-pilot stats (round-5 late): same
+            # pmax/psum merge, one post-merge inverse transform
+            if coherent:
+                m, den, acc = sb.estimate_circulant_mp_coherent_stats(
+                    bank_local, r_local,
+                    max(1, chunk_size // (4 * r_local.shape[1])),
+                    coherence_alpha, blocks)
+            else:
+                m, den, acc = sb.estimate_circulant_mp_stats(
+                    bank_local, r_local, max(1, chunk_size // 4), blocks)
+        elif coherent and use_kernel:
             from quantized_channel_estimation_tpu.estimators import (
                 pallas_kernels as pk)
             m, den, acc = pk.estimate_fused_circulant_coherent_stats(

@@ -330,3 +330,95 @@ def test_quant_fit_resume_continues():
                                        cfg._replace(max_iter=8), n_bits,
                                        sigma2, q)
         assert float(resumed.lower_bound) >= float(first.lower_bound) - 1e-3
+
+
+class TestQuantCircSpectra:
+    """Spectra-native circulant quantized EM (round-5): the frontier-D
+    entry `gmm_quant.fit_circulant_spectra` — O(N K D)/iter, no dense
+    (K, D, D) anywhere."""
+    N_ANT = 24
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        key = jax.random.PRNGKey(9)
+        h, _ = scm.generate_channels(key, 16000,
+                                     scm.ScmConfig(self.N_ANT, 1))
+        return h[:14000], h[14000:]
+
+    @pytest.mark.parametrize("n_bits", [1, 2, Q.INF_BITS])
+    def test_spectra_fit_serves_sanely(self, setup, n_bits):
+        from quantized_channel_estimation_tpu.models import (
+            structured_bank as sb)
+        from quantized_channel_estimation_tpu.models.gmm import GmmParams
+        h_train, h_val = setup
+        snr = 5.0
+        sigma2 = 10 ** (-snr / 10)
+        q = (Q.design_quantizer(snr, n_bits)
+             if not Q.is_inf_bits(n_bits) and n_bits != 1 else None)
+        a = pilots.pilot_matrix(self.N_ANT, 1, n_bits)
+        r_train = observation.observe(jax.random.PRNGKey(30), h_train, snr,
+                                      a, n_bits, q)
+        cfg = gmm.GmmConfig(n_components=4, cov_type="circulant",
+                            zero_mean=True, max_iter=12, chunk_size=2048)
+        res = gmm_quant.fit_circulant_spectra(
+            jax.random.PRNGKey(31), r_train, cfg, n_bits, sigma2, q)
+        assert np.isfinite(float(res.lower_bound))
+        assert np.all(np.asarray(res.spectra) > 0)
+        assert np.all(np.asarray(res.spec_quant) > 0)
+        # serve through the structured bank fed with the spectra directly
+        dummy = jnp.zeros((4, 1, 1), jnp.complex64)
+        params = GmmParams(res.weights, res.means, dummy, dummy)
+        bank = sb.prepare_bank_circulant(params, snr, 1.0 + 0.0j, n_bits,
+                                         q, spectra=res.spectra)
+        r_val = observation.observe(jax.random.PRNGKey(32), h_val, snr, a,
+                                    n_bits, q)
+        m = float(nmse(sb.estimate_circulant(bank, r_val, "all"), h_val))
+        assert 0 < m < 1.0, m
+
+    def test_spectra_path_quality_band(self, setup):
+        """The spectra-native path trades a measured 5-9% NMSE at small D
+        for frontier-D feasibility (the same-init A/B in
+        `fit_circulant_spectra`'s docstring; at D=2048 it reaches 1.38x
+        genie where the dense path cannot run). Guard: its estimation NMSE
+        stays within 15% of the dense-recovery path on the same data.
+        (EM trajectories differ — init domains and projection orders — so
+        converged parameters are compared by estimation quality, not
+        values.)"""
+        from quantized_channel_estimation_tpu.models import (
+            structured_bank as sb)
+        from quantized_channel_estimation_tpu.models.gmm import GmmParams
+        h_train, h_val = setup
+        snr, n_bits = 5.0, 2
+        sigma2 = 10 ** (-snr / 10)
+        q = Q.design_quantizer(snr, n_bits)
+        a = pilots.pilot_matrix(self.N_ANT, 1, n_bits)
+        r_train = observation.observe(jax.random.PRNGKey(33), h_train, snr,
+                                      a, n_bits, q)
+        r_val = observation.observe(jax.random.PRNGKey(35), h_val, snr, a,
+                                    n_bits, q)
+        cfg = gmm.GmmConfig(n_components=4, cov_type="circulant",
+                            zero_mean=True, max_iter=15, chunk_size=2048)
+        res = gmm_quant.fit_circulant_spectra(
+            jax.random.PRNGKey(34), r_train, cfg, n_bits, sigma2, q)
+        dummy = jnp.zeros((4, 1, 1), jnp.complex64)
+        bank_s = sb.prepare_bank_circulant(
+            GmmParams(res.weights, res.means, dummy, dummy), snr,
+            1.0 + 0.0j, n_bits, q, spectra=res.spectra)
+        m_s = float(nmse(sb.estimate_circulant(bank_s, r_val, "all"), h_val))
+        fit_d = gmm_quant.fit(jax.random.PRNGKey(34), r_train, cfg, n_bits,
+                              sigma2, q)
+        bank_d = sb.prepare_bank_circulant(fit_d.params, snr, 1.0 + 0.0j,
+                                           n_bits, q)
+        m_d = float(nmse(sb.estimate_circulant(bank_d, r_val, "all"), h_val))
+        assert m_s < 1.15 * m_d, (m_s, m_d)
+
+    def test_resume_spectra_path_unavailable_note(self, setup):
+        """fit(cov_type='circulant') keeps the dense-recovery path (the
+        measured-better projection order); the spectra entry rejects other
+        cov types loudly."""
+        h_train, _ = setup
+        cfg = gmm.GmmConfig(n_components=4, cov_type="full", max_iter=2)
+        with pytest.raises(ValueError, match="circulant"):
+            gmm_quant.fit_circulant_spectra(
+                jax.random.PRNGKey(0), h_train[:256], cfg, 2, 0.1,
+                Q.design_quantizer(5.0, 2))

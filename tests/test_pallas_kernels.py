@@ -306,7 +306,9 @@ def test_topk_kernel_eligibility(bank_and_obs):
     assert not pk.topk_kernel_eligible(bank, 0)
     assert not pk.topk_kernel_eligible(bank, k_comp)      # = 'all' anyway
     assert not pk.topk_kernel_eligible(bank, 0.9)         # float mode
-    assert not pk.topk_kernel_eligible(bank, 1, vmem_budget=16)
+    # oversized banks stay eligible through the split-K chunked merge
+    # (round-5 late); only the single-launch path is budget-gated
+    assert pk.topk_kernel_eligible(bank, 1, vmem_budget=16)
 
 
 def test_topk_kernel_dead_components(bank_and_obs):
@@ -320,3 +322,20 @@ def test_topk_kernel_dead_components(bank_and_obs):
                                             interpret=True))
     want = np.asarray(gmm_estimator.estimate(bank_dead, r[:256], 2))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+@pytest.mark.parametrize("k_sel", [1, 3])
+def test_topk_chunked_matches_single_pass(bank_and_obs, k_sel):
+    """Split-K chunked top-k (per-chunk candidate lists + merge_topk) must
+    equal the einsum selection estimate for any chunking — the oversized-
+    bank route of `estimate_fused_topk`."""
+    bank, r = bank_and_obs
+    want = np.asarray(gmm_estimator.estimate(bank, r[:256], k_sel))
+    k_comp, d, m = bank.filters.shape
+    per_k = 4 * (2 * m) * (2 * m + 2 * d)
+    # tiny budget forces the chunked path (k_chunk = 4 of K = 8)
+    got = np.asarray(pk.estimate_fused_topk(bank, r[:256], k_sel,
+                                            interpret=True,
+                                            vmem_budget=5 * per_k))
+    np.testing.assert_allclose(got, want, atol=2e-4, err_msg=str(k_sel))
+    assert pk.topk_kernel_eligible(bank, k_sel, vmem_budget=5 * per_k)

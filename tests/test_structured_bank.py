@@ -543,3 +543,32 @@ def test_multipilot_bank_memory():
                    for v in jax.tree_util.tree_leaves(bank))
     dense_bytes = k * ((p * d) ** 2 + 2 * d * p * d) * 8
     assert mp_bytes < dense_bytes / 10, (mp_bytes, dense_bytes)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (1, 8)])
+def test_estimate_sharded_multipilot(circ_fit, mesh_shape):
+    """TP-sharded multi-pilot estimation: K-sharded CirculantBankMP with
+    the pmax/psum stats merge must equal the unsharded MP estimate on
+    every mesh factorization (round-5 late)."""
+    from quantized_channel_estimation_tpu.ops import observation, pilots
+    from quantized_channel_estimation_tpu.parallel import mesh as pmesh
+    fit, h = circ_fit
+    p, n_bits = 2, 2
+    a = pilots.pilot_matrix(D, p, n_bits, "angle_amp")
+    q = Q.design_quantizer(5.0, n_bits, "uniform")
+    r = observation.observe(jax.random.PRNGKey(21), h[:256], 5.0, a,
+                            n_bits, q)
+    bank = sb.prepare_bank_circulant(fit.params, 5.0, a, n_bits, q)
+    want = np.asarray(sb.estimate_circulant(bank, r, "all"))
+    m = pmesh.make_mesh(*mesh_shape)
+    got = np.asarray(pmesh.estimate_sharded_circulant(m, bank, r,
+                                                      chunk_size=256))
+    np.testing.assert_allclose(got, want, atol=1e-5, err_msg=str(mesh_shape))
+    # coherent blocks with the alpha blend
+    rb = r.reshape(64, 4, -1)
+    want_b = np.asarray(sb.estimate_circulant_coherent(bank, rb, "all",
+                                                       16, 0.5))
+    got_b = np.asarray(pmesh.estimate_sharded_circulant(
+        m, bank, rb, chunk_size=256, coherence_alpha=0.5))
+    np.testing.assert_allclose(got_b, want_b, atol=1e-5)
