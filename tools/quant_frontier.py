@@ -103,15 +103,22 @@ if not SPECTRA:
     nmse_c = stages.nmse(est(bank_c, r_val), h_val)
 
 t0 = time.time()
-a_eye = cjit(lambda d: jnp.eye(d, dtype=jnp.complex64),
-             static_argnums=(0,))(D)
-n_genie = N_VAL if D < 2048 else 512  # bound the B x D^3 anchor eval
-nmse_genie = stages.chunked_genie_nmse(
-    stages.tree_slice(r_val, 0, n_genie), stages.tree_slice(t_val, 0, n_genie),
-    stages.tree_slice(h_val, 0, n_genie), SNR, a_eye, NB, q)
-print(f"NMSE: CSI-free {nmse_q:.5f} | CSI-trained {nmse_c:.5f} | "
-      f"genie {nmse_genie:.5f} [{n_genie} rows] "
-      f"({time.time() - t0:.0f}s genie eval)", flush=True)
+n_genie = N_VAL if D < 2048 else 512 if D < 4096 else 128
+print(f"NMSE CSI-free: {nmse_q:.5f} | CSI-trained: {nmse_c:.5f}",
+      flush=True)
+try:
+    a_eye = cjit(lambda d: jnp.eye(d, dtype=jnp.complex64),
+                 static_argnums=(0,))(D)
+    nmse_genie = stages.chunked_genie_nmse(
+        stages.tree_slice(r_val, 0, n_genie),
+        stages.tree_slice(t_val, 0, n_genie),
+        stages.tree_slice(h_val, 0, n_genie), SNR, a_eye, NB, q,
+        max_bytes=1 << 28 if D < 4096 else 1 << 27)
+    print(f"genie anchor: {nmse_genie:.5f} [{n_genie} rows] "
+          f"({time.time() - t0:.0f}s)", flush=True)
+except Exception as e:  # the B x D^3 anchor is the one dense eval here
+    print(f"genie anchor unavailable at D={D}: {type(e).__name__}",
+          flush=True)
 
 # ---- structured serving throughput (roll-loop amortized; the batch is
 # tiled well past the ~25 ms tunnel dispatch floor) ----
