@@ -399,6 +399,13 @@ def train(key, cfg: VaeConfig, h_train: jax.Array,
     cfg.batch_size * n_data_shards). Checkpoints and the returned state
     stay replicated, so single-device resume of a DP run (and vice versa)
     just works. The reference's VAE is single-GPU torch (SURVEY §2.4).
+
+    Large-batch note (measured, 4-way virtual mesh, N=16/20 epochs): at a
+    FIXED lr and epoch count the DP run takes n_data_shards-fold fewer
+    optimizer steps per epoch, so it converges slower per epoch (loss
+    10.1 vs 7.2 after 20 epochs in the probe) — standard SGD large-batch
+    behavior, not divergence. Scale lr (~linearly in the shard count) or
+    epochs when moving a tuned single-device config onto a mesh.
     """
     import json
     import os
