@@ -774,3 +774,41 @@ def test_serving_topk_kernel_mode(service_setup):
     # k >= K falls outside the top-k kernel too
     with pytest.raises(ValueError):
         serving.EstimationService(params, a, 2, mode=4, use_pallas=True)
+
+
+def test_structured_multipilot_service():
+    """structured=True with a P=2 kron pilot rides the per-bin P x P
+    multi-pilot bank (round-5) and matches the dense service, flat and
+    through a (data, component) mesh."""
+    key = jax.random.PRNGKey(95)
+    h, _ = scm.generate_channels(key, 6000, scm.ScmConfig(N_ANT, 1))
+    fit = gmm.fit(jax.random.PRNGKey(96), h[:5000],
+                  gmm.GmmConfig(n_components=4, cov_type="circulant",
+                                max_iter=12, chunk_size=2048))
+    a = pilots.pilot_matrix(N_ANT, 2, 2)
+    snr = 5.0
+    q = Q.design_quantizer(snr, 2)
+    r = np.asarray(observation.observe(jax.random.PRNGKey(97),
+                                       h[5000:5100], snr, a, 2, q))
+    svc_s = serving.EstimationService(fit.params, a, 2, max_delay_ms=1.0,
+                                      structured=True)
+    svc_d = serving.EstimationService(fit.params, a, 2, max_delay_ms=1.0,
+                                      use_pallas=False)
+    try:
+        got_s = svc_s.submit(r, snr)
+        got_d = svc_d.submit(r, snr)
+        np.testing.assert_allclose(got_s, got_d, atol=2e-4)
+    finally:
+        svc_s.close()
+        svc_d.close()
+    if len(jax.devices()) >= 8:
+        from quantized_channel_estimation_tpu.parallel import mesh as pm
+        svc_m = serving.EstimationService(fit.params, a, 2,
+                                          max_delay_ms=1.0,
+                                          structured=True,
+                                          mesh=pm.make_mesh(4, 2))
+        try:
+            got_m = svc_m.submit(r[:64], snr)
+            np.testing.assert_allclose(got_m, got_d[:64], atol=2e-4)
+        finally:
+            svc_m.close()
