@@ -400,6 +400,27 @@ def vae_run_epochs_shard_map(mesh: Mesh, model, cfg, a, snrs, quantizers,
     return run(state, h_train, key, epoch0)
 
 
+def fit_circulant_spectra_shard_map(mesh: Mesh, key: jax.Array,
+                                    r: jax.Array, cfg: GmmConfig, n_bits,
+                                    sigma2, q=None):
+    """Data-parallel spectra-native circulant quantized EM (round-5): the
+    frontier-D CSI-free trainer under shard_map — the per-iteration psum
+    payload is O(K D) spectra statistics (vs O(K D^2) for the dense
+    families), so the collective shrinks by a factor of D exactly where D
+    is frontier-sized."""
+    from quantized_channel_estimation_tpu.models import gmm_quant
+
+    cfg = cfg._replace(axis_name=DATA_AXIS)
+    n_shards = mesh.shape[DATA_AXIS]
+    assert r.shape[0] % n_shards == 0, (r.shape, n_shards)
+
+    def body(key, r_local):
+        return gmm_quant.fit_circulant_spectra.__wrapped__(
+            key, r_local, cfg, n_bits, sigma2, q)
+
+    return jax.jit(_shard_map_fn(mesh, body, r.ndim))(key, r)
+
+
 def estimate_sharded(mesh: Mesh, bank: PreparedBank, r: jax.Array,
                      mode: Union[str, int, float] = "all",
                      chunk_size: int = 2048,

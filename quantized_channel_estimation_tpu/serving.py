@@ -394,6 +394,35 @@ class EstimationService:
         self._thread.start()
 
     @classmethod
+    def from_circulant_spectra(cls, weights, means, spectra, a, n_bits,
+                               **kwargs):
+        """Serve a spectra-native circulant prior (round-5): the output of
+        `gmm_quant.fit_circulant_spectra` (or any (weights, means,
+        spectra) triple) goes straight into the FFT-domain structured
+        service — no dense (K, D, D) covariance is ever materialized,
+        which is the point at frontier D (the service memory per SNR bank
+        stays O(K D))."""
+        import jax.numpy as _jnp
+        import numpy as _np
+        from quantized_channel_estimation_tpu.models.gmm import GmmParams
+        k = _np.asarray(weights).shape[0]
+        dummy = _jnp.zeros((k, 1, 1), _jnp.complex64)
+        params = GmmParams(_jnp.asarray(weights), _jnp.asarray(means),
+                           dummy, dummy)
+        svc = cls(params, a, n_bits, structured=True, **kwargs)
+        # re-point the prepare at the stored spectra (the default
+        # structured prepare would try to extract them from the dummy covs)
+        from quantized_channel_estimation_tpu.models import (
+            structured_bank as sb)
+        spectra_j = _jnp.asarray(spectra)
+        blocks = kwargs.get("structured_blocks")
+        svc._prepare = cjit(
+            lambda p, snr, a_, nb, q: sb.prepare_bank_circulant(
+                p, snr, a_, nb, q, blocks=blocks, spectra=spectra_j),
+            static_argnums=(3,))
+        return svc
+
+    @classmethod
     def from_mfa(cls, mfa_params, a, n_bits, reg: float = 1e-6,
                  factored: Optional[bool] = None, **kwargs):
         """Serve an MFA prior. factored=True (the default for n-bit/inf-bit)

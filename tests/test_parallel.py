@@ -500,3 +500,32 @@ def test_auto_psum_segments_regime_rule(data):
                                     cfg._replace(psum_segments=1))
     np.testing.assert_array_equal(np.asarray(f_auto.params.covariances),
                                   np.asarray(f_one.params.covariances))
+
+
+def test_shard_map_circulant_spectra_matches_single_device(data):
+    """DP spectra-native circulant quantized EM (round-5 frontier trainer):
+    the O(K D) statistics psum reproduces the single-device fit to f32
+    order on the virtual mesh."""
+    from quantized_channel_estimation_tpu.models import gmm_quant
+
+    snr, n_bits = 5.0, 2
+    q = Q.design_quantizer(snr, n_bits)
+    a = pilots.pilot_matrix(8, 1, n_bits)
+    r = observation.observe(jax.random.PRNGKey(40), data, snr, a, n_bits, q)
+    cfg = gmm.GmmConfig(n_components=4, cov_type="circulant",
+                        zero_mean=True, max_iter=6, tol=0.0,
+                        chunk_size=2000, init="random")
+    key = jax.random.PRNGKey(41)
+    m = pmesh.make_mesh(8, 1)
+    sigma2 = 10 ** (-snr / 10)
+    got = pmesh.fit_circulant_spectra_shard_map(m, key, r, cfg, n_bits,
+                                                sigma2, q)
+    want = gmm_quant.fit_circulant_spectra(key, r,
+                                           cfg._replace(axis_name=None),
+                                           n_bits, sigma2, q)
+    np.testing.assert_allclose(float(got.lower_bound),
+                               float(want.lower_bound), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.spectra),
+                               np.asarray(want.spectra), rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(got.weights),
+                               np.asarray(want.weights), atol=1e-3)

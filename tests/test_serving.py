@@ -812,3 +812,41 @@ def test_structured_multipilot_service():
             np.testing.assert_allclose(got_m, got_d[:64], atol=2e-4)
         finally:
             svc_m.close()
+
+
+def test_from_circulant_spectra_service():
+    """Spectra-native serving (round-5): a `fit_circulant_spectra` result
+    serves through `from_circulant_spectra` with no dense covariance
+    anywhere, matching the dense service built from the densified fit."""
+    from quantized_channel_estimation_tpu.models import gmm_quant
+    from quantized_channel_estimation_tpu.ops.linalg import (
+        unitary_dft, hermitize, robust_precision_cholesky)
+    key = jax.random.PRNGKey(98)
+    h, _ = scm.generate_channels(key, 8000, scm.ScmConfig(N_ANT, 1))
+    snr, n_bits = 5.0, 2
+    q = Q.design_quantizer(snr, n_bits)
+    a = pilots.pilot_matrix(N_ANT, 1, n_bits)
+    r_train = observation.observe(jax.random.PRNGKey(99), h[:7000], snr,
+                                  a, n_bits, q)
+    cfg = gmm.GmmConfig(n_components=4, cov_type="circulant",
+                        zero_mean=True, max_iter=10, chunk_size=2048)
+    res = gmm_quant.fit_circulant_spectra(jax.random.PRNGKey(100), r_train,
+                                          cfg, n_bits, 10 ** (-snr / 10), q)
+    r = np.asarray(observation.observe(jax.random.PRNGKey(101),
+                                       h[7000:7064], snr, a, n_bits, q))
+    svc = serving.EstimationService.from_circulant_spectra(
+        res.weights, res.means, res.spectra, a, n_bits, max_delay_ms=1.0)
+    try:
+        got = svc.submit(r, snr)
+    finally:
+        svc.close()
+    # reference: densify the spectra and serve dense
+    f = unitary_dft(N_ANT)
+    covs = jnp.einsum("fd,kf,fe->kde", jnp.conj(f),
+                      res.spectra.astype(jnp.complex64), f)
+    covs = hermitize(covs) + 1e-5 * jnp.eye(N_ANT, dtype=jnp.complex64)
+    params = gmm.GmmParams(res.weights, res.means, covs,
+                           robust_precision_cholesky(covs))
+    bank = gmm_estimator.prepare_bank(params, snr, a, n_bits, q)
+    want = np.asarray(gmm_estimator.estimate(bank, jnp.asarray(r), "all"))
+    np.testing.assert_allclose(got, want, atol=2e-3)
