@@ -73,6 +73,15 @@ class QuantGmmBenchConfig:
     # moments), estimation through the sharded stats merges.
     n_data_shards: int = 1
     n_component_shards: int = 1
+    # spectra-NATIVE circulant trainer (round-5 frontier entry,
+    # `gmm_quant.fit_circulant_spectra`): O(N K D)/iter with no dense
+    # (K, D, D) anywhere — REQUIRED beyond D~1024 (the dense-recovery
+    # path exhausts the device) at a measured 5-9% NMSE cost at small D
+    # (PARITY_NOTES.md round-5). 'auto' engages it for circulant fits at
+    # n_antennas >= 2048; True forces it (circulant only; implies the
+    # structured estimation bank — there are no dense covariances to
+    # serve from).
+    use_spectra_fit: object = "auto"
 
 
 def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
@@ -135,8 +144,47 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
     gcfg = gmm.GmmConfig(n_components=cfg.n_components, cov_type=cfg.cov_type,
                          blocks=cfg.blocks, zero_mean=cfg.zero_mean_gmm,
                          max_iter=cfg.max_iter)
+    spectra_fit = (cfg.use_spectra_fit if cfg.use_spectra_fit != "auto"
+                   else (cfg.cov_type == "circulant"
+                         and cfg.n_antennas >= 2048))
+    if spectra_fit and cfg.cov_type != "circulant":
+        raise ValueError("use_spectra_fit requires cov_type='circulant'")
     t0 = time.time()
-    if sharded:
+    spectra = None
+    if spectra_fit:
+        from quantized_channel_estimation_tpu.ops.boundary import cjit
+        from quantized_channel_estimation_tpu.models import (
+            gmm_quant as gq, gmm as gmm_mod)
+        if sharded:
+            from quantized_channel_estimation_tpu.parallel import (
+                mesh as pmesh_mod)
+            sfit = cjit(lambda k, r, c, nb, s2, qq:
+                        pmesh_mod.fit_circulant_spectra_shard_map(
+                            sharded.mesh, k, r, c, nb, s2, qq),
+                        static_argnums=(2, 3))(
+                k_fit, r_train, gcfg, cfg.n_bits, sigma2_train,
+                quantizers[cfg.snr_train])
+        else:
+            sfit = cjit(gq.fit_circulant_spectra, static_argnums=(2, 3))(
+                k_fit, r_train, gcfg, cfg.n_bits, sigma2_train,
+                quantizers[cfg.snr_train])
+        spectra = sfit.spectra
+
+        class _SpectraFit:
+            """Result shim: the NMSE loop only touches params/weights and
+            the convergence telemetry; covariances never densify."""
+            import numpy as _np
+            n_iter = sfit.n_iter
+            lower_bound = sfit.lower_bound
+            params = gmm_mod.GmmParams(
+                sfit.weights, sfit.means,
+                stages.from_numpy(
+                    _np.zeros((cfg.n_components, 1, 1), _np.complex64)),
+                stages.from_numpy(
+                    _np.zeros((cfg.n_components, 1, 1), _np.complex64)))
+
+        fit = _SpectraFit()
+    elif sharded:
         fit = sharded.gmm_quant_fit(k_fit, r_train, gcfg, cfg.n_bits,
                                     sigma2_train, quantizers[cfg.snr_train])
     else:
@@ -152,6 +200,9 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
     structured = (cfg.use_structured_bank if cfg.use_structured_bank
                   != "auto" else
                   cfg.cov_type in ("circulant", "block-circulant"))
+    if spectra_fit and not structured:
+        raise ValueError("use_spectra_fit produces no dense covariances — "
+                         "use_structured_bank must stay on")
 
     mse_cols = {"blmmse_gmm_quant": []}
     rate_cols = {"blmmse_gmm_quant_rstat": []}
@@ -194,7 +245,11 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
         rate_cols["blmmse_gmm_quant_coh_rstat"] = []
     for i, snr in enumerate(cfg.snrs):
         k_snr = jax.random.fold_in(k_obs, i)
-        if structured:
+        if structured and spectra is not None:
+            bank = stages.prepare_bank_circulant_spectra(
+                fit.params, spectra, snr, a, cfg.n_bits, quantizers[snr],
+                cfg.blocks)
+        elif structured:
             bank = stages.prepare_bank_circulant(fit.params, snr, a,
                                                  cfg.n_bits,
                                                  quantizers[snr], cfg.blocks)

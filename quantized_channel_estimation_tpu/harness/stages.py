@@ -129,6 +129,13 @@ prepare_bank_circulant = cjit(
     lambda p_, snr, a_, nb, q_, blocks: structured_bank.prepare_bank_circulant(
         p_, snr, a_, nb, q_, blocks=blocks),
     static_argnums=(3, 5))
+# spectra-fed variant (round-5): banks straight from
+# `gmm_quant.fit_circulant_spectra` output — no dense covariances exist
+prepare_bank_circulant_spectra = cjit(
+    lambda p_, spec, snr, a_, nb, q_, blocks:
+        structured_bank.prepare_bank_circulant(
+            p_, snr, a_, nb, q_, blocks=blocks, spectra=spec),
+    static_argnums=(4, 6))
 estimate_circulant = cjit(
     lambda b, r, mode, blocks: structured_bank.estimate_circulant(
         b, r, mode, 16384, blocks),

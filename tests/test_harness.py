@@ -266,3 +266,33 @@ def test_run_gmm_quant_auto_alpha(tmp_results):
     assert set(alphas) == {0, 10}
     assert all(a in DEFAULT_ALPHA_GRID for a in alphas.values())
     assert all(np.isfinite(v) for v in m["blmmse_gmm_quant_coh"])
+
+
+def test_run_gmm_quant_spectra_fit(tmp_results):
+    """use_spectra_fit=True (round-5 frontier entry): the CSI-free runner
+    trains through `fit_circulant_spectra` and serves through the
+    spectra-fed structured bank — no dense covariances anywhere. MSE must
+    stay within the documented delta class of the dense-recovery path
+    (5-9% measured; 25% guard) and the mesh route must agree."""
+    import dataclasses
+    results_dir, cache_dir = tmp_results
+    base = run_gmm_quant.QuantGmmBenchConfig(
+        n_antennas=16, n_components=8, n_train=10000, n_val=1000,
+        max_iter=10, cov_type="circulant", eval_rate=False,
+        results_dir=results_dir, cache_dir=cache_dir, use_cache=False)
+    m_s, _, _ = run_gmm_quant.run(
+        dataclasses.replace(base, use_spectra_fit=True), verbose=False)
+    m_d, _, _ = run_gmm_quant.run(base, verbose=False)
+    assert m_s["blmmse_gmm_quant"][0] < 1.25 * m_d["blmmse_gmm_quant"][0]
+    # forcing the dense eval path with no dense covariances must fail loudly
+    with pytest.raises(ValueError, match="structured"):
+        run_gmm_quant.run(dataclasses.replace(
+            base, use_spectra_fit=True, use_structured_bank=False),
+            verbose=False)
+    # DP spectra trainer through the harness mesh knob
+    import jax as _jax
+    if len(_jax.devices()) >= 8:
+        m_m, _, _ = run_gmm_quant.run(dataclasses.replace(
+            base, use_spectra_fit=True, n_data_shards=4), verbose=False)
+        np.testing.assert_allclose(m_m["blmmse_gmm_quant"],
+                                   m_s["blmmse_gmm_quant"], rtol=2e-2)
