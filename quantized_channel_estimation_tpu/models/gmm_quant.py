@@ -492,6 +492,33 @@ def fit_circulant_spectra(key: jax.Array, r: jax.Array, cfg: GmmConfig,
                               n_bits, sigma2, q, pos_tau, k_gn)
 
 
+@partial(jax.jit, static_argnums=(3, 4))
+@highest_precision
+def fit_circulant_spectra_resume(key: jax.Array, prev: QuantCircFitResult,
+                                 r: jax.Array, cfg: GmmConfig, n_bits,
+                                 sigma2,
+                                 q: Optional[ScalarQuantizer] = None
+                                 ) -> QuantCircFitResult:
+    """Warm-start the spectra-native circulant quantized EM from a previous
+    result — checkpoint-based restart / segmented frontier fits
+    (`em_driver.fit_segmented`): the state is the O(K D) spectra pytree
+    itself, so resuming never touches a dense covariance either."""
+    if cfg.cov_type != "circulant":
+        raise ValueError("fit_circulant_spectra_resume requires "
+                         f"cov_type='circulant' (got {cfg.cov_type!r})")
+    pos_tau = (cov_recovery.positive_thresholds(q)
+               if (q is not None and not is_inf_bits(n_bits)
+                   and n_bits != 1) else None)
+    chunks, mask = _chunk(r, min(cfg.chunk_size, r.shape[0]))
+    state0 = _QStateCirc(prev.weights, _ufft(prev.means), prev.spectra,
+                         prev.spec_quant,
+                         jnp.asarray(-jnp.inf, jnp.float32),
+                         jnp.asarray(jnp.inf, jnp.float32),
+                         jnp.zeros((), jnp.int32))
+    return _run_quant_em_circ(state0, chunks, mask, r.shape[0], cfg,
+                              n_bits, sigma2, q, pos_tau, key)
+
+
 def _densify_circ(res: QuantCircFitResult,
                   reg: float) -> QuantGmmFitResult:
     d = res.spectra.shape[-1]

@@ -422,3 +422,33 @@ class TestQuantCircSpectra:
             gmm_quant.fit_circulant_spectra(
                 jax.random.PRNGKey(0), h_train[:256], cfg, 2, 0.1,
                 Q.design_quantizer(5.0, 2))
+
+
+def test_spectra_fit_resume_tracks_continuous():
+    """Segmented spectra-native fits (2 x max_iter/2 via
+    fit_circulant_spectra_resume) must track the continuous fit — the
+    checkpoint state is the O(K D) spectra pytree itself."""
+    key = jax.random.PRNGKey(12)
+    h, _ = scm.generate_channels(key, 12000, scm.ScmConfig(16, 1))
+    snr, n_bits = 5.0, 2
+    sigma2 = 10 ** (-snr / 10)
+    q = Q.design_quantizer(snr, n_bits)
+    a = pilots.pilot_matrix(16, 1, n_bits)
+    r = observation.observe(jax.random.PRNGKey(13), h, snr, a, n_bits, q)
+    cfg = gmm.GmmConfig(n_components=4, cov_type="circulant",
+                        zero_mean=True, max_iter=12, tol=0.0,
+                        chunk_size=2048)
+    full = gmm_quant.fit_circulant_spectra(jax.random.PRNGKey(14), r, cfg,
+                                           n_bits, sigma2, q)
+    half = cfg._replace(max_iter=6)
+    seg1 = gmm_quant.fit_circulant_spectra(jax.random.PRNGKey(14), r, half,
+                                           n_bits, sigma2, q)
+    seg2 = gmm_quant.fit_circulant_spectra_resume(
+        jax.random.PRNGKey(15), seg1, r, half, n_bits, sigma2, q)
+    # resumed total = 12 iterations; the GN keys differ between the
+    # segmented and continuous runs, so compare converged quality not bits
+    np.testing.assert_allclose(float(seg2.lower_bound),
+                               float(full.lower_bound), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(seg2.spectra),
+                               np.asarray(full.spectra), rtol=0.1,
+                               atol=0.02)
