@@ -1372,6 +1372,201 @@ def estimate_fused_circulant(bank, r: jax.Array, tile_n=None,
     return (out[:n, :d] + 1j * out[:n, d:]).astype(r.dtype)
 
 
+class MpCircKernelBank(NamedTuple):
+    """`structured_bank.CirculantBankMP` lowered for the single-pass fused
+    MULTI-PILOT kernel (round-5 late): per-pilot forward DFT GEMMs, one
+    stacked logit GEMM over the P^2-family quadratic features, softmax,
+    per-pilot combine, inverse DFT — all straight-line in VMEM, pre-split
+    constants (no sub-128 lane slicing, see CircKernelBank).
+
+    bfwd_r/bfwd_i: (P, 2PD, D) f32  per-pilot split forward transforms
+    lcoef:         (F, K) f32       F = D (3P + P(P-1)) stacked feature
+                                    coefficients (docstring of
+                                    `mp_circ_kernel_bank`)
+    const:         (1, K) f32       logw - logdet - m^H Prec m (clamped)
+    bias_r/bias_i: (K, D) f32
+    filt_r/filt_i: (P, K, D) f32    per-pilot W rows
+    binv:          (2D, 2D) f32
+    """
+    bfwd_r: jax.Array
+    bfwd_i: jax.Array
+    lcoef: jax.Array
+    const: jax.Array
+    bias_r: jax.Array
+    bias_i: jax.Array
+    filt_r: jax.Array
+    filt_i: jax.Array
+    binv: jax.Array
+
+
+def _mp_circ_bank_bytes(d: int, k: int, p: int) -> int:
+    feat = d * (3 * p + p * (p - 1))
+    return 4 * (2 * p * (2 * p * d) * d + feat * k + (2 + 2 * p) * k * d
+                + 4 * d * d + 2 * k)
+
+
+def _mp_circ_tile_n(d: int, k: int, p: int, requested=None) -> int:
+    """Power-of-two sample tile within the scoped-VMEM budget; the per-row
+    live set scales with the P pilot planes (~(6P + P(P-1)) D + 2K
+    floats across x/u/z/logits/combine buffers)."""
+    if requested is not None:
+        return requested
+    budget = 13 * 1024 * 1024 - _mp_circ_bank_bytes(d, k, p) \
+        - 2 * 1024 * 1024
+    per_row = 4 * ((6 * p + p * (p - 1)) * d + 2 * k)
+    cap = max(64, budget // per_row)
+    t = 64
+    while t * 2 <= min(cap, 1024):
+        t *= 2
+    return t
+
+
+@highest_precision
+def mp_circ_kernel_bank(bank, blocks=None) -> MpCircKernelBank:
+    """Lower a CirculantBankMP (jittable). Feature order consumed by the
+    logit GEMM: for each pilot p, [ur_p; ui_p; |u_p|^2] with coefficients
+    [2 Re(pm_p)^T; 2 Im(pm_p)^T; -Re(prec_pp)^T]; then for each pair
+    p < q, [Re(conj(u_p) u_q); Im(conj(u_p) u_q)] with
+    [-2 Re(prec_pq)^T; +2 Im(prec_pq)^T] — exactly the expanded
+    `structured_bank._mp_logits` quadratic."""
+    from quantized_channel_estimation_tpu.models import structured_bank as sb
+    k, d, p = bank.mean_rf.shape
+    f = sb._dft_matrix(d, blocks)
+    ft = f.T
+    fr = jnp.real(ft).astype(jnp.float32)
+    fi_ = jnp.imag(ft).astype(jnp.float32)
+    zero = jnp.zeros((d, d), jnp.float32)
+    # per-pilot forward blocks consuming x2d = [Re r_1..Re r_P|Im r_1..Im r_P]
+    rows_r, rows_i = [], []
+    for pi in range(p):
+        blk_r = [fr if j == pi else zero for j in range(p)] \
+            + [-fi_ if j == pi else zero for j in range(p)]
+        blk_i = [fi_ if j == pi else zero for j in range(p)] \
+            + [fr if j == pi else zero for j in range(p)]
+        rows_r.append(jnp.concatenate(blk_r, axis=0))
+        rows_i.append(jnp.concatenate(blk_i, axis=0))
+    bfwd_r = jnp.stack(rows_r)                             # (P, 2PD, D)
+    bfwd_i = jnp.stack(rows_i)
+    fi_c = jnp.conj(f)
+    top = jnp.concatenate([jnp.real(fi_c), jnp.imag(fi_c)], axis=-1)
+    bot = jnp.concatenate([-jnp.imag(fi_c), jnp.real(fi_c)], axis=-1)
+    binv = jnp.concatenate([top, bot], axis=-2).astype(jnp.float32)
+
+    pm = jnp.einsum("kdpq,kdq->kdp", bank.prec_f, bank.mean_rf)
+    mpm = jnp.real(jnp.einsum("kdp,kdp->k", jnp.conj(bank.mean_rf), pm))
+    lw = jnp.maximum(bank.log_weights, -1e30)
+    const = jnp.maximum(lw - bank.logdet - mpm,
+                        -1e30).astype(jnp.float32)[None, :]
+    coefs = []
+    for pi in range(p):
+        coefs += [2.0 * jnp.real(pm[:, :, pi]).T,
+                  2.0 * jnp.imag(pm[:, :, pi]).T,
+                  -jnp.real(bank.prec_f[:, :, pi, pi]).T]
+    for pi in range(p):
+        for qi in range(pi + 1, p):
+            coefs += [-2.0 * jnp.real(bank.prec_f[:, :, pi, qi]).T,
+                      2.0 * jnp.imag(bank.prec_f[:, :, pi, qi]).T]
+    lcoef = jnp.concatenate(coefs, axis=0).astype(jnp.float32)
+    filt_r = jnp.moveaxis(jnp.real(bank.filt_f), -1, 0).astype(jnp.float32)
+    filt_i = jnp.moveaxis(jnp.imag(bank.filt_f), -1, 0).astype(jnp.float32)
+    return MpCircKernelBank(
+        bfwd_r, bfwd_i, lcoef, const,
+        jnp.real(bank.bias_f).astype(jnp.float32),
+        jnp.imag(bank.bias_f).astype(jnp.float32),
+        filt_r, filt_i, binv)
+
+
+def _mp_circ_kernel(bfwd_r, bfwd_i, lcoef, const, bias_r, bias_i,
+                    filt_r, filt_i, binv, x_ref, out_ref, *, n_pilots: int):
+    """One sample tile, straight-line: P forward DFT pairs -> stacked
+    quadratic features -> one logit GEMM -> softmax -> per-pilot combine
+    -> inverse DFT, all in VMEM. P is a small static unroll (the slices
+    below are full-width bank-operand reads, not lane slices)."""
+    x = x_ref[:]                                           # (TN, 2PD)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    urs, uis = [], []
+    for pi in range(n_pilots):
+        urs.append(dot(x, bfwd_r[pi]))                     # (TN, D)
+        uis.append(dot(x, bfwd_i[pi]))
+    feats = []
+    for pi in range(n_pilots):
+        feats += [urs[pi], uis[pi], urs[pi] * urs[pi] + uis[pi] * uis[pi]]
+    for pi in range(n_pilots):
+        for qi in range(pi + 1, n_pilots):
+            feats.append(urs[pi] * urs[qi] + uis[pi] * uis[qi])
+            feats.append(urs[pi] * uis[qi] - uis[pi] * urs[qi])
+    z = jnp.concatenate(feats, axis=-1)
+    logits = dot(z, lcoef[:]) + const[:]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    pr = jnp.exp(logits - m)
+    w = pr / jnp.sum(pr, axis=-1, keepdims=True)
+    hr = dot(w, bias_r[:])
+    hi = dot(w, bias_i[:])
+    for pi in range(n_pilots):
+        fr_ = dot(w, filt_r[pi])
+        fi__ = dot(w, filt_i[pi])
+        hr = hr + fr_ * urs[pi] - fi__ * uis[pi]
+        hi = hi + fr_ * uis[pi] + fi__ * urs[pi]
+    out_ref[:] = dot(jnp.concatenate([hr, hi], axis=-1), binv[:])
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def estimate_mp_circ_packed(ckb: MpCircKernelBank, x2d: jax.Array,
+                            tile_n: int, n_pilots: int,
+                            interpret: bool = False):
+    """Fused multi-pilot structured estimation: x2d (N, 2PD) f32
+    [Re r_1..Re r_P | Im r_1..Im r_P] -> (N, 2D) f32 [Re | Im]."""
+    n, d2p = x2d.shape
+    d = d2p // (2 * n_pilots)
+    if n % tile_n:
+        raise ValueError(f"N={n} must be a multiple of tile_n={tile_n}")
+    k_comp = ckb.const.shape[-1]
+    bank_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    data_spec = pl.BlockSpec((tile_n, d2p), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_n, 2 * d), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    feat = d * (3 * n_pilots + n_pilots * (n_pilots - 1))
+    flops = 2 * n * (2 * n_pilots * d2p * d + feat * k_comp
+                     + (2 + 2 * n_pilots) * k_comp * d + 4 * d * d)
+    kern = functools.partial(_mp_circ_kernel, n_pilots=n_pilots)
+    return pl.pallas_call(
+        kern,
+        grid=(n // tile_n,),
+        in_specs=[bank_spec] * 9 + [data_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 2 * d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (n * (d2p + 2 * d)
+                                + _mp_circ_bank_bytes(d, k_comp, n_pilots)),
+            transcendentals=n * k_comp),
+        interpret=interpret,
+    )(ckb.bfwd_r, ckb.bfwd_i, ckb.lcoef, ckb.const, ckb.bias_r, ckb.bias_i,
+      ckb.filt_r, ckb.filt_i, ckb.binv, x2d)
+
+
+def estimate_fused_circulant_mp(bank, r: jax.Array, tile_n=None,
+                                interpret: bool = False,
+                                blocks=None) -> jax.Array:
+    """Fused 'all'-mode MULTI-PILOT structured estimation of r (N, P*D)
+    complex through a `structured_bank.CirculantBankMP` — the kernel
+    analog of `structured_bank.estimate_circulant_mp` ('all' mode;
+    selection modes stay on the XLA path). Input rows are the reference's
+    pilot-major kron(x, I) layout; the kernel consumes
+    [Re r_1..Re r_P | Im r_1..Im r_P]."""
+    k, d, p = bank.mean_rf.shape
+    ckb = mp_circ_kernel_bank(bank, blocks)
+    tile_n = _mp_circ_tile_n(d, k, p, tile_n)
+    n = r.shape[0]
+    n_pad = -(-n // tile_n) * tile_n
+    rp = jnp.pad(r, ((0, n_pad - n), (0, 0)))
+    x2d = jnp.concatenate([jnp.real(rp), jnp.imag(rp)],
+                          axis=-1).astype(jnp.float32)
+    out = estimate_mp_circ_packed(ckb, x2d, tile_n, p, interpret)
+    return (out[:n, :d] + 1j * out[:n, d:]).astype(r.dtype)
+
+
 def _circ_kernel_coh(bfwd_r, bfwd_i, lcoef, const, bias_r, bias_i,
                      filt_r, filt_i, binv, x_ref, out_ref, *,
                      t_coh: int, alpha: float):

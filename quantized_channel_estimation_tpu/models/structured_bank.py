@@ -403,7 +403,8 @@ def estimate_circulant(bank: CirculantBank, r: jax.Array,
     P x P pipeline (`estimate_circulant_mp`)."""
     if isinstance(bank, CirculantBankMP):
         return estimate_circulant_mp(bank, r, mode,
-                                     min(chunk_size, 8192), blocks)
+                                     min(chunk_size, 8192), blocks,
+                                     method)
     d_ = r.shape[-1]
     k_ = bank.log_weights.shape[0]
     # resident-bank VMEM rule (CLAUDE.md): the kernel's constants — two
@@ -802,21 +803,41 @@ def _estimate_chunk_mp(bank: CirculantBankMP, mc: _MpConsts, u: jax.Array,
     return _mp_combine(bank, w, u)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
 @highest_precision
 def estimate_circulant_mp(bank: CirculantBankMP, r: jax.Array,
                           mode: Union[str, int, float] = "all",
                           chunk_size: int = 8192,
-                          blocks=None) -> jax.Array:
+                          blocks=None, method: str = "auto") -> jax.Array:
     """Estimate channels from multi-pilot quantized observations
     r (N, P*D) -> (N, D) through the per-bin P x P bank: identical
     posterior semantics and selection modes as `gmm_estimator.estimate`.
-    O(N (K D P^2 + P D log D)) vs the dense path's O(N K D^2 P)."""
+    O(N (K D P^2 + P D log D)) vs the dense path's O(N K D^2 P).
+
+    method='auto' dispatches 'all'-mode TPU requests within the
+    resident-VMEM gate to the fused multi-pilot kernel
+    (`pallas_kernels.estimate_fused_circulant_mp`); 'xla' forces this
+    chunked pipeline, 'kernel' forces the kernel (raises when
+    ineligible)."""
     k, d, p = bank.mean_rf.shape
     n = r.shape[0]
     if r.shape[-1] != p * d:
         raise ValueError(f"expected observations of dim P*D = {p * d}, "
                          f"got {r.shape}")
+    from quantized_channel_estimation_tpu.estimators import (
+        pallas_kernels as pk)
+    kernel_ok = (mode == "all"
+                 and pk._mp_circ_bank_bytes(d, k, p) <= 13 * 1024 * 1024)
+    if method == "kernel" or (method == "auto" and kernel_ok
+                              and jax.default_backend() == "tpu"):
+        if not kernel_ok:
+            raise ValueError(
+                "method='kernel' needs mode='all' within the VMEM budget "
+                f"(got mode={mode!r}, bank bytes "
+                f"{pk._mp_circ_bank_bytes(d, k, p)})")
+        return pk.estimate_fused_circulant_mp(
+            bank, r, interpret=jax.default_backend() != "tpu",
+            blocks=blocks)
     mc = _mp_consts(bank)
     n_chunks = -(-n // chunk_size)
     pad = n_chunks * chunk_size - n

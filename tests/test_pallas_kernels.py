@@ -339,3 +339,67 @@ def test_topk_chunked_matches_single_pass(bank_and_obs, k_sel):
                                             vmem_budget=5 * per_k))
     np.testing.assert_allclose(got, want, atol=2e-4, err_msg=str(k_sel))
     assert pk.topk_kernel_eligible(bank, k_sel, vmem_budget=5 * per_k)
+
+
+@pytest.fixture(scope="module")
+def mp_bank_and_obs():
+    from quantized_channel_estimation_tpu.models import structured_bank as sb
+    n_ant, p, n_bits, snr = 16, 2, 2, 5.0
+    key = jax.random.PRNGKey(55)
+    h, _ = scm.generate_channels(key, 6000, scm.ScmConfig(n_ant, 1))
+    fit = gmm.fit(jax.random.PRNGKey(56), h[:5000],
+                  gmm.GmmConfig(n_components=8, cov_type="circulant",
+                                max_iter=10, chunk_size=2048))
+    a = pilots.pilot_matrix(n_ant, p, n_bits)
+    q = Q.design_quantizer(snr, n_bits)
+    r = observation.observe(jax.random.PRNGKey(57), h[5000:5512], snr, a,
+                            n_bits, q)
+    bank = sb.prepare_bank_circulant(fit.params, snr, a, n_bits, q)
+    return bank, r.astype(jnp.complex64)
+
+
+def test_mp_circ_kernel_matches_xla(mp_bank_and_obs):
+    """Fused multi-pilot structured kernel (round-5 late): interpret-mode
+    parity with the XLA per-bin P x P pipeline."""
+    from quantized_channel_estimation_tpu.models import structured_bank as sb
+    bank, r = mp_bank_and_obs
+    want = np.asarray(sb.estimate_circulant_mp(bank, r, "all", 512, None,
+                                               method="xla"))
+    got = np.asarray(pk.estimate_fused_circulant_mp(bank, r,
+                                                    interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_mp_circ_kernel_dead_components(mp_bank_and_obs):
+    from quantized_channel_estimation_tpu.models import structured_bank as sb
+    bank, r = mp_bank_and_obs
+    lw = np.asarray(bank.log_weights).copy()
+    lw[::2] = -np.inf
+    bank_dead = bank._replace(log_weights=jnp.asarray(lw))
+    want = np.asarray(sb.estimate_circulant_mp(bank_dead, r[:128], "all",
+                                               128, None, method="xla"))
+    got = np.asarray(pk.estimate_fused_circulant_mp(bank_dead, r[:128],
+                                                    interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_mp_circ_kernel_p4(mp_bank_and_obs):
+    """P=4: the pair-feature unroll (6 cross pairs) stays exact."""
+    from quantized_channel_estimation_tpu.models import structured_bank as sb
+    bank2, _ = mp_bank_and_obs
+    n_ant, p, n_bits, snr = 16, 4, 2, 5.0
+    key = jax.random.PRNGKey(58)
+    h, _ = scm.generate_channels(key, 4000, scm.ScmConfig(n_ant, 1))
+    fit = gmm.fit(jax.random.PRNGKey(59), h[:3500],
+                  gmm.GmmConfig(n_components=4, cov_type="circulant",
+                                max_iter=8, chunk_size=2048))
+    a = pilots.pilot_matrix(n_ant, p, n_bits)
+    q = Q.design_quantizer(snr, n_bits)
+    r = observation.observe(jax.random.PRNGKey(60), h[3500:3756], snr, a,
+                            n_bits, q)
+    bank = sb.prepare_bank_circulant(fit.params, snr, a, n_bits, q)
+    want = np.asarray(sb.estimate_circulant_mp(bank, r, "all", 256, None,
+                                               method="xla"))
+    got = np.asarray(pk.estimate_fused_circulant_mp(bank, r,
+                                                    interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4)
