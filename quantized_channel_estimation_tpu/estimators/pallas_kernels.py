@@ -1567,6 +1567,115 @@ def estimate_fused_circulant_mp(bank, r: jax.Array, tile_n=None,
     return (out[:n, :d] + 1j * out[:n, d:]).astype(r.dtype)
 
 
+def _mp_circ_kernel_coh(bfwd_r, bfwd_i, lcoef, const, bias_r, bias_i,
+                        filt_r, filt_i, binv, x_ref, out_ref, *,
+                        n_pilots: int, t_coh: int, alpha: float):
+    """Coherent multi-pilot variant (round-5 late): `_mp_circ_kernel` with
+    the T-major in-VMEM block pooling of `_circ_kernel_coh` inserted
+    between the logit GEMM and the softmax; `const` arrives with the
+    mixture log-weight pre-divided by (1 - alpha + alpha*T)."""
+    x = x_ref[:]
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    urs, uis = [], []
+    for pi in range(n_pilots):
+        urs.append(dot(x, bfwd_r[pi]))
+        uis.append(dot(x, bfwd_i[pi]))
+    feats = []
+    for pi in range(n_pilots):
+        feats += [urs[pi], uis[pi], urs[pi] * urs[pi] + uis[pi] * uis[pi]]
+    for pi in range(n_pilots):
+        for qi in range(pi + 1, n_pilots):
+            feats.append(urs[pi] * urs[qi] + uis[pi] * uis[qi])
+            feats.append(urs[pi] * uis[qi] - uis[pi] * urs[qi])
+    z = jnp.concatenate(feats, axis=-1)
+    logits = dot(z, lcoef[:]) + const[:]
+    bp = logits.shape[0] // t_coh
+    s = logits[0:bp]
+    for j in range(1, t_coh):
+        s = s + logits[j * bp:(j + 1) * bp]
+    pooled = jnp.concatenate([s] * t_coh, axis=0)
+    lg = logits + alpha * (pooled - logits) if alpha < 1.0 else pooled
+    m = jnp.max(lg, axis=-1, keepdims=True)
+    pr = jnp.exp(lg - m)
+    w = pr / jnp.sum(pr, axis=-1, keepdims=True)
+    hr = dot(w, bias_r[:])
+    hi = dot(w, bias_i[:])
+    for pi in range(n_pilots):
+        fr_ = dot(w, filt_r[pi])
+        fi__ = dot(w, filt_i[pi])
+        hr = hr + fr_ * urs[pi] - fi__ * uis[pi]
+        hi = hi + fr_ * uis[pi] + fi__ * urs[pi]
+    out_ref[:] = dot(jnp.concatenate([hr, hi], axis=-1), binv[:])
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def estimate_mp_circ_packed_coh(ckb: MpCircKernelBank, x2d: jax.Array,
+                                tile_n: int, n_pilots: int, t_coh: int,
+                                alpha: float, interpret: bool = False):
+    """T-major coherent fused multi-pilot estimation; x2d (N, 2PD) f32
+    with N a multiple of tile_n and tile_n // t_coh a multiple of 8."""
+    n, d2p = x2d.shape
+    d = d2p // (2 * n_pilots)
+    _check_t_coh(tile_n, t_coh)
+    if n % tile_n:
+        raise ValueError(f"N={n} must be a multiple of tile_n={tile_n}")
+    k_comp = ckb.const.shape[-1]
+    bank_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    data_spec = pl.BlockSpec((tile_n, d2p), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_n, 2 * d), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    feat = d * (3 * n_pilots + n_pilots * (n_pilots - 1))
+    kern = functools.partial(_mp_circ_kernel_coh, n_pilots=n_pilots,
+                             t_coh=t_coh, alpha=alpha)
+    return pl.pallas_call(
+        kern,
+        grid=(n // tile_n,),
+        in_specs=[bank_spec] * 9 + [data_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 2 * d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * (2 * n_pilots * d2p * d + feat * k_comp
+                           + (2 + 2 * n_pilots) * k_comp * d + 4 * d * d),
+            bytes_accessed=4 * (n * (d2p + 2 * d)),
+            transcendentals=n * k_comp),
+        interpret=interpret,
+    )(ckb.bfwd_r, ckb.bfwd_i, ckb.lcoef, ckb.const, ckb.bias_r, ckb.bias_i,
+      ckb.filt_r, ckb.filt_i, ckb.binv, x2d)
+
+
+def estimate_fused_circulant_mp_coherent(bank, r: jax.Array,
+                                         alpha: float = 1.0,
+                                         interpret: bool = False,
+                                         blocks=None) -> jax.Array:
+    """Fused coherent MULTI-pilot structured estimation of blocks
+    r (B, T, P*D) -> (B, T, D): kernel analog of
+    `structured_bank.estimate_circulant_mp_coherent` ('all' mode,
+    T <= 16; callers check eligibility)."""
+    b, t, _ = r.shape
+    if t == 1:
+        return estimate_fused_circulant_mp(bank, r[:, 0, :],
+                                           interpret=interpret,
+                                           blocks=blocks)[:, None, :]
+    k, d, p = bank.mean_rf.shape
+    lw_div = 1.0 - alpha + alpha * t
+    ckb = mp_circ_kernel_bank(bank, blocks)
+    lw = jnp.maximum(bank.log_weights, -1e30).astype(jnp.float32)
+    ckb = ckb._replace(const=ckb.const - lw[None, :]
+                       + (lw / lw_div)[None, :])
+    base = _mp_circ_tile_n(d, k, p)
+    if b * t < base:
+        base = min(base, 256)
+    tile_n = _coherent_tile_n(base, t)
+    rows, b_pad = _blocks_to_tmajor(r, tile_n)
+    x2d = jnp.concatenate([jnp.real(rows), jnp.imag(rows)],
+                          axis=-1).astype(jnp.float32)
+    out = estimate_mp_circ_packed_coh(ckb, x2d, tile_n, p, t, float(alpha),
+                                      interpret)
+    out_b = _tmajor_to_blocks(out, t, tile_n, b)          # (B, T, 2D)
+    return (out_b[..., :d] + 1j * out_b[..., d:]).astype(r.dtype)
+
+
 def _circ_kernel_coh(bfwd_r, bfwd_i, lcoef, const, bias_r, bias_i,
                      filt_r, filt_i, binv, x_ref, out_ref, *,
                      t_coh: int, alpha: float):

@@ -591,7 +591,7 @@ def estimate_circulant_coherent(bank: CirculantBank, r: jax.Array,
     if isinstance(bank, CirculantBankMP):
         return estimate_circulant_mp_coherent(bank, r, mode,
                                               min(chunk_size, 2048),
-                                              alpha, blocks)
+                                              alpha, blocks, method)
     d_ = r.shape[-1]
     k_ = bank.log_weights.shape[0]
     t_ = r.shape[1]
@@ -876,20 +876,35 @@ def _estimate_coherent_chunk_mp(bank: CirculantBankMP, mc: _MpConsts,
     return _mp_combine(bank, wf, uf).reshape(b, t, d)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 @highest_precision
 def estimate_circulant_mp_coherent(bank: CirculantBankMP, r: jax.Array,
                                    mode: Union[str, int, float] = "all",
                                    chunk_size: int = 2048,
                                    alpha: float = 1.0,
-                                   blocks=None) -> jax.Array:
+                                   blocks=None,
+                                   method: str = "auto") -> jax.Array:
     """Joint estimation of coherence blocks r (B, T, P*D) -> (B, T, D)
     through the multi-pilot bank (coherent analog of
-    `estimate_circulant_mp`)."""
+    `estimate_circulant_mp`, incl. the alpha evidence blend and the fused
+    coherent MP kernel on eligible TPU requests)."""
     if r.ndim != 3:
         raise ValueError(f"expected (B, T, P*D) blocks, got {r.shape}")
     k, d, p = bank.mean_rf.shape
     n, t = r.shape[0], r.shape[1]
+    from quantized_channel_estimation_tpu.estimators import (
+        pallas_kernels as pk)
+    kernel_ok = (mode == "all" and 1 <= t <= 16
+                 and pk._mp_circ_bank_bytes(d, k, p) <= 13 * 1024 * 1024)
+    if method == "kernel" or (method == "auto" and kernel_ok
+                              and jax.default_backend() == "tpu"):
+        if not kernel_ok:
+            raise ValueError(
+                "method='kernel' needs mode='all', T <= 16, and the VMEM "
+                f"budget (got mode={mode!r}, T={t})")
+        return pk.estimate_fused_circulant_mp_coherent(
+            bank, r, alpha=alpha,
+            interpret=jax.default_backend() != "tpu", blocks=blocks)
     mc = _mp_consts(bank)
     n_chunks = -(-n // chunk_size)
     pad = n_chunks * chunk_size - n

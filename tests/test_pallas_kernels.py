@@ -403,3 +403,18 @@ def test_mp_circ_kernel_p4(mp_bank_and_obs):
     got = np.asarray(pk.estimate_fused_circulant_mp(bank, r,
                                                     interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+@pytest.mark.parametrize("t,alpha", [(4, 1.0), (4, 0.25), (8, 1.0)])
+def test_mp_circ_coherent_kernel(mp_bank_and_obs, t, alpha):
+    """Fused coherent multi-pilot kernel (round-5 late): interpret-mode
+    parity with the XLA MP coherent pipeline incl. the alpha blend."""
+    from quantized_channel_estimation_tpu.models import structured_bank as sb
+    bank, r = mp_bank_and_obs
+    b = 256 // t
+    rb = r[:b * t].reshape(b, t, -1)
+    want = np.asarray(sb.estimate_circulant_mp_coherent(
+        bank, rb, "all", 64, alpha, None, method="xla"))
+    got = np.asarray(pk.estimate_fused_circulant_mp_coherent(
+        bank, rb, alpha=alpha, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4, err_msg=str((t, alpha)))
