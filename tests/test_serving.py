@@ -798,6 +798,12 @@ def test_structured_multipilot_service():
         got_s = svc_s.submit(r, snr)
         got_d = svc_d.submit(r, snr)
         np.testing.assert_allclose(got_s, got_d, atol=2e-4)
+        # coherent multi-pilot block requests (round-5 late: the MP
+        # coherent dispatch incl. the alpha blend)
+        rb = r[:96].reshape(24, 4, -1)
+        got_sb = svc_s.submit(rb, snr)
+        got_db = svc_d.submit(rb, snr)
+        np.testing.assert_allclose(got_sb, got_db, atol=2e-4)
     finally:
         svc_s.close()
         svc_d.close()
