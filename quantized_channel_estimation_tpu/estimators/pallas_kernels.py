@@ -761,17 +761,16 @@ TOPK_KERNEL_MAX = 8  # bubble-insert slots per row; beyond this the extra
 # path (and the static unroll grows toward Mosaic's crash range)
 
 
-def topk_kernel_eligible(bank: PreparedBank, k_sel,
-                         vmem_budget: int = 13 * 1024 * 1024) -> bool:
-    """True when the fused top-k kernels can serve `mode=k_sel` for this
-    bank: int selection with 1 <= k < K, small enough for the in-register
-    bubble. Resident-VMEM banks run the single-launch kernel; oversized
-    banks take the split-K chunked top-k merge (round-5 late), eligible
-    while a >= 4-component chunk fits the stats budget (like
-    `estimate_fused`)."""
+def topk_mode_eligible(d: int, k_comp: int, m: int, k_sel,
+                       vmem_budget: int = 13 * 1024 * 1024) -> bool:
+    """Dims-based form of `topk_kernel_eligible` — the ONE eligibility
+    rule, shared with serving (which knows the model dims before any bank
+    exists): int selection with 1 <= k < K, small enough for the
+    in-register bubble; resident-VMEM banks run the single-launch kernel,
+    oversized ones the split-K chunked candidate merge while a
+    >= 4-component chunk fits the stats budget (like `estimate_fused`)."""
     if not isinstance(k_sel, int) or isinstance(k_sel, bool):
         return False
-    k_comp, d, m = bank.filters.shape
     if not 1 <= k_sel <= min(TOPK_KERNEL_MAX, k_comp - 1):
         return False
     per_k = 4 * (2 * m) * (2 * m + 2 * d)
@@ -779,6 +778,13 @@ def topk_kernel_eligible(bank: PreparedBank, k_sel,
         return True
     chunk_budget = (10 if 2 * m <= 256 else 8) * 1024 * 1024
     return (chunk_budget // per_k) // 4 * 4 >= 4
+
+
+def topk_kernel_eligible(bank: PreparedBank, k_sel,
+                         vmem_budget: int = 13 * 1024 * 1024) -> bool:
+    """Bank-shaped wrapper of `topk_mode_eligible`."""
+    k_comp, d, m = bank.filters.shape
+    return topk_mode_eligible(d, k_comp, m, k_sel, vmem_budget)
 
 
 def _topk_chunked(bank: PreparedBank, r2: jax.Array, k_sel: int,
@@ -1405,16 +1411,35 @@ def _mp_circ_bank_bytes(d: int, k: int, p: int) -> int:
                 + 4 * d * d + 2 * k)
 
 
+def _mp_circ_per_row_bytes(d: int, k: int, p: int) -> int:
+    """Per-sample-row VMEM live set of the fused MP kernels (the x/u/
+    feature/logit/combine buffers)."""
+    return 4 * ((6 * p + p * (p - 1)) * d + 2 * k)
+
+
+def _mp_circ_kernel_eligible(d: int, k: int, p: int, t: int = 1) -> bool:
+    """Full VMEM invariant for fused-MP dispatch: resident bank PLUS the
+    floor tile's live set must fit the ~13 MiB scoped budget (64 rows
+    flat, 8*T rows coherent — `_coherent_tile_n`'s sublane floor can
+    RAISE the tile above a budget-derived base, so bank-bytes-only gating
+    admits near-limit banks that overflow; the same failure class
+    `_fact_kernel_eligible` closes for the factored kernels)."""
+    budget = 13 * 1024 * 1024 - _mp_circ_bank_bytes(d, k, p) \
+        - 2 * 1024 * 1024
+    min_tile = 64 if t <= 1 else 8 * t
+    return budget >= min_tile * _mp_circ_per_row_bytes(d, k, p)
+
+
 def _mp_circ_tile_n(d: int, k: int, p: int, requested=None) -> int:
-    """Power-of-two sample tile within the scoped-VMEM budget; the per-row
-    live set scales with the P pilot planes (~(6P + P(P-1)) D + 2K
-    floats across x/u/z/logits/combine buffers)."""
+    """Power-of-two sample tile within the scoped-VMEM budget (per-row
+    live set: `_mp_circ_per_row_bytes`); dispatchers must check
+    `_mp_circ_kernel_eligible` first — a negative budget floors to the
+    64-row minimum here."""
     if requested is not None:
         return requested
     budget = 13 * 1024 * 1024 - _mp_circ_bank_bytes(d, k, p) \
         - 2 * 1024 * 1024
-    per_row = 4 * ((6 * p + p * (p - 1)) * d + 2 * k)
-    cap = max(64, budget // per_row)
+    cap = max(64, budget // _mp_circ_per_row_bytes(d, k, p))
     t = 64
     while t * 2 <= min(cap, 1024):
         t *= 2
@@ -1423,12 +1448,14 @@ def _mp_circ_tile_n(d: int, k: int, p: int, requested=None) -> int:
 
 @highest_precision
 def mp_circ_kernel_bank(bank, blocks=None) -> MpCircKernelBank:
-    """Lower a CirculantBankMP (jittable). Feature order consumed by the
+    """Lower a CirculantBankMP (jittable). The logit constants come from
+    `structured_bank._mp_consts` — the ONE computation of the expanded
+    quadratic shared with the XLA path (const_k keeps its row-constant
+    -PD log pi; it cancels in the softmax). Feature order consumed by the
     logit GEMM: for each pilot p, [ur_p; ui_p; |u_p|^2] with coefficients
     [2 Re(pm_p)^T; 2 Im(pm_p)^T; -Re(prec_pp)^T]; then for each pair
     p < q, [Re(conj(u_p) u_q); Im(conj(u_p) u_q)] with
-    [-2 Re(prec_pq)^T; +2 Im(prec_pq)^T] — exactly the expanded
-    `structured_bank._mp_logits` quadratic."""
+    [-2 Re(prec_pq)^T; +2 Im(prec_pq)^T]."""
     from quantized_channel_estimation_tpu.models import structured_bank as sb
     k, d, p = bank.mean_rf.shape
     f = sb._dft_matrix(d, blocks)
@@ -1452,20 +1479,19 @@ def mp_circ_kernel_bank(bank, blocks=None) -> MpCircKernelBank:
     bot = jnp.concatenate([-jnp.imag(fi_c), jnp.real(fi_c)], axis=-1)
     binv = jnp.concatenate([top, bot], axis=-2).astype(jnp.float32)
 
-    pm = jnp.einsum("kdpq,kdq->kdp", bank.prec_f, bank.mean_rf)
-    mpm = jnp.real(jnp.einsum("kdp,kdp->k", jnp.conj(bank.mean_rf), pm))
-    lw = jnp.maximum(bank.log_weights, -1e30)
-    const = jnp.maximum(lw - bank.logdet - mpm,
-                        -1e30).astype(jnp.float32)[None, :]
+    mc = sb._mp_consts(bank)
+    const = mc.const_k[None, :]
+    pm_flat = mc.pm_flat                                   # (K, P*D)
     coefs = []
     for pi in range(p):
-        coefs += [2.0 * jnp.real(pm[:, :, pi]).T,
-                  2.0 * jnp.imag(pm[:, :, pi]).T,
-                  -jnp.real(bank.prec_f[:, :, pi, pi]).T]
+        pm_p = pm_flat[:, pi * d:(pi + 1) * d]             # (K, D)
+        coefs += [2.0 * jnp.real(pm_p).T,
+                  2.0 * jnp.imag(pm_p).T,
+                  -mc.prec_re[:, :, pi, pi].T]
     for pi in range(p):
         for qi in range(pi + 1, p):
-            coefs += [-2.0 * jnp.real(bank.prec_f[:, :, pi, qi]).T,
-                      2.0 * jnp.imag(bank.prec_f[:, :, pi, qi]).T]
+            coefs += [-2.0 * mc.prec_re[:, :, pi, qi].T,
+                      2.0 * mc.prec_im[:, :, pi, qi].T]
     lcoef = jnp.concatenate(coefs, axis=0).astype(jnp.float32)
     filt_r = jnp.moveaxis(jnp.real(bank.filt_f), -1, 0).astype(jnp.float32)
     filt_i = jnp.moveaxis(jnp.imag(bank.filt_f), -1, 0).astype(jnp.float32)
@@ -1477,11 +1503,18 @@ def mp_circ_kernel_bank(bank, blocks=None) -> MpCircKernelBank:
 
 
 def _mp_circ_kernel(bfwd_r, bfwd_i, lcoef, const, bias_r, bias_i,
-                    filt_r, filt_i, binv, x_ref, out_ref, *, n_pilots: int):
+                    filt_r, filt_i, binv, x_ref, out_ref, *, n_pilots: int,
+                    t_coh: int = 1, alpha: float = 1.0):
     """One sample tile, straight-line: P forward DFT pairs -> stacked
     quadratic features -> one logit GEMM -> softmax -> per-pilot combine
     -> inverse DFT, all in VMEM. P is a small static unroll (the slices
-    below are full-width bank-operand reads, not lane slices)."""
+    below are full-width bank-operand reads, not lane slices).
+
+    t_coh > 1 is the COHERENT variant (one shared body, like
+    `_grouped_stream(t_coh=)` for the dense family): rows are T-major per
+    tile, per-snapshot logits pool over T static sublane slices before
+    the softmax with the leave-one-out alpha blend; `const` arrives with
+    the mixture log-weight pre-divided by (1 - alpha + alpha*T)."""
     x = x_ref[:]                                           # (TN, 2PD)
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     urs, uis = [], []
@@ -1497,6 +1530,14 @@ def _mp_circ_kernel(bfwd_r, bfwd_i, lcoef, const, bias_r, bias_i,
             feats.append(urs[pi] * uis[qi] - uis[pi] * urs[qi])
     z = jnp.concatenate(feats, axis=-1)
     logits = dot(z, lcoef[:]) + const[:]
+    if t_coh > 1:
+        bp = logits.shape[0] // t_coh
+        s = logits[0:bp]
+        for j in range(1, t_coh):
+            s = s + logits[j * bp:(j + 1) * bp]
+        pooled = jnp.concatenate([s] * t_coh, axis=0)
+        logits = (logits + alpha * (pooled - logits) if alpha < 1.0
+                  else pooled)
     m = jnp.max(logits, axis=-1, keepdims=True)
     pr = jnp.exp(logits - m)
     w = pr / jnp.sum(pr, axis=-1, keepdims=True)
@@ -1510,16 +1551,19 @@ def _mp_circ_kernel(bfwd_r, bfwd_i, lcoef, const, bias_r, bias_i,
     out_ref[:] = dot(jnp.concatenate([hr, hi], axis=-1), binv[:])
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def estimate_mp_circ_packed(ckb: MpCircKernelBank, x2d: jax.Array,
                             tile_n: int, n_pilots: int,
-                            interpret: bool = False):
+                            interpret: bool = False, t_coh: int = 1,
+                            alpha: float = 1.0):
     """Fused multi-pilot structured estimation: x2d (N, 2PD) f32
-    [Re r_1..Re r_P | Im r_1..Im r_P] -> (N, 2D) f32 [Re | Im]."""
+    [Re r_1..Re r_P | Im r_1..Im r_P] -> (N, 2D) f32 [Re | Im]; t_coh > 1
+    selects the coherent body (T-major x2d, `_blocks_to_tmajor`)."""
     n, d2p = x2d.shape
     d = d2p // (2 * n_pilots)
     if n % tile_n:
         raise ValueError(f"N={n} must be a multiple of tile_n={tile_n}")
+    _check_t_coh(tile_n, t_coh)
     k_comp = ckb.const.shape[-1]
     bank_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     data_spec = pl.BlockSpec((tile_n, d2p), lambda i: (i, 0),
@@ -1529,7 +1573,8 @@ def estimate_mp_circ_packed(ckb: MpCircKernelBank, x2d: jax.Array,
     feat = d * (3 * n_pilots + n_pilots * (n_pilots - 1))
     flops = 2 * n * (2 * n_pilots * d2p * d + feat * k_comp
                      + (2 + 2 * n_pilots) * k_comp * d + 4 * d * d)
-    kern = functools.partial(_mp_circ_kernel, n_pilots=n_pilots)
+    kern = functools.partial(_mp_circ_kernel, n_pilots=n_pilots,
+                             t_coh=t_coh, alpha=alpha)
     return pl.pallas_call(
         kern,
         grid=(n // tile_n,),
@@ -1567,83 +1612,6 @@ def estimate_fused_circulant_mp(bank, r: jax.Array, tile_n=None,
     return (out[:n, :d] + 1j * out[:n, d:]).astype(r.dtype)
 
 
-def _mp_circ_kernel_coh(bfwd_r, bfwd_i, lcoef, const, bias_r, bias_i,
-                        filt_r, filt_i, binv, x_ref, out_ref, *,
-                        n_pilots: int, t_coh: int, alpha: float):
-    """Coherent multi-pilot variant (round-5 late): `_mp_circ_kernel` with
-    the T-major in-VMEM block pooling of `_circ_kernel_coh` inserted
-    between the logit GEMM and the softmax; `const` arrives with the
-    mixture log-weight pre-divided by (1 - alpha + alpha*T)."""
-    x = x_ref[:]
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    urs, uis = [], []
-    for pi in range(n_pilots):
-        urs.append(dot(x, bfwd_r[pi]))
-        uis.append(dot(x, bfwd_i[pi]))
-    feats = []
-    for pi in range(n_pilots):
-        feats += [urs[pi], uis[pi], urs[pi] * urs[pi] + uis[pi] * uis[pi]]
-    for pi in range(n_pilots):
-        for qi in range(pi + 1, n_pilots):
-            feats.append(urs[pi] * urs[qi] + uis[pi] * uis[qi])
-            feats.append(urs[pi] * uis[qi] - uis[pi] * urs[qi])
-    z = jnp.concatenate(feats, axis=-1)
-    logits = dot(z, lcoef[:]) + const[:]
-    bp = logits.shape[0] // t_coh
-    s = logits[0:bp]
-    for j in range(1, t_coh):
-        s = s + logits[j * bp:(j + 1) * bp]
-    pooled = jnp.concatenate([s] * t_coh, axis=0)
-    lg = logits + alpha * (pooled - logits) if alpha < 1.0 else pooled
-    m = jnp.max(lg, axis=-1, keepdims=True)
-    pr = jnp.exp(lg - m)
-    w = pr / jnp.sum(pr, axis=-1, keepdims=True)
-    hr = dot(w, bias_r[:])
-    hi = dot(w, bias_i[:])
-    for pi in range(n_pilots):
-        fr_ = dot(w, filt_r[pi])
-        fi__ = dot(w, filt_i[pi])
-        hr = hr + fr_ * urs[pi] - fi__ * uis[pi]
-        hi = hi + fr_ * uis[pi] + fi__ * urs[pi]
-    out_ref[:] = dot(jnp.concatenate([hr, hi], axis=-1), binv[:])
-
-
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
-def estimate_mp_circ_packed_coh(ckb: MpCircKernelBank, x2d: jax.Array,
-                                tile_n: int, n_pilots: int, t_coh: int,
-                                alpha: float, interpret: bool = False):
-    """T-major coherent fused multi-pilot estimation; x2d (N, 2PD) f32
-    with N a multiple of tile_n and tile_n // t_coh a multiple of 8."""
-    n, d2p = x2d.shape
-    d = d2p // (2 * n_pilots)
-    _check_t_coh(tile_n, t_coh)
-    if n % tile_n:
-        raise ValueError(f"N={n} must be a multiple of tile_n={tile_n}")
-    k_comp = ckb.const.shape[-1]
-    bank_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    data_spec = pl.BlockSpec((tile_n, d2p), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((tile_n, 2 * d), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    feat = d * (3 * n_pilots + n_pilots * (n_pilots - 1))
-    kern = functools.partial(_mp_circ_kernel_coh, n_pilots=n_pilots,
-                             t_coh=t_coh, alpha=alpha)
-    return pl.pallas_call(
-        kern,
-        grid=(n // tile_n,),
-        in_specs=[bank_spec] * 9 + [data_spec],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((n, 2 * d), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * (2 * n_pilots * d2p * d + feat * k_comp
-                           + (2 + 2 * n_pilots) * k_comp * d + 4 * d * d),
-            bytes_accessed=4 * (n * (d2p + 2 * d)),
-            transcendentals=n * k_comp),
-        interpret=interpret,
-    )(ckb.bfwd_r, ckb.bfwd_i, ckb.lcoef, ckb.const, ckb.bias_r, ckb.bias_i,
-      ckb.filt_r, ckb.filt_i, ckb.binv, x2d)
-
-
 def estimate_fused_circulant_mp_coherent(bank, r: jax.Array,
                                          alpha: float = 1.0,
                                          interpret: bool = False,
@@ -1670,8 +1638,8 @@ def estimate_fused_circulant_mp_coherent(bank, r: jax.Array,
     rows, b_pad = _blocks_to_tmajor(r, tile_n)
     x2d = jnp.concatenate([jnp.real(rows), jnp.imag(rows)],
                           axis=-1).astype(jnp.float32)
-    out = estimate_mp_circ_packed_coh(ckb, x2d, tile_n, p, t, float(alpha),
-                                      interpret)
+    out = estimate_mp_circ_packed(ckb, x2d, tile_n, p, interpret, t,
+                                  float(alpha))
     out_b = _tmajor_to_blocks(out, t, tile_n, b)          # (B, T, 2D)
     return (out_b[..., :d] + 1j * out_b[..., d:]).astype(r.dtype)
 

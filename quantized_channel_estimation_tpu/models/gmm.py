@@ -187,7 +187,7 @@ def _update_stats(stats: _Stats, resp, xc, diag: bool,
     return _Stats(nk, sx, sxx, stats.log_norm + log_norm_inc)
 
 
-def _resolve_segments(segments, init, n_chunks: int) -> int:
+def _resolve_segments(segments) -> int:
     """'auto' -> 1, on the measured evidence (round-5, 2-process Gloo
     cluster, core-pinned — BASELINE.md): with REAL segmentation, pipelining
     the statistics psum LOSES on every regime measurable on this transport
@@ -203,10 +203,7 @@ def _resolve_segments(segments, init, n_chunks: int) -> int:
     (compute-dense scans over a slow inter-host link); the mechanism
     itself is exactness-validated on the virtual mesh and the real
     cluster."""
-    if segments != "auto":
-        return segments
-    del init, n_chunks
-    return 1
+    return 1 if segments == "auto" else segments
 
 
 def segmented_psum_scan(body, init, xs, mask, axis_name,
@@ -223,16 +220,15 @@ def segmented_psum_scan(body, init, xs, mask, axis_name,
     The total is the sum of the psum'd partials — identical to
     psum-of-total up to f32 summation order.
 
-    segments='auto' (round-5) picks 1 or `AUTO_PSUM_SEGMENTS` from the
-    measured two-regime rule (`_resolve_segments`): pipelining pays only
-    when each collective is tens of ms AND the segments stay
-    compute-dense.
+    segments='auto' (round-5) resolves to 1: on every real-transport
+    regime measured here, segmenting loses (`_resolve_segments`); set an
+    explicit int only where the collective dominates the wall clock.
 
     `init` seeds the first segment only (zeros of the same pytree seed the
     rest), which matches the unsegmented path exactly.
     """
     n_chunks = xs.shape[0]
-    segments = _resolve_segments(segments, init, n_chunks)
+    segments = _resolve_segments(segments)
     segs = 1 if axis_name is None else max(1, min(segments, n_chunks))
     if segs <= 1:
         stats, _ = jax.lax.scan(body, init, (xs, mask))

@@ -519,22 +519,6 @@ def fit_circulant_spectra_resume(key: jax.Array, prev: QuantCircFitResult,
                               n_bits, sigma2, q, pos_tau, key)
 
 
-def _densify_circ(res: QuantCircFitResult,
-                  reg: float) -> QuantGmmFitResult:
-    d = res.spectra.shape[-1]
-    dtype = res.means.dtype
-    f = linalg.unitary_dft(d, dtype)
-    covs = jnp.einsum("fd,kf,fe->kde", jnp.conj(f),
-                      res.spectra.astype(dtype), f)
-    covs = linalg.hermitize(covs) + reg * jnp.eye(d, dtype=dtype)
-    prec = linalg.robust_precision_cholesky(covs)
-    cov_quant = jnp.einsum("fd,kf,fe->kde", jnp.conj(f),
-                           res.spec_quant.astype(dtype), f)
-    params = GmmParams(res.weights, res.means, covs, prec)
-    return QuantGmmFitResult(params, cov_quant, res.lower_bound,
-                             res.n_iter, res.converged)
-
-
 def _recover_covs(stats: _QStats, cfg: GmmConfig, n_bits, sigma2,
                   q: Optional[ScalarQuantizer], pos_tau, prev_covs_quant,
                   key, eye):

@@ -826,8 +826,7 @@ def estimate_circulant_mp(bank: CirculantBankMP, r: jax.Array,
                          f"got {r.shape}")
     from quantized_channel_estimation_tpu.estimators import (
         pallas_kernels as pk)
-    kernel_ok = (mode == "all"
-                 and pk._mp_circ_bank_bytes(d, k, p) <= 13 * 1024 * 1024)
+    kernel_ok = (mode == "all" and pk._mp_circ_kernel_eligible(d, k, p))
     if method == "kernel" or (method == "auto" and kernel_ok
                               and jax.default_backend() == "tpu"):
         if not kernel_ok:
@@ -895,7 +894,7 @@ def estimate_circulant_mp_coherent(bank: CirculantBankMP, r: jax.Array,
     from quantized_channel_estimation_tpu.estimators import (
         pallas_kernels as pk)
     kernel_ok = (mode == "all" and 1 <= t <= 16
-                 and pk._mp_circ_bank_bytes(d, k, p) <= 13 * 1024 * 1024)
+                 and pk._mp_circ_kernel_eligible(d, k, p, t))
     if method == "kernel" or (method == "auto" and kernel_ok
                               and jax.default_backend() == "tpu"):
         if not kernel_ok:

@@ -164,23 +164,21 @@ class EstimationService:
             raise ValueError("structured and factored are mutually "
                              "exclusive bank representations")
         def _int_mode_kernel_ok() -> bool:
-            """Can the fused TOP-K kernel serve this int selection mode
-            (round-5)? Needs the dense-bank path, small k below K, and a
-            resident-VMEM bank (`pallas_kernels.topk_kernel_eligible`
-            dims, computed from the model here — banks are built lazily)."""
+            """Can the fused TOP-K kernels serve this int selection mode
+            (round-5)? Delegates to the ONE eligibility rule
+            (`pallas_kernels.topk_mode_eligible` — covers both the
+            single-launch resident-VMEM kernel and the split-K chunked
+            candidate merge for oversized banks; banks are built lazily,
+            so the dims come from the model)."""
             from quantized_channel_estimation_tpu.estimators import (
                 pallas_kernels as pk)
             if structured or factored:
-                return False
-            if not isinstance(mode, int) or isinstance(mode, bool):
                 return False
             k_comp = int(params.weights.shape[0])
             d = int(params.means.shape[-1])
             a_shape = getattr(a, "shape", None)
             m_obs = a_shape[0] if a_shape else d  # scalar pilot: M = D
-            per_k = 4 * (2 * m_obs) * (2 * m_obs + 2 * d)
-            return (1 <= mode <= min(pk.TOPK_KERNEL_MAX, k_comp - 1)
-                    and k_comp * per_k <= 13 * 1024 * 1024)
+            return pk.topk_mode_eligible(d, k_comp, m_obs, mode)
 
         if structured or factored:
             use_pallas = False   # these paths replace the dense kernel

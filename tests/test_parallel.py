@@ -479,15 +479,9 @@ def test_auto_psum_segments_regime_rule(data):
     16.8 MB collectives) lose to blocking; the earlier 16 MB 'win' was a
     degenerate-program artifact (see gmm._resolve_segments). Explicit
     ints pass through for deployments where the collective dominates."""
-    def stats_init(k, d):
-        return gmm._zero_stats(k, d, jnp.complex64, False)
-
-    small = stats_init(16, 256)   # 8.4 MB sxx — measured losing (round-3)
-    large = stats_init(8, 512)    # 16.8 MB — measured losing too (round-5)
-    assert gmm._resolve_segments("auto", small, 16) == 1
-    assert gmm._resolve_segments("auto", large, 16) == 1
+    assert gmm._resolve_segments("auto") == 1
     # explicit ints pass through untouched
-    assert gmm._resolve_segments(3, large, 16) == 3
+    assert gmm._resolve_segments(3) == 3
     # end-to-end: the default 'auto' config on a small problem must equal
     # the explicit segments=1 DP fit bit-for-bit (auto resolves to 1)
     cfg = gmm.GmmConfig(n_components=4, zero_mean=True, max_iter=5,

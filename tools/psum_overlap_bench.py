@@ -174,10 +174,8 @@ def worker(port: str, pid: int):
 
     if "auto" in times:
         from quantized_channel_estimation_tpu.models.gmm import (
-            _resolve_segments, _zero_stats)
-        n_chunks = -(-N_LOCAL // max(8, N_LOCAL // 8))
-        resolved = _resolve_segments("auto", _zero_stats(
-            K, D, jnp.complex64, False), n_chunks)
+            _resolve_segments)
+        resolved = _resolve_segments("auto")
         report(f"'auto' resolved to {resolved} segments; "
                f"auto {times['auto']:.3f}s vs explicit "
                f"{times[resolved]:.3f}s (same program)")
