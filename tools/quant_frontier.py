@@ -42,17 +42,45 @@ MAX_ITER = 30
 t0 = time.time()
 GEN_CHUNK = int(os.environ.get(
     "QF_GEN_CHUNK", min(4096, max(512, (4096 * 256) // D))))
-h, t = stages.generate_channels(jax.random.PRNGKey(0), N_TRAIN + N_VAL,
-                                scm.ScmConfig(D, 1), chunk=GEN_CHUNK)
-h_train = stages.tree_slice(h, 0, N_TRAIN)
-h_val = stages.tree_slice(h, N_TRAIN, N_TRAIN + N_VAL)
-t_val = stages.tree_slice(t, N_TRAIN, N_TRAIN + N_VAL)
-print(f"datagen {time.time() - t0:.1f}s", flush=True)
-
 q = Q.design_quantizer(SNR, NB)
 sigma2 = 10.0 ** (-SNR / 10.0)
 obs = cjit(observation.observe, static_argnums=(4,))
-r_train = obs(jax.random.PRNGKey(1), h_train, SNR, None, NB, q)
+# D >= 8192: holding BOTH the clean train channels and their genie rows
+# (60k x D complex each) plus the quantized pilots exceeds HBM (the
+# first D=8192 attempt OOM'd in the datagen concat) — but the CSI-free
+# fit needs ONLY the quantized pilots, so STREAM them: generate + observe
+# per slab, drop the clean channels; keep a small clean validation set.
+STREAM = D >= 8192 or os.environ.get("QF_STREAM") == "1"
+if STREAM:
+    slab = max(GEN_CHUNK, 4096 * 2048 // D)
+    r_parts = []
+    rows = 0
+    i = 0
+    while rows < N_TRAIN:
+        n = min(slab, N_TRAIN - rows)
+        h_c, _ = stages.generate_channels(
+            jax.random.fold_in(jax.random.PRNGKey(0), i), n,
+            scm.ScmConfig(D, 1), chunk=GEN_CHUNK)
+        r_parts.append(obs(jax.random.fold_in(jax.random.PRNGKey(1), i),
+                           h_c, SNR, None, NB, q))
+        del h_c
+        rows += n
+        i += 1
+    r_train = stages.tree_concat(r_parts)
+    del r_parts
+    h_val, t_val = stages.generate_channels(
+        jax.random.fold_in(jax.random.PRNGKey(0), 10_000), N_VAL,
+        scm.ScmConfig(D, 1), chunk=GEN_CHUNK)
+else:
+    h, t = stages.generate_channels(jax.random.PRNGKey(0),
+                                    N_TRAIN + N_VAL,
+                                    scm.ScmConfig(D, 1), chunk=GEN_CHUNK)
+    h_train = stages.tree_slice(h, 0, N_TRAIN)
+    h_val = stages.tree_slice(h, N_TRAIN, N_TRAIN + N_VAL)
+    t_val = stages.tree_slice(t, N_TRAIN, N_TRAIN + N_VAL)
+    r_train = obs(jax.random.PRNGKey(1), h_train, SNR, None, NB, q)
+print(f"datagen {time.time() - t0:.1f}s"
+      + (" (streamed pilots)" if STREAM else ""), flush=True)
 r_val = obs(jax.random.PRNGKey(2), h_val, SNR, None, NB, q)
 
 # ---- CSI-free quantized circulant EM (the headline fit) ----
@@ -61,7 +89,7 @@ r_val = obs(jax.random.PRNGKey(2), h_val, SNR, None, NB, q)
 # (`gmm_quant.fit_circulant_spectra`, O(N K D)/iter, no dense (K, D, D)
 # anywhere — the dense path crashes the device there). QF_SPECTRA=1
 # forces the spectra path at any D.
-SPECTRA = D >= 2048 or os.environ.get("QF_SPECTRA") == "1"
+SPECTRA = D >= 2048 or STREAM or os.environ.get("QF_SPECTRA") == "1"
 EM_CHUNK = int(os.environ.get("QF_CHUNK", 4096 if D <= 1024 else 1024))
 qcfg = gmm.GmmConfig(n_components=K, cov_type="circulant",
                      max_iter=MAX_ITER, chunk_size=EM_CHUNK)
@@ -103,10 +131,13 @@ if not SPECTRA:
     nmse_c = stages.nmse(est(bank_c, r_val), h_val)
 
 t0 = time.time()
-n_genie = N_VAL if D < 2048 else 512 if D < 4096 else 128
+n_genie = N_VAL if D < 2048 else 512 if D < 4096 else \
+    128 if D < 8192 else 0  # a D^3 Cholesky per row stops paying at 8192
 print(f"NMSE CSI-free: {nmse_q:.5f} | CSI-trained: {nmse_c:.5f}",
       flush=True)
 try:
+    if n_genie == 0:
+        raise RuntimeError("skipped")
     a_eye = cjit(lambda d: jnp.eye(d, dtype=jnp.complex64),
                  static_argnums=(0,))(D)
     nmse_genie = stages.chunked_genie_nmse(
