@@ -21,6 +21,7 @@ from quantized_channel_estimation_tpu.harness.run_gmm import (
     GmmBenchConfig, _get_data, _model_tag, channel_dim)
 from quantized_channel_estimation_tpu.models import gmm
 from quantized_channel_estimation_tpu.ops import quantizer as Q
+from quantized_channel_estimation_tpu.ops import scm
 from quantized_channel_estimation_tpu.utils import io as qio
 
 
@@ -82,6 +83,16 @@ class QuantGmmBenchConfig:
     # structured estimation bank — there are no dense covariances to
     # serve from).
     use_spectra_fit: object = "auto"
+    # STREAMED pilot datagen (round-5 frontier entry,
+    # `stages.stream_quantized_pilots`): training channels are generated
+    # and quantized slab-wise so the clean training set never
+    # materializes — at D>=8192 holding 100k clean channels + pilots
+    # exceeds HBM (the fit needs only the pilots). 'auto' engages it at
+    # n_antennas >= 8192 for flat (n_coherence=1) 3gpp runs; True forces
+    # it anywhere those conditions hold. The streamed draw is i.i.d.-valid
+    # but NOT bit-identical to the dense path's single-key draw, and the
+    # dataset cache is bypassed (there is no dense dataset to cache).
+    stream_pilots: object = "auto"
 
 
 def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
@@ -111,9 +122,25 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
         n_val=cfg.n_val, path_sigma=cfg.path_sigma, cache_dir=cfg.cache_dir,
         use_cache=cfg.use_cache, n_coherence=t_coh)
     dim = channel_dim(base_cfg)
-    channels, _ = _get_data(base_cfg, k_data)
+    stream = (cfg.stream_pilots if cfg.stream_pilots != "auto"
+              else (dim >= 8192 and cfg.channel_model == "3gpp"
+                    and t_coh == 1))
+    if stream and (t_coh > 1 or cfg.channel_model != "3gpp"):
+        raise ValueError("stream_pilots supports flat (n_coherence=1) "
+                         "'3gpp' runs only")
     alpha_val_h = None
-    if t_coh > 1:
+    if stream:
+        # the clean TRAIN channels never materialize; only the small
+        # validation set does (stages.stream_quantized_pilots)
+        scm_cfg = scm.ScmConfig(cfg.n_antennas, cfg.n_path, cfg.path_sigma)
+        h_val, _ = stages.generate_channels(
+            jax.random.fold_in(k_data, 10_000), cfg.n_val, scm_cfg)
+        h_train = None
+    else:
+        channels, _ = _get_data(base_cfg, k_data)
+    if stream:
+        pass
+    elif t_coh > 1:
         nb_train, nb_val = cfg.n_train // t_coh, cfg.n_val // t_coh
         nb_fit = nb_train
         if auto_alpha:
@@ -135,12 +162,20 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
     all_snrs = sorted(set(list(cfg.snrs) + [cfg.snr_train]))
     quantizers = {snr: Q.design_quantizer(snr, cfg.n_bits, cfg.quantizer_type)
                   for snr in all_snrs}
-    cov = stages.sample_cov(h_train)
 
     sigma2_train = 10.0 ** (-cfg.snr_train / 10.0)
-    r_train = stages.observe(jax.random.fold_in(k_obs, 999), h_train,
-                             cfg.snr_train, a, cfg.n_bits,
-                             quantizers[cfg.snr_train])
+    if stream:
+        r_train, cov = stages.stream_quantized_pilots(
+            k_data, jax.random.fold_in(k_obs, 999), cfg.n_train, scm_cfg,
+            cfg.snr_train, a, cfg.n_bits, quantizers[cfg.snr_train],
+            want_cov=cfg.eval_rate)
+        if verbose:
+            print(f"streamed pilot datagen: {cfg.n_train} rows at D={dim}")
+    else:
+        cov = stages.sample_cov(h_train)
+        r_train = stages.observe(jax.random.fold_in(k_obs, 999), h_train,
+                                 cfg.snr_train, a, cfg.n_bits,
+                                 quantizers[cfg.snr_train])
     gcfg = gmm.GmmConfig(n_components=cfg.n_components, cov_type=cfg.cov_type,
                          blocks=cfg.blocks, zero_mean=cfg.zero_mean_gmm,
                          max_iter=cfg.max_iter)

@@ -109,6 +109,54 @@ repeat_blocks = cjit(lambda t, n_coh: jnp.repeat(t, n_coh, axis=0),
 
 observe = cjit(observation.observe, static_argnums=(4,))
 
+# un-normalized sample-cov accumulator for the streamed datagen below
+_cov_outer = cjit(lambda h: jnp.einsum("nd,ne->de", h, jnp.conj(h)))
+
+
+def stream_quantized_pilots(k_data, k_obs, n_batches: int,
+                            scm_cfg: scm.ScmConfig, snr_db, a, n_bits,
+                            q=None, slab=None, gen_chunk=8192,
+                            want_cov=False):
+    """Slab-streamed quantized-pilot datagen: per slab i the channels are
+    drawn with fold_in(k_data, i), observed with fold_in(k_obs, i), and
+    the clean slab is dropped before the next one is generated — the
+    clean training set never exists as one buffer. That is what lets
+    CSI-free circulant training reach D>=8192 on one chip (the one-shot
+    datagen OOMs there; BASELINE.md round-5 frontier rows). The draw is a
+    valid i.i.d. dataset but NOT bit-identical to the one-shot path's
+    single-key draw, so streamed and dense runs agree statistically, not
+    bitwise. With want_cov the sample covariance is accumulated slab-wise
+    (same math as `sample_cov`, f32 summation order aside) so rate bounds
+    stay available without clean channels.
+
+    Reference analog: none — `Bussgang_GMM_quant.py:15-45` materializes
+    the dense dataset before observing it.
+
+    Returns (r, cov) with cov None unless want_cov.
+    """
+    if slab is None:
+        slab = max(gen_chunk, (4096 * 2048) // max(1, scm_cfg.n_antennas))
+    r_parts, cov_sum = [], None
+    rows, i = 0, 0
+    while rows < n_batches:
+        n = min(slab, n_batches - rows)
+        h_c, _ = generate_channels(jax.random.fold_in(k_data, i), n,
+                                   scm_cfg, chunk=gen_chunk)
+        r_parts.append(observe(jax.random.fold_in(k_obs, i), h_c,
+                               snr_db, a, n_bits, q))
+        if want_cov:
+            c = _cov_outer(h_c)
+            cov_sum = c if cov_sum is None else jax.tree_util.tree_map(
+                lambda x, y: x + y, cov_sum, c)
+        del h_c
+        rows += n
+        i += 1
+    r = tree_concat(r_parts) if len(r_parts) > 1 else r_parts[0]
+    cov = (None if not want_cov else
+           jax.tree_util.tree_map(lambda x: x / n_batches, cov_sum))
+    return r, cov
+
+
 blmmse_global = cjit(blmmse.estimate_global, static_argnums=(4,))
 blmmse_genie = cjit(blmmse.estimate_genie, static_argnums=(4,))
 blmmse_genie_kron = cjit(blmmse.estimate_genie_kron, static_argnums=(5,))

@@ -66,6 +66,67 @@ def test_run_gmm_quant_coherence_column(tmp_results):
                           verbose=False)
 
 
+def test_stream_quantized_pilots_matches_manual():
+    """The streamed datagen is exactly per-slab generate+observe with the
+    folded-key schedule (and its accumulated cov equals sample_cov)."""
+    import jax
+    from quantized_channel_estimation_tpu.harness import stages
+    from quantized_channel_estimation_tpu.ops import quantizer as Q
+    from quantized_channel_estimation_tpu.ops import scm
+
+    scfg = scm.ScmConfig(16, 2)
+    q = Q.design_quantizer(5.0, 2)
+    kd, ko = jax.random.PRNGKey(7), jax.random.PRNGKey(11)
+    r, cov = stages.stream_quantized_pilots(
+        kd, ko, 300, scfg, 5.0, None, 2, q, slab=128, want_cov=True)
+
+    parts, clean = [], []
+    for i, n in enumerate((128, 128, 44)):
+        h_i, _ = stages.generate_channels(jax.random.fold_in(kd, i), n, scfg)
+        parts.append(stages.observe(jax.random.fold_in(ko, i), h_i,
+                                    5.0, None, 2, q))
+        clean.append(h_i)
+    expect = stages.tree_concat(parts)
+    np.testing.assert_array_equal(stages.to_numpy(r),
+                                  stages.to_numpy(expect))
+    cov_ref = stages.sample_cov(stages.tree_concat(clean))
+    np.testing.assert_allclose(stages.to_numpy(cov),
+                               stages.to_numpy(cov_ref), atol=1e-5)
+
+    # a single slab covering everything reduces to one generate+observe
+    r1, _ = stages.stream_quantized_pilots(kd, ko, 300, scfg, 5.0, None,
+                                           2, q, slab=512)
+    h0, _ = stages.generate_channels(jax.random.fold_in(kd, 0), 300, scfg)
+    r0 = stages.observe(jax.random.fold_in(ko, 0), h0, 5.0, None, 2, q)
+    np.testing.assert_array_equal(stages.to_numpy(r1), stages.to_numpy(r0))
+
+
+def test_run_gmm_quant_streamed(tmp_results):
+    """stream_pilots=True trains CSI-free without the clean train set ever
+    materializing; quality matches the dense-datagen run statistically
+    (different i.i.d. draw of the same size — not bitwise)."""
+    results_dir, cache_dir = tmp_results
+    cfg = run_gmm_quant.QuantGmmBenchConfig(
+        n_antennas=16, n_components=8, n_train=10000, n_val=1000,
+        max_iter=15, cov_type="circulant", results_dir=results_dir,
+        cache_dir=cache_dir)
+    mse_d, rate_d, _ = run_gmm_quant.run(cfg, verbose=False)
+    mse_s, rate_s, _ = run_gmm_quant.run(
+        dataclasses.replace(cfg, stream_pilots=True), verbose=False)
+    assert np.isfinite(mse_s["blmmse_gmm_quant"][0])
+    assert abs(mse_s["blmmse_gmm_quant"][0] - mse_d["blmmse_gmm_quant"][0]) \
+        <= 0.35 * mse_d["blmmse_gmm_quant"][0], (mse_s, mse_d)
+    # the slab-accumulated cov keeps the rate bound available
+    assert np.isfinite(rate_s["blmmse_gmm_quant_rstat"][0])
+    assert abs(rate_s["blmmse_gmm_quant_rstat"][0]
+               - rate_d["blmmse_gmm_quant_rstat"][0]) \
+        <= 0.35 * abs(rate_d["blmmse_gmm_quant_rstat"][0])
+    with pytest.raises(ValueError, match="stream_pilots"):
+        run_gmm_quant.run(dataclasses.replace(cfg, stream_pilots=True,
+                                              n_coherence=4),
+                          verbose=False)
+
+
 def test_run_mfa_end_to_end(tmp_results):
     results_dir, cache_dir = tmp_results
     cfg = run_mfa.MfaBenchConfig(

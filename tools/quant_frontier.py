@@ -52,22 +52,11 @@ obs = cjit(observation.observe, static_argnums=(4,))
 # per slab, drop the clean channels; keep a small clean validation set.
 STREAM = D >= 8192 or os.environ.get("QF_STREAM") == "1"
 if STREAM:
-    slab = max(GEN_CHUNK, 4096 * 2048 // D)
-    r_parts = []
-    rows = 0
-    i = 0
-    while rows < N_TRAIN:
-        n = min(slab, N_TRAIN - rows)
-        h_c, _ = stages.generate_channels(
-            jax.random.fold_in(jax.random.PRNGKey(0), i), n,
-            scm.ScmConfig(D, 1), chunk=GEN_CHUNK)
-        r_parts.append(obs(jax.random.fold_in(jax.random.PRNGKey(1), i),
-                           h_c, SNR, None, NB, q))
-        del h_c
-        rows += n
-        i += 1
-    r_train = stages.tree_concat(r_parts)
-    del r_parts
+    # library streamed-datagen entry (same folded-key schedule as the
+    # recorded D=8192 run — bit-identical slabs)
+    r_train, _ = stages.stream_quantized_pilots(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), N_TRAIN,
+        scm.ScmConfig(D, 1), SNR, None, NB, q, gen_chunk=GEN_CHUNK)
     h_val, t_val = stages.generate_channels(
         jax.random.fold_in(jax.random.PRNGKey(0), 10_000), N_VAL,
         scm.ScmConfig(D, 1), chunk=GEN_CHUNK)
