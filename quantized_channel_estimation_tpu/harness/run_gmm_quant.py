@@ -93,6 +93,20 @@ class QuantGmmBenchConfig:
     # but NOT bit-identical to the dense path's single-key draw, and the
     # dataset cache is bypassed (there is no dense dataset to cache).
     stream_pilots: object = "auto"
+    # EM scan chunk (memory knob, no math effect — gmm.GmmConfig.chunk_size).
+    # 'auto': 4096 up to D=1024, 1024 to D=8192, then the largest
+    # <=1024 divisor of n_train (an indivisible chunk pads the whole
+    # (N, D) pilot array — 3.7 GB of pure copy at D=16384).
+    em_chunk_size: object = "auto"
+
+
+def _auto_em_chunk(dim: int, n_train: int) -> int:
+    if dim <= 1024:
+        return 4096
+    if dim <= 8192:
+        return 1024
+    return max(c for c in (1024, 1000, 512, 500, 256, 250, 128, 100, 64, 1)
+               if n_train % c == 0)
 
 
 def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
@@ -134,7 +148,8 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
         # validation set does (stages.stream_quantized_pilots)
         scm_cfg = scm.ScmConfig(cfg.n_antennas, cfg.n_path, cfg.path_sigma)
         h_val, _ = stages.generate_channels(
-            jax.random.fold_in(k_data, 10_000), cfg.n_val, scm_cfg)
+            jax.random.fold_in(k_data, 10_000), cfg.n_val, scm_cfg,
+            chunk=stages.auto_gen_chunk(dim))
         h_train = None
     else:
         channels, _ = _get_data(base_cfg, k_data)
@@ -176,9 +191,11 @@ def run(cfg: QuantGmmBenchConfig, verbose: bool = True):
         r_train = stages.observe(jax.random.fold_in(k_obs, 999), h_train,
                                  cfg.snr_train, a, cfg.n_bits,
                                  quantizers[cfg.snr_train])
+    em_chunk = (cfg.em_chunk_size if cfg.em_chunk_size != "auto"
+                else _auto_em_chunk(dim, cfg.n_train))
     gcfg = gmm.GmmConfig(n_components=cfg.n_components, cov_type=cfg.cov_type,
                          blocks=cfg.blocks, zero_mean=cfg.zero_mean_gmm,
-                         max_iter=cfg.max_iter)
+                         max_iter=cfg.max_iter, chunk_size=em_chunk)
     spectra_fit = (cfg.use_spectra_fit if cfg.use_spectra_fit != "auto"
                    else (cfg.cov_type == "circulant"
                          and cfg.n_antennas >= 2048))

@@ -113,9 +113,18 @@ observe = cjit(observation.observe, static_argnums=(4,))
 _cov_outer = cjit(lambda h: jnp.einsum("nd,ne->de", h, jnp.conj(h)))
 
 
+def auto_gen_chunk(n_antennas: int) -> int:
+    """D-aware SCM generation chunk: the generator's angle-grid FFT temps
+    scale as chunk x D x n_grid floats (x~5 live buffers), so a fixed
+    chunk OOMs HBM at frontier D — D=16384 with chunk 512 was measured
+    18.9 GB (> 15.75 GB v5e). Keep chunk x D ~<= 2M elements (~4 GB of
+    temps), floored at 128 rows so the MXU batch stays useful."""
+    return max(128, min(8192, (2048 * 1024) // max(1, n_antennas)))
+
+
 def stream_quantized_pilots(k_data, k_obs, n_batches: int,
                             scm_cfg: scm.ScmConfig, snr_db, a, n_bits,
-                            q=None, slab=None, gen_chunk=8192,
+                            q=None, slab=None, gen_chunk=None,
                             want_cov=False):
     """Slab-streamed quantized-pilot datagen: per slab i the channels are
     drawn with fold_in(k_data, i), observed with fold_in(k_obs, i), and
@@ -134,6 +143,8 @@ def stream_quantized_pilots(k_data, k_obs, n_batches: int,
 
     Returns (r, cov) with cov None unless want_cov.
     """
+    if gen_chunk is None:
+        gen_chunk = auto_gen_chunk(scm_cfg.n_antennas)
     if slab is None:
         slab = max(gen_chunk, (4096 * 2048) // max(1, scm_cfg.n_antennas))
     r_parts, cov_sum = [], None

@@ -439,14 +439,56 @@ def _run_quant_em_circ(state0: _QStateCirc, chunks, mask, n: int,
                               state.lower_bound, state.n_iter, converged)
 
 
+# N*D element budget above which _circ_state0 streams its init: 60k x 8192
+# (measured fine, recorded frontier row) stays under; 60k x 16384 measured
+# 25.6 GB > the 15.75 GB v5e HBM through the dense init (full-dataset DFT +
+# the k-means (N, 2D) squared-norm temps), so it engages the streamed one.
+_INIT_ELEM_BUDGET = 600_000_000
+
+
+def _streamed_init_stats(key, r, cfg: GmmConfig):
+    """Frontier-D init: k-means centers from a deterministic row PREFIX
+    (rows are i.i.d., so the prefix is an unbiased subsample), then one
+    chunked DFT+hard-assignment scan folds labels into the init stats —
+    neither the full DFT-domain dataset nor any (N, 2D) temp ever
+    materializes. Init-only approximation; the EM iterations that follow
+    are the exact chunked passes."""
+    from quantized_channel_estimation_tpu.models import kmeans as km
+    from quantized_channel_estimation_tpu.ops.cplx import cplx2real
+    n, d = r.shape[0], r.shape[-1]
+    k = cfg.n_components
+    n_sub = min(n, max(4096, 50 * k))
+    u_sub = _ufft(r[:n_sub])
+    centers = km.kmeans(key, cplx2real(u_sub, axis=-1).astype(jnp.float32),
+                        k, max_iter=cfg.kmeans_iter).centers
+    xs, mask = _chunk(r, min(cfg.chunk_size, n))
+    init = gmm_mod._zero_stats(k, d, r.dtype, True)
+
+    def body(stats, inputs):
+        rc, mc = inputs
+        uc = _ufft(rc)
+        dists = km._sq_dists(cplx2real(uc, axis=-1).astype(jnp.float32),
+                             centers)
+        onehot = (jax.nn.one_hot(jnp.argmin(dists, axis=-1), k,
+                                 dtype=jnp.float32) * mc[:, None])
+        return gmm_mod._update_stats(stats, onehot, uc, True), None
+
+    stats, _ = jax.lax.scan(body, init, (xs, mask))
+    return stats
+
+
 def _circ_state0(key, r, cfg: GmmConfig):
     """Init from k-means (or random) responsibilities on the DFT-domain
     data (the clean circulant fit's init domain, `gmm.fit` circulant)."""
-    u = _ufft(r)
-    init_stats = _init_resp_stats(key, u, cfg, diag=True,
-                                  chunk=cfg.chunk_size)
-    if cfg.axis_name is not None:
-        init_stats = jax.lax.psum(init_stats, cfg.axis_name)
+    if (cfg.axis_name is None and cfg.init == "kmeans"
+            and r.shape[0] * r.shape[-1] > _INIT_ELEM_BUDGET):
+        init_stats = _streamed_init_stats(key, r, cfg)
+    else:
+        u = _ufft(r)
+        init_stats = _init_resp_stats(key, u, cfg, diag=True,
+                                      chunk=cfg.chunk_size)
+        if cfg.axis_name is not None:
+            init_stats = jax.lax.psum(init_stats, cfg.axis_name)
     nk0 = init_stats.nk + 10.0 * jnp.finfo(jnp.float32).eps
     means_f0 = (jnp.zeros((cfg.n_components, r.shape[-1]), r.dtype)
                 if cfg.zero_mean

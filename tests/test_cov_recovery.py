@@ -412,6 +412,45 @@ class TestQuantCircSpectra:
         m_d = float(nmse(sb.estimate_circulant(bank_d, r_val, "all"), h_val))
         assert m_s < 1.15 * m_d, (m_s, m_d)
 
+    def test_streamed_init_quality(self, setup, monkeypatch):
+        """Beyond _INIT_ELEM_BUDGET the k-means init streams (prefix-
+        subsample centers + chunked DFT/assignment — the dense init's
+        full-dataset DFT and (N, 2D) temps measured 25.6 GB at D=16384).
+        Guard: with the budget forced to 0 the streamed init converges to
+        the same estimation quality as the dense init on the same data."""
+        from quantized_channel_estimation_tpu.models import (
+            structured_bank as sb)
+        from quantized_channel_estimation_tpu.models.gmm import GmmParams
+        h_train, h_val = setup
+        snr, n_bits = 5.0, 2
+        sigma2 = 10 ** (-snr / 10)
+        q = Q.design_quantizer(snr, n_bits)
+        a = pilots.pilot_matrix(self.N_ANT, 1, n_bits)
+        r_train = observation.observe(jax.random.PRNGKey(41), h_train, snr,
+                                      a, n_bits, q)
+        r_val = observation.observe(jax.random.PRNGKey(42), h_val, snr, a,
+                                    n_bits, q)
+        cfg = gmm.GmmConfig(n_components=4, cov_type="circulant",
+                            zero_mean=True, max_iter=14, chunk_size=2048)
+
+        def run_fit():
+            res = gmm_quant.fit_circulant_spectra(
+                jax.random.PRNGKey(43), r_train, cfg, n_bits, sigma2, q)
+            dummy = jnp.zeros((4, 1, 1), jnp.complex64)
+            bank = sb.prepare_bank_circulant(
+                GmmParams(res.weights, res.means, dummy, dummy), snr,
+                1.0 + 0.0j, n_bits, q, spectra=res.spectra)
+            return float(nmse(sb.estimate_circulant(bank, r_val, "all"),
+                              h_val))
+
+        m_dense = run_fit()
+        monkeypatch.setattr(gmm_quant, "_INIT_ELEM_BUDGET", 0)
+        gmm_quant.fit_circulant_spectra.clear_cache()
+        m_stream = run_fit()
+        gmm_quant.fit_circulant_spectra.clear_cache()
+        assert np.isfinite(m_stream)
+        assert m_stream < 1.15 * m_dense, (m_stream, m_dense)
+
     def test_resume_spectra_path_unavailable_note(self, setup):
         """fit(cov_type='circulant') keeps the dense-recovery path (the
         measured-better projection order); the spectra entry rejects other

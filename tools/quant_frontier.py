@@ -37,11 +37,22 @@ from quantized_channel_estimation_tpu.ops.boundary import cjit
 D = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 N_TRAIN, N_VAL, SNR, NB = 60_000, 2_000, 10.0, 2
+if D > 8192:
+    # the pilot array + the EM scan's layout copies must CO-reside in the
+    # 15.75 GB HBM (donation cannot alias across the layout change —
+    # measured RESOURCE_EXHAUSTED at 60k x 16384); 40k rows is ~5x
+    # oversampled for the K x D circulant parameters at K=8
+    N_TRAIN = 40_000
 MAX_ITER = 30
 
 t0 = time.time()
+# beyond D=8192 the fixed 512-row floor OOMs the SCM generator's
+# angle-grid FFT temps (D=16384 measured 18.9 GB > 15.75 GB HBM) — scale
+# the chunk down with D there (stages.auto_gen_chunk rationale)
 GEN_CHUNK = int(os.environ.get(
-    "QF_GEN_CHUNK", min(4096, max(512, (4096 * 256) // D))))
+    "QF_GEN_CHUNK",
+    min(4096, max(512, (4096 * 256) // D)) if D <= 8192
+    else stages.auto_gen_chunk(D)))
 q = Q.design_quantizer(SNR, NB)
 sigma2 = 10.0 ** (-SNR / 10.0)
 obs = cjit(observation.observe, static_argnums=(4,))
@@ -79,14 +90,20 @@ r_val = obs(jax.random.PRNGKey(2), h_val, SNR, None, NB, q)
 # anywhere — the dense path crashes the device there). QF_SPECTRA=1
 # forces the spectra path at any D.
 SPECTRA = D >= 2048 or STREAM or os.environ.get("QF_SPECTRA") == "1"
-EM_CHUNK = int(os.environ.get("QF_CHUNK", 4096 if D <= 1024 else 1024))
+# D > 8192: a chunk that DIVIDES N_TRAIN (no _chunk pad — the padded
+# (N, D) copy alone is 3.7 GB at D=16384) and donate r into the fit (it
+# is not reused) so the scan's layout copies recycle the argument HBM.
+EM_CHUNK = int(os.environ.get(
+    "QF_CHUNK", 4096 if D <= 1024 else 1024 if D <= 8192
+    else max(c for c in (1000, 500, 250, 100) if N_TRAIN % c == 0)))
 qcfg = gmm.GmmConfig(n_components=K, cov_type="circulant",
                      max_iter=MAX_ITER, chunk_size=EM_CHUNK)
 prep = cjit(lambda p, snr, nb, qq, spec: sb.prepare_bank_circulant(
     p, snr, 1.0 + 0.0j, nb, qq, spectra=spec), static_argnums=(2,))
 t0 = time.time()
 if SPECTRA:
-    fit_s = cjit(gmm_quant.fit_circulant_spectra, static_argnums=(2, 3))(
+    fit_s = cjit(gmm_quant.fit_circulant_spectra, static_argnums=(2, 3),
+                 donate_argnums=(1,))(
         jax.random.PRNGKey(3), r_train, qcfg, NB, sigma2, q)
     n_it = int(np.asarray(fit_s.n_iter))
     fit_time = time.time() - t0
