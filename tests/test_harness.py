@@ -357,3 +357,11 @@ def test_run_gmm_quant_spectra_fit(tmp_results):
             base, use_spectra_fit=True, n_data_shards=4), verbose=False)
         np.testing.assert_allclose(m_m["blmmse_gmm_quant"],
                                    m_s["blmmse_gmm_quant"], rtol=2e-2)
+        # streamed datagen composes with the DP fit (same i.i.d. class,
+        # different draw — statistical agreement only)
+        m_sm, _, _ = run_gmm_quant.run(dataclasses.replace(
+            base, use_spectra_fit=True, n_data_shards=4,
+            stream_pilots=True), verbose=False)
+        assert (abs(m_sm["blmmse_gmm_quant"][0]
+                    - m_s["blmmse_gmm_quant"][0])
+                <= 0.35 * m_s["blmmse_gmm_quant"][0]), (m_sm, m_s)
