@@ -118,8 +118,10 @@ def auto_gen_chunk(n_antennas: int) -> int:
     scale as chunk x D x n_grid floats (x~5 live buffers), so a fixed
     chunk OOMs HBM at frontier D — D=16384 with chunk 512 was measured
     18.9 GB (> 15.75 GB v5e). Keep chunk x D ~<= 2M elements (~4 GB of
-    temps), floored at 128 rows so the MXU batch stays useful."""
-    return max(128, min(8192, (2048 * 1024) // max(1, n_antennas)))
+    temps), floored at 128 rows (64 beyond D=32768, where even 128 rows
+    is 16.8 GB of temps) so the MXU batch stays useful."""
+    floor = 64 if n_antennas > 32768 else 128
+    return max(floor, min(8192, (2048 * 1024) // max(1, n_antennas)))
 
 
 def stream_quantized_pilots(k_data, k_obs, n_batches: int,

@@ -42,7 +42,7 @@ if D > 8192:
     # 15.75 GB HBM (donation cannot alias across the layout change —
     # measured RESOURCE_EXHAUSTED at 60k x 16384); 40k rows is ~5x
     # oversampled for the K x D circulant parameters at K=8
-    N_TRAIN = 40_000 if D <= 16384 else 20_000
+    N_TRAIN = 40_000 if D <= 16384 else 20_000 if D <= 32768 else 10_000
 MAX_ITER = 30
 
 t0 = time.time()
